@@ -1,0 +1,79 @@
+"""Block model — the engine's intermediate representation.
+
+Regenerates the *shape* of the reference's Textract ``Blocks`` array
+(consumed at ``source/ocr/postprocessing/fn-postprocess/main.py:49-60``
+as LINE blocks with Text + Confidence, and via the trp form model as
+KEY/VALUE pairs, ``main.py:64-99``) as a flat columnar record:
+
+    (block_id, page, block_type, text, char_start, char_end, conf,
+     x0, y0, x1, y1, reading_order, kv_role, kv_group_id, is_content)
+
+``char_start``/``char_end`` are Python-str indices into the span
+domain of the payload kind (see ``ExtractResult.span_domain``):
+HTML / plain payloads index into the original ``text`` column value;
+PDF payloads index into the extracted ``main_text`` (the original
+value is base64 — raw offsets are meaningless there).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+LINE = "LINE"
+KEY_VALUE = "KEY_VALUE"
+
+KEY = "KEY"
+VALUE = "VALUE"
+
+# status enum (SURVEY.md §1.4 — the reference's typed error taxonomy
+# PoorQualityImage/ModelError/MalformedRequest becomes a status column)
+STATUS_OK = "ok"
+STATUS_REJECTED = "rejected"
+
+
+def make_block(
+    block_id: int,
+    block_type: str,
+    text: str,
+    char_start: int,
+    char_end: int,
+    conf: float,
+    page: int = 1,
+    x0: float | None = None,
+    y0: float | None = None,
+    x1: float | None = None,
+    y1: float | None = None,
+    reading_order: int = -1,
+    kv_role: str | None = None,
+    kv_group_id: int | None = None,
+    is_content: bool = True,
+) -> dict:
+    return {
+        "block_id": block_id,
+        "page": page,
+        "block_type": block_type,
+        "text": text,
+        "char_start": char_start,
+        "char_end": char_end,
+        "conf": conf,
+        "x0": x0,
+        "y0": y0,
+        "x1": x1,
+        "y1": y1,
+        "reading_order": reading_order,
+        "kv_role": kv_role,
+        "kv_group_id": kv_group_id,
+        "is_content": is_content,
+    }
+
+
+@dataclass
+class ExtractResult:
+    """Output of the per-payload extraction core."""
+
+    status: str = STATUS_OK
+    kind: str = "plain"  # html | pdf | plain | bad
+    main_text: str = ""
+    spans: list[tuple[int, int]] = field(default_factory=list)
+    blocks: list[dict] = field(default_factory=list)
+    span_domain: str = "payload"  # payload | main_text

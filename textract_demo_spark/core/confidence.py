@@ -1,0 +1,57 @@
+"""Deterministic confidence scoring shared by the extraction engine
+and the fixture generator.
+
+The reference pipeline receives per-block confidences from AWS
+Textract (0-100 floats, e.g. ``source/ocr/README.md:49-87`` golden
+payload: Date 91.30, Total 34.79, Vendor 99.73). Our from-scratch
+engine has no OCR model, so block confidence is a deterministic pure
+function of the block's text — same convention (0-100), computable
+identically by the golden-fixture generator (which plays the role of
+the reference's hand-verified payloads) and by the engine.
+
+Everything here is hash-seeded and stable across processes / Python
+versions (md5, not ``hash()``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+__all__ = ["stable_hash", "line_confidence", "entity_score"]
+
+
+def stable_hash(s: str, salt: str = "") -> int:
+    """Process-stable 64-bit hash of a string (md5-based)."""
+    d = hashlib.md5((salt + ":" + s).encode("utf-8", "surrogatepass")).digest()
+    return int.from_bytes(d[:8], "big")
+
+
+def line_confidence(text: str) -> float:
+    """Confidence (0-100, 2dp) for one extracted text line/block.
+
+    Deterministic in the text alone: longer, cleaner, more alphanumeric
+    lines score higher; a small hash jitter spreads values so ranking
+    ties (reference top-1 semantics, fn-postprocess/main.py:119-123)
+    are exercised but rare.
+    """
+    t = text.strip()
+    if not t:
+        return 0.0
+    words = len(t.split())
+    n = len(t)
+    alnum = sum(1 for c in t if c.isalnum() or c in " .$,:/-")
+    alnum_ratio = alnum / n
+    weird = 1.0 - alnum_ratio
+    jitter = (stable_hash(t, "conf") % 400) / 100.0  # 0.00 .. 3.99
+    conf = 58.0 + 3.2 * min(words, 10) + 8.0 * alnum_ratio - 25.0 * weird + jitter
+    conf = max(1.0, min(99.5, conf))
+    return round(conf, 2)
+
+
+def entity_score(pattern_specificity: float, text: str) -> float:
+    """Score (0-1, 4dp) for a detected date entity — pattern
+    specificity with a tiny deterministic jitter, mirroring the
+    reference's Comprehend scores which are 0-1 floats rescaled x100
+    downstream (fn-postprocess/main.py:112-115)."""
+    jitter = (stable_hash(text, "ent") % 300) / 10000.0  # 0 .. 0.0299
+    return round(min(0.99, pattern_specificity + jitter), 4)

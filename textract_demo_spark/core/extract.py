@@ -1,0 +1,49 @@
+"""Per-payload extraction dispatcher: quality gate -> kind-specific
+extractor -> blocks + main text + spans (+ field rules for the
+pure-Python path).
+
+This is the function the Spark engine vectorizes over Arrow batches
+(``textract_demo_spark.engine.udfs``). Mirrors the reference's stage
+ordering: Pre-Processing quality gate BEFORE the extraction call
+(``source/ocr/StateMachine.asl.json:5-42``) so bad payloads never pay
+for parsing.
+"""
+
+from __future__ import annotations
+
+from .blocks import LINE, STATUS_OK, STATUS_REJECTED, ExtractResult, make_block
+from .confidence import line_confidence
+from .pdf_extract import PdfParseError, extract_pdf
+from .html_extract import extract_html
+from .quality import classify_quality, decode_pdf_payload, is_acceptable
+
+
+def extract_plain(payload: str) -> ExtractResult:
+    """Plain-text payload: identity extraction — the whole text is
+    main content, one LINE block, one span (FIXTURES.md §1.3)."""
+    conf = line_confidence(payload)
+    block = make_block(0, LINE, payload, 0, len(payload), conf,
+                       reading_order=0, is_content=True)
+    return ExtractResult(
+        status=STATUS_OK, kind="plain", main_text=payload,
+        spans=[(0, len(payload))], blocks=[block], span_domain="payload")
+
+
+def extract_payload(payload: str) -> ExtractResult:
+    """Quality-gate + extract one transcript-turn payload."""
+    q = classify_quality(payload)
+    if not is_acceptable(q["label"], q["conf"]):
+        return ExtractResult(status=STATUS_REJECTED, kind="bad",
+                             main_text="", spans=[], blocks=[],
+                             span_domain="payload")
+    if q["kind"] == "pdf":
+        data = decode_pdf_payload(payload)
+        try:
+            return extract_pdf(data)
+        except PdfParseError:
+            return ExtractResult(status=STATUS_REJECTED, kind="bad",
+                                 main_text="", spans=[], blocks=[],
+                                 span_domain="payload")
+    if q["kind"] == "html":
+        return extract_html(payload)
+    return extract_plain(payload)
