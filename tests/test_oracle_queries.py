@@ -1,0 +1,68 @@
+"""Driver-contract rehearsal: run every ``__spark_entry__.queries()``
+entry at sf0.01 and compare to its DuckDB ``oracle_sql()`` the same way
+the driver does (row count + sorted-column order-insensitive values).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+def _normalize(df):
+    import pandas as pd
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].map(
+                lambda v: "null" if v is None or (isinstance(v, float)
+                                                  and math.isnan(v))
+                else f"{v:.9g}")
+        elif "datetime" in str(df[c].dtype):
+            df[c] = df[c].astype(str)
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_query_matches_oracle(spark, name):
+    got = _normalize(QUERIES[name](spark, SF_DIR).toPandas())
+    exp = _normalize(_duck(ORACLES[name]))
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}")
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    neq = (got != exp).any(axis=1)
+    if neq.any():
+        i = neq.idxmax()
+        raise AssertionError(
+            f"{name}: value mismatch at sorted row {i}\n"
+            f"got: {got.iloc[i].to_dict()}\nexp: {exp.iloc[i].to_dict()}")
+
+
+def test_all_queries_have_entries():
+    assert set(ORACLES) <= set(QUERIES)
+    assert len(QUERIES) >= 15

@@ -1,0 +1,512 @@
+"""Named operator queries + DuckDB oracle SQL — the driver-facing
+correctness surface (``__spark_entry__.queries()/oracle_sql()``).
+
+Two families:
+
+1. Extraction-path queries: payloads are CONSTRUCTED IN SQL from the
+   driver's ``documents`` table (constant HTML wrapping, printf-built
+   dates/amounts), the REAL Spark pipeline extracts them, and the
+   oracle predicts the output in pure SQL — an end-to-end DuckDB-
+   checkable gate on the extraction engine itself.
+2. Generic operator queries over the TPC-H-ish tables, one per
+   operator family in SURVEY.md §2 (filters, containment join,
+   override join, ordered concat, top-1 ranking, union-fallback,
+   windows, histograms, string/cast algebra).
+
+Aliasing rule: every computed column is aliased identically in the
+Spark plan and the oracle SQL (driver hash-compares by sorted column
+name). Numeric columns are cast so Spark and DuckDB agree on type
+(BIGINT for counts/sizes, DOUBLE for confidences).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_turns(docs: DataFrame, payload_col) -> DataFrame:
+    return docs.select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"),
+                                       10, "0")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        payload_col.alias("text"),
+        F.lit("").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+        F.col("doc_id"),
+    )
+
+
+def _run_extraction(docs_turns: DataFrame) -> DataFrame:
+    """Real pipeline over constructed payloads; keeps doc_id."""
+    from .pipeline import run_pipeline
+    ids = docs_turns.select("conv_id", "doc_id")
+    out = run_pipeline(docs_turns.drop("doc_id"), reviews=None, salt=4)
+    return out.join(F.broadcast(ids), "conv_id")
+
+
+# ---------------------------------------------------------------------------
+# 1. Extraction-path queries (oracle predicts the engine's output)
+
+# constant HTML chrome for the boilerplate-strip check — the oracle
+# knows the exact span offsets because the prefix is a constant
+_PRE = ('<!DOCTYPE html>\n<html><head><title>Portal</title></head><body>'
+        '<nav class="nav"><a href="/">Home</a> <a href="/b">Blog</a> '
+        '<a href="/c">Help</a></nav><div class="content"><p>')
+_POST = ('</p></div><footer class="footer"><a href="/t">Terms</a>'
+         '</footer></body></html>')
+
+
+@query(
+    "extract_plain_identity",
+    oracle="""
+    SELECT doc_id, 'ok' AS status, 'plain' AS kind, text AS main_text,
+           1::BIGINT AS n_spans, 0::BIGINT AS span_start,
+           length(text)::BIGINT AS span_end
+    FROM documents
+    """)
+def extract_plain_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-payload identity extraction (FIXTURES.md §1.3): the whole
+    text is main content with one span. End-to-end through the real
+    pipeline (quality gate + extractor)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = _run_extraction(_docs_as_turns(docs, F.col("text")))
+    return out.select(
+        "doc_id", "status", "kind", "main_text",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.expr("spans[0].start").alias("span_start"),
+        F.expr("spans[0].end").alias("span_end"))
+
+
+@query(
+    "extract_html_boilerplate_strip",
+    oracle=f"""
+    SELECT doc_id, 'ok' AS status, text AS main_text,
+           {len(_PRE)}::BIGINT AS span_start,
+           ({len(_PRE)} + length(text))::BIGINT AS span_end,
+           text AS vendor_value
+    FROM documents
+    """)
+def extract_html_boilerplate_strip(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """HTML path end-to-end: wrap each document in constant nav/footer
+    chrome; the engine must strip the boilerplate and return exactly
+    the document text with spans pointing at it inside the payload
+    (U-2 HTML analyzer; north-rule text+span equality)."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(F.lit(_PRE), F.col("text"), F.lit(_POST))
+    out = _run_extraction(_docs_as_turns(docs, payload))
+    return out.select(
+        "doc_id", "status", "main_text",
+        F.expr("spans[0].start").alias("span_start"),
+        F.expr("spans[0].end").alias("span_end"),
+        F.col("model_result.vendor.value").alias("vendor_value"))
+
+
+@query(
+    "quality_gate_routing",
+    oracle="""
+    SELECT CASE WHEN doc_id % 7 IN (0, 1) THEN 'rejected' ELSE 'ok' END
+             AS status,
+           CASE WHEN doc_id % 7 IN (0, 1) THEN 'bad' ELSE 'plain' END
+             AS kind,
+           count(*)::BIGINT AS n
+    FROM documents GROUP BY 1, 2
+    """)
+def quality_gate_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate predicate + early-reject routing (P1/P2,
+    fn-preprocess/main.py:117-146 + StateMachine.asl.json:14-25):
+    empty and truncated payloads are rejected before extraction."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(""))
+        .when(F.col("doc_id") % 7 == 1, F.lit("<html><p>truncated"))
+        .otherwise(F.col("text")))
+    out = _run_extraction(_docs_as_turns(docs, payload))
+    return out.groupBy("status", "kind").agg(
+        F.count("*").cast("long").alias("n"))
+
+
+@query(
+    "date_entity_fallback",
+    oracle="""
+    SELECT doc_id,
+           printf('%02d/%02d/20%02d', 1 + doc_id % 28, 1 + doc_id % 12,
+                  18 + doc_id % 9) AS date_value,
+           'Vendor Shop' AS vendor_value
+    FROM documents
+    """)
+def date_entity_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comprehend-fallback analog (U1/A10/P7/P8, fn-postprocess/
+    main.py:102-117): no Date KV pair exists, so the date comes from
+    the entity detector over the body text, shape-validated."""
+    docs = _t(spark, sf_dir, "documents")
+    dstr = F.format_string(
+        "%02d/%02d/20%02d", 1 + F.col("doc_id") % 28,
+        1 + F.col("doc_id") % 12, 18 + F.col("doc_id") % 9)
+    payload = F.concat(
+        F.lit('<html><body><div class="content"><p>Vendor Shop</p>'
+              '<p>Visited on '),
+        dstr, F.lit("</p></div></body></html>"))
+    out = _run_extraction(_docs_as_turns(docs, payload))
+    return out.select(
+        "doc_id",
+        F.col("model_result.date.value").alias("date_value"),
+        F.col("model_result.vendor.value").alias("vendor_value"))
+
+
+@query(
+    "subtotal_penalty_ranking",
+    oracle="""
+    SELECT doc_id,
+           '$' || printf('%d.%02d', 1 + doc_id % 99, doc_id % 100)
+             AS total_value,
+           '$' || printf('%d.%02d', 1 + doc_id % 77, doc_id % 100)
+             AS alt_value,
+           1::BIGINT AS n_alternatives
+    FROM documents
+    """)
+def subtotal_penalty_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal x0.5 penalty + stable top-1 ranking (A4/A5/A8,
+    fn-postprocess/main.py:83-87,119-123,143-148): the Subtotal
+    candidate's halved confidence always loses to TOTAL and lands in
+    Alternatives."""
+    docs = _t(spark, sf_dir, "documents")
+    tot = F.format_string("%d.%02d", 1 + F.col("doc_id") % 99,
+                          F.col("doc_id") % 100)
+    sub = F.format_string("%d.%02d", 1 + F.col("doc_id") % 77,
+                          F.col("doc_id") % 100)
+    payload = F.concat(
+        F.lit('<html><body><div class="content"><p>Corner Store</p>'
+              '<p>Subtotal: $'), sub,
+        F.lit("</p><p>TOTAL: $"), tot,
+        F.lit("</p></div></body></html>"))
+    out = _run_extraction(_docs_as_turns(docs, payload))
+    return out.select(
+        "doc_id",
+        F.col("model_result.total.value").alias("total_value"),
+        F.expr("model_result.total.alternatives[0].value").alias("alt_value"),
+        F.size("model_result.total.alternatives").cast("long")
+         .alias("n_alternatives"))
+
+
+# ---------------------------------------------------------------------------
+# 2. Generic operator queries over the TPC-H-ish tables
+
+@query(
+    "p_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 25
+    """)
+def p_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate pushdown (P3-P6 family; pushed to the
+    parquet scan — .explain shows PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li
+            .filter((F.col("l_shipdate") >= "1995-01-01")
+                    & F.col("l_discount").between(0.02, 0.06)
+                    & (F.col("l_quantity") < 25))
+            .select("l_orderkey", "l_linenumber",
+                    (F.col("l_extendedprice")
+                     * (1 - F.col("l_discount"))).alias("revenue")))
+
+
+@query(
+    "j1_containment_join",
+    oracle="""
+    SELECT p.p_partkey, t.term
+    FROM part p
+    JOIN (VALUES ('steel'), ('copper'), ('brass')) AS t(term)
+      ON position(t.term IN lower(p.p_type)) > 0
+    """)
+def j1_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-text containment theta join (J1): the searchFieldsByKey
+    analog — tiny terms dim broadcast, non-equi contains predicate
+    => BroadcastNestedLoopJoin (fn-postprocess/main.py:65-66)."""
+    part = _t(spark, sf_dir, "part")
+    terms = spark.createDataFrame(
+        [("steel",), ("copper",), ("brass",)], ["term"])
+    return (part.join(F.broadcast(terms),
+                      F.expr("contains(lower(p_type), term)"))
+            .select("p_partkey", "term"))
+
+
+@query(
+    "j3_override_left_join",
+    oracle="""
+    SELECT o.o_orderkey,
+           coalesce(c.c_name, 'unreviewed') AS final_name,
+           (c.c_name IS NOT NULL) AS reviewed
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+      ON o.o_custkey = c.c_custkey
+    """)
+def j3_override_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-review override join (J3): left outer equi-join against a
+    small dimension + coalesce override (SmartOCR.vue:190-211);
+    broadcast-hash on the review side."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return (orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey, "left")
+            .select("o_orderkey",
+                    F.coalesce("c_name", F.lit("unreviewed"))
+                     .alias("final_name"),
+                    F.col("c_name").isNotNull().alias("reviewed")))
+
+
+@query(
+    "a1_first_line_vendor",
+    oracle="""
+    SELECT l_orderkey,
+           min_by(l_partkey,
+                  l_linenumber * 1e9 + l_partkey) AS first_part,
+           min_by(l_extendedprice,
+                  l_linenumber * 1e9 + l_extendedprice) AS first_price
+    FROM lineitem GROUP BY l_orderkey
+    """)
+def a1_first_line_vendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-by-order aggregation (A1: first LINE = vendor,
+    fn-postprocess/main.py:49-56) as a hash agg min_by — no window
+    shuffle-and-sort needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    # composite tie-break key: l_linenumber is not unique per order in
+    # the synthetic data, so 'first' is (linenumber, then value)
+    return li.groupBy("l_orderkey").agg(
+        F.min_by("l_partkey",
+                 F.col("l_linenumber") * 1e9 + F.col("l_partkey"))
+         .alias("first_part"),
+        F.min_by("l_extendedprice",
+                 F.col("l_linenumber") * 1e9 + F.col("l_extendedprice"))
+         .alias("first_price"))
+
+
+@query(
+    "a2_ordered_concat",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(l_returnflag, ' '
+                      ORDER BY l_linenumber, l_returnflag) AS flags
+    FROM lineitem GROUP BY l_orderkey
+    """)
+def a2_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive string concat (A2: the reference's text
+    accumulation fn-postprocess/main.py:57-60) via
+    collect_list+array_sort — partial/final hash agg, no sort
+    exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(F.expr("""
+        array_join(transform(
+          array_sort(collect_list(struct(l_linenumber, l_returnflag))),
+          x -> x.l_returnflag), ' ')""").alias("flags"))
+
+
+@query(
+    "w2_top1_ranking",
+    oracle="""
+    SELECT user_id, event_id AS top_event, value AS top_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY value DESC, ts ASC, event_id ASC) AS rn
+          FROM events) WHERE rn = 1
+    """)
+def w2_top1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-by-confidence ranking with stable tie-break (W2/A4,
+    fn-postprocess/main.py:119-123)."""
+    from pyspark.sql.window import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("ts"), F.asc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_id").alias("top_event"),
+                    F.col("value").alias("top_value")))
+
+
+@query(
+    "a6_composite_min",
+    oracle="""
+    SELECT l_orderkey,
+           least(min(l_quantity), min(l_discount * 100),
+                 min(l_tax * 100)) AS composite_conf
+    FROM lineitem GROUP BY l_orderkey
+    """)
+def a6_composite_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite confidence = row-wise min across fields (A6/A7,
+    fn-postprocess/main.py:140-142)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.least(F.min("l_quantity"), F.min(F.col("l_discount") * 100),
+                F.min(F.col("l_tax") * 100)).alias("composite_conf"))
+
+
+@query(
+    "a8_conditional_penalty",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice *
+             (CASE WHEN contains(lower(l_returnflag), 'r')
+                   THEN 0.5 ELSE 1.0 END) AS penalized
+    FROM lineitem
+    """)
+def a8_conditional_penalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional confidence penalty (A8: x0.5 when 'sub' in key,
+    fn-postprocess/main.py:83-87)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice")
+         * F.when(F.lower("l_returnflag").contains("r"), 0.5)
+            .otherwise(1.0)).alias("penalized"))
+
+
+@query(
+    "w4_latest_event_wins",
+    oracle="""
+    SELECT user_id, event_id AS last_event, event_type AS last_type,
+           strftime(ts, '%Y-%m-%d-%H-%M-%S') AS last_ts_str
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    """)
+def w4_latest_event_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-event-wins dedup (W4/P13, SmartOCR.vue:188-189) + the
+    reference's timestamp formatting (F10)."""
+    from pyspark.sql.window import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_id").alias("last_event"),
+                    F.col("event_type").alias("last_type"),
+                    F.date_format("ts", "yyyy-MM-dd-HH-mm-ss")
+                     .alias("last_ts_str")))
+
+
+@query(
+    "a12_confidence_histogram",
+    oracle="""
+    SELECT cast(floor(value / 10) AS BIGINT) AS bucket,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1
+    """)
+def a12_confidence_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition metrics histogram shape (A12, north rule:
+    confidence histograms in lineage manifests)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.floor(F.col("value") / 10).cast("long")
+                       .alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+@query(
+    "u1_union_fallback",
+    oracle="""
+    WITH prim AS (
+      SELECT o_custkey, o_orderkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT o_custkey AS custkey, 'primary' AS source, o_orderkey
+    FROM prim
+    UNION ALL
+    SELECT o.o_custkey, 'fallback', o.o_orderkey
+    FROM orders o
+    WHERE o.o_orderstatus = 'F'
+      AND NOT EXISTS (SELECT 1 FROM prim p
+                      WHERE p.o_custkey = o.o_custkey)
+    """)
+def u1_union_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-source union with count-gated fallback (U1/A10,
+    fn-postprocess/main.py:93-117): fallback rows only for keys with
+    zero primary candidates — anti-join gate, not a per-row branch."""
+    orders = _t(spark, sf_dir, "orders")
+    prim = (orders.filter(F.col("o_orderstatus") == "O")
+            .select("o_custkey", "o_orderkey"))
+    fb = (orders.filter(F.col("o_orderstatus") == "F")
+          .join(prim.select("o_custkey").distinct(), "o_custkey",
+                "left_anti")
+          .select("o_custkey", "o_orderkey"))
+    return (prim.select(F.col("o_custkey").alias("custkey"),
+                        F.lit("primary").alias("source"), "o_orderkey")
+            .unionByName(
+                fb.select(F.col("o_custkey").alias("custkey"),
+                          F.lit("fallback").alias("source"),
+                          "o_orderkey")))
+
+
+@query(
+    "f_string_functions",
+    oracle=r"""
+    SELECT p_partkey, lower(p_name) AS name_lower,
+           (position('steel' IN lower(p_type)) > 0) AS is_steel,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
+           regexp_extract(p_name, '([^ ]+)$', 1) AS last_word,
+           regexp_replace(p_brand, '^Brand#', '') AS brand_num
+    FROM part
+    """)
+def f_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface (F1-F8: lower, containment,
+    regex sanitize chain, filename-tail split, $-strip)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.lower("p_name").alias("name_lower"),
+        F.lower("p_type").contains("steel").alias("is_steel"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("consonants"),
+        F.regexp_extract("p_name", "([^ ]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_brand", "^Brand#", "").alias("brand_num"))
+
+
+@query(
+    "p5_numeric_predicate",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                  THEN '$' || printf('%d.%02d', doc_id % 50, doc_id % 100)
+                WHEN doc_id % 4 = 1 THEN '  7.25 '
+                WHEN doc_id % 4 = 2 THEN 'n/a'
+                ELSE printf('%de2', doc_id % 9) END AS raw_value,
+           try_cast(regexp_replace(
+             CASE WHEN doc_id % 4 = 0
+                    THEN '$' || printf('%d.%02d', doc_id % 50, doc_id % 100)
+                  WHEN doc_id % 4 = 1 THEN '  7.25 '
+                  WHEN doc_id % 4 = 2 THEN 'n/a'
+                  ELSE printf('%de2', doc_id % 9) END,
+             '^\$+', '') AS DOUBLE) AS parsed
+    FROM documents
+    """)
+def p5_numeric_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-value predicate (P5/F3/F4: float(value.lstrip('$'))
+    with failure => null/drop, fn-postprocess/main.py:74-91)."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = (F.when(F.col("doc_id") % 4 == 0,
+                  F.concat(F.lit("$"),
+                           F.format_string("%d.%02d", F.col("doc_id") % 50,
+                                           F.col("doc_id") % 100)))
+           .when(F.col("doc_id") % 4 == 1, F.lit("  7.25 "))
+           .when(F.col("doc_id") % 4 == 2, F.lit("n/a"))
+           .otherwise(F.format_string("%de2", F.col("doc_id") % 9)))
+    return (docs.select("doc_id", raw.alias("raw_value"))
+            .withColumn("parsed",
+                        F.expr("try_cast(regexp_replace(raw_value,"
+                               " '^\\\\$+', '') AS DOUBLE)")))
