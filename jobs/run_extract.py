@@ -1,0 +1,79 @@
+"""spark-submit entrypoint: extraction pipeline over the transcript
+table with per-partition IcebergLike commits + resume.
+
+Usage (north-rule packaging, BASELINE.json:14):
+    python jobs/build_pyfiles.py
+    spark-submit --master local[8] \
+        --py-files build/textract_demo_spark.zip \
+        jobs/run_extract.py --n-convs 2000 --out /tmp/extract_out \
+        --buckets 32 [--input /path/to/transcripts_parquet]
+
+Re-running after a kill resumes: committed partitions are detected
+from their manifests and skipped before the Spark job starts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-convs", type=int, default=500,
+                    help="synthetic transcript conversations (ignored"
+                         " when --input is given)")
+    ap.add_argument("--input", default=None,
+                    help="optional parquet transcripts table to read"
+                         " instead of synthesizing")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--buckets", type=int, default=32,
+                    help="IcebergLike partition buckets")
+    ap.add_argument("--salt", type=int, default=16,
+                    help="skew salt for hot conversations")
+    ap.add_argument("--fail-after", type=int, default=None,
+                    help="inject a crash after N partition commits"
+                         " (resume testing)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from textract_demo_spark.engine.datagen import transcripts_df
+    from textract_demo_spark.engine.metrics import partition_metrics
+    from textract_demo_spark.engine.pipeline import run_pipeline
+    from textract_demo_spark.engine.tables import IcebergLike, with_part_key
+
+    spark = SparkSession.builder.appName("run_extract").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.input:
+        transcripts = spark.read.parquet(args.input)
+        fingerprint = args.input
+    else:
+        transcripts = transcripts_df(spark, args.n_convs)
+        fingerprint = f"synthetic:seed=42:n_convs={args.n_convs}"
+
+    t0 = time.time()
+    results = run_pipeline(transcripts, reviews=None, salt=args.salt)
+    results = with_part_key(results, args.buckets)
+    table = IcebergLike(args.out)
+    snapshot = table.write(results, metrics_fn=partition_metrics,
+                           input_fingerprint=fingerprint,
+                           fail_after=args.fail_after)
+    wall = time.time() - t0
+    rows = sum(m["metrics"].get("rows", 0)
+               for k in snapshot["committed_keys"]
+               if (m := table.manifest(k)) is not None)
+    print(json.dumps({
+        "committed_partitions": len(snapshot["committed_keys"]),
+        "newly_committed": len(snapshot["newly_committed"]),
+        "skipped_already_committed":
+            len(snapshot["skipped_already_committed"]),
+        "rows_total": rows,
+        "wall_sec": round(wall, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""IcebergLike commit/resume: kill after k of n partition commits,
+restart, assert (a) the final table equals a clean one-shot run,
+(b) committed partitions were NOT recomputed (manifest mtimes stable),
+(c) manifests carry lineage metrics (SURVEY.md §5.2 item 5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from textract_demo_spark.engine.metrics import partition_metrics
+from textract_demo_spark.engine.pipeline import fixtures_to_dfs, run_pipeline
+from textract_demo_spark.engine.tables import IcebergLike, with_part_key
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def results_df(spark):
+    dfs = fixtures_to_dfs(spark, n_convs=30)
+    out = run_pipeline(dfs["transcripts"], reviews=None, salt=4)
+    return with_part_key(
+        out.select("conv_id", "turn_idx", "status", "main_text",
+                   "needs_review", "blocks"),
+        N_BUCKETS)
+
+
+def _table_rows(spark, table):
+    return {(r["conv_id"], r["turn_idx"], r["status"], r["main_text"])
+            for r in table.read(spark)
+            .select("conv_id", "turn_idx", "status", "main_text")
+            .collect()}
+
+
+def test_kill_and_resume(spark, tmp_path, results_df):
+    clean = IcebergLike(str(tmp_path / "clean"))
+    clean.write(results_df, metrics_fn=partition_metrics)
+    expected = _table_rows(spark, clean)
+    assert len(clean.committed_keys()) == N_BUCKETS
+
+    # killed run: crash after 3 partition commits
+    t = IcebergLike(str(tmp_path / "resumable"))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        t.write(results_df, metrics_fn=partition_metrics, fail_after=3)
+    committed_before = t.committed_keys()
+    assert len(committed_before) == 3
+    mtimes_before = {
+        k: os.path.getmtime(
+            os.path.join(t.manifest_dir, f"part-{k:05d}.json"))
+        for k in committed_before}
+
+    # restart: resumes from the last committed snapshot
+    snap = t.write(results_df, metrics_fn=partition_metrics)
+    assert sorted(snap["skipped_already_committed"]) == \
+        sorted(committed_before)
+    assert len(t.committed_keys()) == N_BUCKETS
+    assert _table_rows(spark, t) == expected
+
+    # committed partitions were not recomputed
+    for k, mt in mtimes_before.items():
+        assert os.path.getmtime(
+            os.path.join(t.manifest_dir, f"part-{k:05d}.json")) == mt
+
+    # idempotent re-run: nothing new to do
+    snap2 = t.write(results_df, metrics_fn=partition_metrics)
+    assert snap2["newly_committed"] == []
+
+
+def test_manifest_metrics(spark, tmp_path, results_df):
+    t = IcebergLike(str(tmp_path / "metrics"))
+    t.write(results_df, metrics_fn=partition_metrics)
+    total_rows = 0
+    for k in t.committed_keys():
+        m = t.manifest(k)
+        assert m is not None
+        met = m["metrics"]
+        total_rows += met["rows"]
+        assert met["ok"] + met["rejected"] == met["rows"]
+        assert met["blocks_kept"] >= 0 and met["blocks_dropped"] >= 0
+        assert len(met["conf_histogram"]) == 10
+        assert sum(met["conf_histogram"]) == met["blocks_kept"]
+        assert m["files"], "manifest lists data files"
+    assert total_rows == results_df.count()

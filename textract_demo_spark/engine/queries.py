@@ -247,8 +247,9 @@ def j1_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog — tiny terms dim broadcast, non-equi contains predicate
     => BroadcastNestedLoopJoin (fn-postprocess/main.py:65-66)."""
     part = _t(spark, sf_dir, "part")
-    terms = spark.createDataFrame(
-        [("steel",), ("copper",), ("brass",)], ["term"])
+    # JVM-native tiny dim (no Python RDD round-trip): VALUES-style
+    terms = spark.range(1).select(F.explode(F.array(
+        F.lit("steel"), F.lit("copper"), F.lit("brass"))).alias("term"))
     return (part.join(F.broadcast(terms),
                       F.expr("contains(lower(p_type), term)"))
             .select("p_partkey", "term"))

@@ -6,9 +6,9 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH = 128  # bound Arrow batch rows: payloads can be ~100KB each
-                   # (SURVEY.md §4.2 — cap maxRecordsPerBatch so U-2
-                   # batches stay << executor memory at 10^12 scale)
+ARROW_BATCH = 1024  # bound Arrow batch rows: fixture payloads are ~1-4KB
+                    # => ~4MB/batch; cap maxRecordsPerBatch so U-2 batches
+                    # stay << executor memory at 10^12 scale (SURVEY.md §4.2)
 
 
 def get_spark(master: str | None = None, app: str = "textract_demo_spark",

@@ -1,0 +1,174 @@
+"""IcebergLike table layer: partitioned parquet + JSON manifest
+commits with atomic rename — checkpointed per partition with lineage
+manifests and per-partition extraction metrics, resumable from the
+last committed snapshot (north rule, BASELINE.json:6,14).
+
+Why not real Iceberg: no Iceberg runtime jar is available offline in
+this sandbox (SURVEY.md §1.5). This layer reproduces the properties
+the north rule actually uses — per-partition atomic commits, snapshot
+manifests, resume-skips-committed — behind a thin seam; on a
+networked cluster swap in
+``--packages org.apache.iceberg:iceberg-spark-runtime`` and
+``df.writeTo(table).append()``.
+
+The reference analog: each pipeline stage persists its artifact to a
+deterministic S3 key ({prefix}/{srckey}.textract.json,
+fn-call-textract/main.py:42-46,98-107) and the draft async design
+uses an idempotent ClientRequestToken (main.py:73-75) — deterministic
+partition paths + manifest-gated renames are the same idempotency
+idea, done per partition instead of per document.
+
+Layout:
+    {root}/data/part_key={k}/*.parquet     -- committed data
+    {root}/_manifests/part-{k}.json        -- per-partition manifest
+    {root}/_manifests/snapshot-{n}.json    -- table snapshot
+    {root}/_staging/{run_id}/...           -- pre-commit scratch
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PART_COL = "part_key"
+
+
+def with_part_key(df: DataFrame, n_buckets: int,
+                  col: str = "conv_id") -> DataFrame:
+    """Deterministic partition key: bucket of conv_id (the Iceberg
+    ``bucket(N, conv_id)`` transform analog)."""
+    return df.withColumn(
+        PART_COL, F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int"))
+
+
+class IcebergLike:
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "_manifests")
+        self.staging_dir = os.path.join(root, "_staging")
+        for d in (self.data_dir, self.manifest_dir, self.staging_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- manifest bookkeeping ------------------------------------------------
+
+    def committed_keys(self) -> set[int]:
+        out = set()
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith("part-") and f.endswith(".json"):
+                out.add(int(f[5:-5]))
+        return out
+
+    def manifest(self, part_key: int) -> dict | None:
+        p = os.path.join(self.manifest_dir, f"part-{part_key:05d}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self.manifest_dir)):
+            if f.startswith("snapshot-"):
+                with open(os.path.join(self.manifest_dir, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def _write_json_atomic(self, path: str, obj: dict) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(obj, fh, indent=1, sort_keys=True, default=str)
+        os.replace(tmp, path)  # atomic on POSIX
+
+    # -- commit protocol -----------------------------------------------------
+
+    def write(self, df: DataFrame, metrics_fn=None, run_id: str | None = None,
+              input_fingerprint: str = "", fail_after: int | None = None,
+              ) -> dict:
+        """Commit all not-yet-committed partitions of ``df`` (must
+        carry PART_COL).
+
+        One Spark job writes every pending partition to staging
+        (partitionBy), then each partition is promoted by an atomic
+        directory rename followed by its manifest write — a kill
+        between promotions loses nothing: committed partitions stay,
+        staging is recomputed idempotently on the next run, and
+        already-committed partitions are filtered out BEFORE the job
+        (the resume anti-join). ``fail_after`` injects a crash after
+        N promotions (used by the kill/resume test).
+        """
+        committed = self.committed_keys()
+        run_id = run_id or f"run-{int(time.time() * 1000)}"
+        # sweep staging left by dead runs (their committed partitions
+        # are already promoted; staging is recomputed idempotently)
+        for stale in os.listdir(self.staging_dir):
+            shutil.rmtree(os.path.join(self.staging_dir, stale),
+                          ignore_errors=True)
+        pending_df = df
+        if committed:
+            pending_df = df.filter(
+                ~F.col(PART_COL).isin([int(k) for k in committed]))
+        staging = os.path.join(self.staging_dir, run_id)
+        (pending_df.write.mode("overwrite")
+         .partitionBy(PART_COL).parquet(staging))
+
+        spark = df.sparkSession
+        staged_keys = sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(staging)
+            if d.startswith(f"{PART_COL}="))
+        metrics_by_key: dict[int, dict] = {}
+        if staged_keys:
+            staged = spark.read.parquet(staging)
+            if metrics_fn is not None:
+                metrics_by_key = metrics_fn(staged)
+            else:
+                rows = (staged.groupBy(PART_COL).count().collect())
+                metrics_by_key = {r[PART_COL]: {"rows": r["count"]}
+                                  for r in rows}
+
+        promoted = []
+        for i, k in enumerate(staged_keys):
+            if fail_after is not None and i >= fail_after:
+                raise RuntimeError(
+                    f"injected failure after {fail_after} commits")
+            src = os.path.join(staging, f"{PART_COL}={k}")
+            dst = os.path.join(self.data_dir, f"{PART_COL}={k}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)  # stale partial from a dead run
+            os.rename(src, dst)  # atomic promote
+            m = {
+                "part_key": k,
+                "run_id": run_id,
+                "committed_at": time.time(),
+                "input_fingerprint": input_fingerprint,
+                "files": sorted(f for f in os.listdir(dst)
+                                if f.endswith(".parquet")),
+                "metrics": metrics_by_key.get(k, {}),
+            }
+            self._write_json_atomic(
+                os.path.join(self.manifest_dir, f"part-{k:05d}.json"), m)
+            promoted.append(k)
+
+        shutil.rmtree(staging, ignore_errors=True)
+        snap_id = len(self.snapshots())
+        snapshot = {
+            "snapshot_id": snap_id,
+            "run_id": run_id,
+            "committed_keys": sorted(self.committed_keys()),
+            "newly_committed": promoted,
+            "skipped_already_committed": sorted(committed),
+        }
+        self._write_json_atomic(
+            os.path.join(self.manifest_dir, f"snapshot-{snap_id:05d}.json"),
+            snapshot)
+        return snapshot
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return (spark.read
+                .option("basePath", self.data_dir)
+                .parquet(os.path.join(self.data_dir, f"{PART_COL}=*")))

@@ -11,6 +11,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
@@ -20,30 +21,81 @@ from ..core.dates import detect_date_entities
 from ..core.extract import extract_payload
 from . import schemas
 
+# Arrow types mirroring schemas.BLOCK_SCHEMA / SPAN_SCHEMA — built
+# column-flat (StructArray/ListArray.from_arrays) instead of per-row
+# dicts through pandas: the nested conversion is ~8x cheaper, which
+# matters because this is the single hot Python stage at 10^12 turns.
+_SPAN_FIELDS = [pa.field("start", pa.int64(), False),
+                pa.field("end", pa.int64(), False)]
+_BLOCK_FIELDS = [
+    pa.field("block_id", pa.int64(), False),
+    pa.field("page", pa.int32(), False),
+    pa.field("block_type", pa.string(), False),
+    pa.field("text", pa.string()),
+    pa.field("char_start", pa.int64()),
+    pa.field("char_end", pa.int64()),
+    pa.field("conf", pa.float64()),
+    pa.field("x0", pa.float64()),
+    pa.field("y0", pa.float64()),
+    pa.field("x1", pa.float64()),
+    pa.field("y1", pa.float64()),
+    pa.field("reading_order", pa.int32()),
+    pa.field("kv_role", pa.string()),
+    pa.field("kv_group_id", pa.int64()),
+    pa.field("is_content", pa.bool_(), False),
+]
+_BLOCK_KEYS = [f.name for f in _BLOCK_FIELDS]
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (conv_id, turn_idx, role, tool, ts, text)
+
+def _extract_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel: (conv_id, turn_idx, role, tool, ts, text)
     -> EXTRACTED_SCHEMA rows. Replaces the reference's per-document
     Textract Lambda (fn-call-textract/main.py:52-61) with a columnar
-    batch stage."""
-    for pdf in batches:
-        out = {
-            "conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"],
-            "role": pdf.get("role"), "tool": pdf.get("tool"),
-            "ts": pdf.get("ts"),
-            "status": [], "kind": [], "main_text": [], "spans": [],
-            "span_domain": [], "blocks": [],
-        }
-        for text in pdf["text"]:
+    batch stage. Passthrough columns stay zero-copy Arrow; result
+    columns are built as flat child arrays + offsets."""
+    for batch in batches:
+        texts = batch.column("text").to_pylist()
+        status, kind, main_text, span_domain = [], [], [], []
+        sp_start, sp_end, sp_off = [], [], [0]
+        b_cols: list[list] = [[] for _ in _BLOCK_KEYS]
+        b_off = [0]
+        for text in texts:
             res = extract_payload(text if isinstance(text, str) else "")
-            out["status"].append(res.status)
-            out["kind"].append(res.kind)
-            out["main_text"].append(res.main_text)
-            out["spans"].append(
-                [{"start": a, "end": b} for a, b in res.spans])
-            out["span_domain"].append(res.span_domain)
-            out["blocks"].append(res.blocks)
-        yield pd.DataFrame(out)
+            status.append(res.status)
+            kind.append(res.kind)
+            main_text.append(res.main_text)
+            span_domain.append(res.span_domain)
+            for a, b in res.spans:
+                sp_start.append(a)
+                sp_end.append(b)
+            sp_off.append(len(sp_start))
+            for blk in res.blocks:
+                for i, k in enumerate(_BLOCK_KEYS):
+                    b_cols[i].append(blk[k])
+            b_off.append(len(b_cols[0]))
+
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(sp_off, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(sp_start, pa.int64()),
+                 pa.array(sp_end, pa.int64())], fields=_SPAN_FIELDS))
+        blocks_arr = pa.ListArray.from_arrays(
+            pa.array(b_off, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(vals, f.type)
+                 for vals, f in zip(b_cols, _BLOCK_FIELDS)],
+                fields=_BLOCK_FIELDS))
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("conv_id"), batch.column("turn_idx"),
+             batch.column("role"), batch.column("tool"),
+             batch.column("ts"),
+             pa.array(status, pa.string()),
+             pa.array(kind, pa.string()),
+             pa.array(main_text, pa.string()),
+             spans_arr,
+             pa.array(span_domain, pa.string()),
+             blocks_arr],
+            names=[f.name for f in schemas.EXTRACTED_SCHEMA.fields])
 
 
 def extract_turns(transcripts: DataFrame, salt: int = 16,
@@ -57,9 +109,8 @@ def extract_turns(transcripts: DataFrame, salt: int = 16,
     map — after this exchange the whole extract->rules path is
     shuffle-free.
     """
-    cols = [c for c in ("conv_id", "turn_idx", "role", "tool", "ts", "text")
-            if c in transcripts.columns]
-    df = transcripts.select(*cols)
+    df = transcripts.select("conv_id", "turn_idx", "role", "tool",
+                            "ts", "text")
     if partitions:
         df = df.repartition(
             partitions, F.col("conv_id"),
@@ -67,7 +118,7 @@ def extract_turns(transcripts: DataFrame, salt: int = 16,
     else:
         df = df.repartition(
             F.col("conv_id"), F.pmod(F.xxhash64("turn_idx"), F.lit(salt)))
-    return df.mapInPandas(_extract_batches, schema=schemas.EXTRACTED_SCHEMA)
+    return df.mapInArrow(_extract_arrow, schema=schemas.EXTRACTED_SCHEMA)
 
 
 @F.pandas_udf(schemas.ENTITY_SCHEMA)
