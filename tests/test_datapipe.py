@@ -1,0 +1,100 @@
+"""Datapipe operators: planted-duplicate recall for MinHash-LSH and
+SimHash, LSH-ANN recall vs brute force, multimodal plumbing shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    from textract_demo_spark.datapipe.dedup import minhash_dedup_pairs
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 200)
+    near = (base.filter(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.concat("text", F.lit(" tail noise words"))
+                     .alias("text")))
+    pairs = minhash_dedup_pairs(base.unionByName(near),
+                                threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(d, d + 1000000) for d in range(0, 200, 10)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"LSH recall {recall}, found={sorted(found)[:5]}"
+    # jaccard verification bound holds for everything returned
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    from textract_demo_spark.datapipe.dedup import (with_shingles,
+                                                    with_simhash)
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 100)
+    near = (base.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                        F.concat("text", F.lit(" xyz")).alias("text")))
+    sims = {r["doc_id"]: r["simhash"] for r in
+            with_simhash(with_shingles(base.unionByName(near)))
+            .select("doc_id", "simhash").collect()}
+    hammings = []
+    for d in range(100):
+        h = bin((sims[d] ^ sims[d + 1000000]) & ((1 << 64) - 1)).count("1")
+        hammings.append(h)
+    assert sum(h <= 12 for h in hammings) / len(hammings) >= 0.9, (
+        f"simhash hamming too large: {sorted(hammings)[-5:]}")
+    # unrelated docs should be far apart on average
+    import statistics
+    unrelated = [bin((sims[d] ^ sims[d + 1]) & ((1 << 64) - 1)).count("1")
+                 for d in range(0, 98, 2)]
+    assert statistics.mean(unrelated) > 15
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    from textract_demo_spark.datapipe.similarity import cosine_topk, lsh_topk
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    exact = cosine_topk(emb, q, k=10).collect()
+    approx = lsh_topk(emb, q, k=10, n_bits=16, bands=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(exact_sets[q0] & approx_sets.get(q0, set())) / 10
+               for q0 in exact_sets]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"ANN recall too low: {recalls}"
+
+
+def test_multimodal_frames_shape_and_determinism(spark, docs):
+    from textract_demo_spark.datapipe.multimodal import (attach_media,
+                                                         extract_frames)
+    media = attach_media(docs.filter(F.col("doc_id") < 50))
+    frames = extract_frames(media)
+    rows = frames.collect()
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["feature"])
+    # frames per doc = ceil(n_bytes / 256)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    meta = {r["doc_id"]: r["n_bytes"] for r in media.collect()}
+    for d, rs in by_doc.items():
+        expected = max(1, -(-meta[d] // 256))
+        assert len(rs) == expected
+    # determinism
+    rows2 = extract_frames(media).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, rows2))
+
+
+def test_real_decode_is_explicitly_stubbed():
+    from textract_demo_spark.datapipe import multimodal
+    with pytest.raises(NotImplementedError):
+        multimodal._real_decode(b"\x89PNG")

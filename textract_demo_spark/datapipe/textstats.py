@@ -1,0 +1,101 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting. All native
+SQL expressions (JVM-side, whole-stage codegen) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword
+# language heuristic (deterministic, SQL-expressible in both engines)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "is", "in", "that"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "una"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["it", "for", "on", "with", "as"]
+
+
+def _tokens(text_col: str) -> str:
+    return (f"split(lower(regexp_replace(trim({text_col}),"
+            r" '\\s+', ' ')), ' ')")
+
+
+def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (words + extra pieces for long words, ~4 chars/piece)."""
+    t = _tokens(text_col)
+    return (docs
+            .withColumn("n_chars_calc",
+                        F.length(text_col).cast("long"))
+            .withColumn("n_tokens", F.expr(f"size({t})").cast("long"))
+            .withColumn("n_distinct_tokens",
+                        F.expr(f"size(array_distinct({t}))").cast("long"))
+            .withColumn("n_subword_est", F.expr(f"""
+                aggregate({t}, 0L, (acc, w) ->
+                  acc + 1 + int(greatest(length(w) - 1, 0) / 4))"""))
+            )
+
+
+def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score: length band + stopword ratio + alpha
+    ratio. Outputs are integer basis points via floor() — decimal
+    round() at half boundaries diverges across engines (Java
+    BigDecimal.valueOf canonicalizes the double's shortest repr,
+    DuckDB rounds the raw binary), while floor on bit-identical IEEE
+    doubles is deterministic."""
+    t = _tokens(text_col)
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return (docs
+            .withColumn("stopword_ratio_bp", F.expr(f"""
+                cast(floor(1000000 * size(filter({t}, w -> w IN ({sw})))
+                      / cast(greatest(size({t}), 1) AS DOUBLE)) AS BIGINT)"""))
+            .withColumn("alpha_ratio_bp", F.expr(f"""
+                cast(floor(1000000 *
+                      length(regexp_replace({text_col}, '[^a-zA-Z]', ''))
+                      / cast(greatest(length({text_col}), 1) AS DOUBLE))
+                     AS BIGINT)"""))
+            .withColumn("quality_score_bp", F.expr("""
+                cast(floor(1000 * least(1.0d,
+                  0.3d * least(n_tokens / 50.0d, 1.0d)
+                  + 0.4d * least((stopword_ratio_bp / 1000000.0d) * 5.0d,
+                                 1.0d)
+                  + 0.3d * (alpha_ratio_bp / 1000000.0d))) AS BIGINT)""")))
+
+
+def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: argmax over language marker-set
+    hit counts; 'und' when nothing matches. Ties resolve in fixed
+    language order (en, es, de, fr)."""
+    t = _tokens(text_col)
+    hits = []
+    for lang, words in LANG_MARKERS.items():
+        ws = ", ".join(f"'{w}'" for w in words)
+        hits.append(f"size(filter({t}, w -> w IN ({ws}))) AS {lang}")
+    docs = docs.withColumn("lang_hits",
+                           F.expr("struct(" + ", ".join(hits) + ")"))
+    order = list(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"lang_hits.{lg}" for lg in order) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN lang_hits.{lg} = {best} THEN '{lg}'" for lg in order
+    ) + " END"
+    return docs.withColumn("lang_pred", F.expr(case))
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit content fingerprint: md5 prefix of normalized text
+    (cross-engine deterministic), plus a shingle-based robust
+    fingerprint (min of shingle hashes - rolling-hash analog)."""
+    norm = (f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))")
+    return (docs
+            .withColumn("fingerprint",
+                        F.expr(f"substr(md5({norm}), 1, 16)"))
+            .withColumn("robust_fingerprint", F.expr(f"""
+                array_min(transform(
+                  sequence(0, greatest(size(split({norm}, ' ')) - 3, 0)),
+                  i -> xxhash64(array_join(
+                       slice(split({norm}, ' '), i + 1, 3), ' '))))""")))

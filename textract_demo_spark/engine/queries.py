@@ -511,3 +511,239 @@ def p5_numeric_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("parsed",
                         F.expr("try_cast(regexp_replace(raw_value,"
                                " '^\\\\$+', '') AS DOUBLE)")))
+
+
+# ---------------------------------------------------------------------------
+# 3. Training-data pipeline operators (datapipe) — dedup, similarity,
+#    text analysis, multimodal plumbing
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(lower(regexp_replace(trim(
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'shared duplicate content block'
+                  ELSE text END), '\s+', ' ', 'g'))) AS content_hash,
+           min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
+    FROM documents GROUP BY 1
+    """)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content (one shuffle on
+    a 16-byte digest). Duplicates are planted so the grouping is
+    exercised."""
+    from ..datapipe.dedup import exact_dedup
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.when(F.col("doc_id") % 5 == 0,
+                       F.lit("shared duplicate content block"))
+                 .otherwise(F.col("text")))
+    return exact_dedup(docs)
+
+
+@query("dedup_minhash_lsh")  # rows-only: xxhash64 signatures are Spark-side
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with planted near-duplicates
+    (doc 3k+1 = doc 3k's text + a few extra words). Banded signatures,
+    bucket join, exact-Jaccard verification within candidates only.
+    Verified in tests/test_datapipe.py against brute-force Jaccard."""
+    from ..datapipe.dedup import minhash_dedup_pairs
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    near = (docs.filter(F.col("doc_id") % 3 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.concat(F.col("text"),
+                             F.lit(" extra trailing words appended"))
+                     .alias("text")))
+    return minhash_dedup_pairs(base.unionByName(near), threshold=0.5)
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 bit algebra is Spark-side
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints; near-dup docs land within small
+    Hamming distance (asserted in tests)."""
+    from ..datapipe.dedup import with_shingles, with_simhash
+    docs = _t(spark, sf_dir, "documents")
+    return (with_simhash(with_shingles(docs))
+            .select("doc_id", "simhash"))
+
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
+           list_sum(list_transform(toks, w ->
+             1 + CAST(floor(greatest(length(w) - 1, 0) / 4) AS BIGINT)))
+             ::BIGINT AS n_subword_est
+    FROM t
+    """)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, BPE-ish
+    subword estimate — all JVM-side array expressions."""
+    from ..datapipe.textstats import with_token_stats
+    docs = _t(spark, sf_dir, "documents")
+    return with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_distinct_tokens",
+        F.col("n_subword_est").cast("long").alias("n_subword_est"))
+
+
+@query(
+    "text_quality_score",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, text,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks FROM documents),
+    s AS (SELECT doc_id,
+        len(toks)::BIGINT AS n_tokens,
+        CAST(floor(1000000 * len(list_filter(toks, w -> w = 'the'
+              OR w = 'and' OR w = 'of' OR w = 'to' OR w = 'a'
+              OR w = 'is' OR w = 'in' OR w = 'that' OR w = 'it'
+              OR w = 'for' OR w = 'on' OR w = 'with' OR w = 'as'))
+              / CAST(greatest(len(toks), 1) AS DOUBLE)) AS BIGINT)
+          AS stopword_ratio_bp,
+        CAST(floor(1000000 * length(regexp_replace(text, '[^a-zA-Z]',
+                                                   '', 'g'))
+              / CAST(greatest(length(text), 1) AS DOUBLE)) AS BIGINT)
+          AS alpha_ratio_bp
+      FROM t)
+    SELECT doc_id, n_tokens, stopword_ratio_bp, alpha_ratio_bp,
+           CAST(floor(1000 * least(1.0,
+             0.3 * least(n_tokens / 50.0, 1.0)
+             + 0.4 * least((stopword_ratio_bp / 1000000.0) * 5.0, 1.0)
+             + 0.3 * (alpha_ratio_bp / 1000000.0))) AS BIGINT)
+             AS quality_score_bp
+    FROM s
+    """)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score (length band + stopword ratio
+    + alpha ratio)."""
+    from ..datapipe.textstats import with_quality_score, with_token_stats
+    docs = _t(spark, sf_dir, "documents")
+    return with_quality_score(with_token_stats(docs)).select(
+        "doc_id", "n_tokens", "stopword_ratio_bp", "alpha_ratio_bp",
+        "quality_score_bp")
+
+
+@query(
+    "text_langid",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks FROM documents),
+    h AS (SELECT doc_id,
+        len(list_filter(toks, w -> w = 'the' OR w = 'and' OR w = 'of'
+            OR w = 'to' OR w = 'a' OR w = 'is' OR w = 'in'
+            OR w = 'that')) AS en,
+        len(list_filter(toks, w -> w = 'el' OR w = 'la' OR w = 'de'
+            OR w = 'que' OR w = 'y' OR w = 'los' OR w = 'es'
+            OR w = 'una')) AS es,
+        len(list_filter(toks, w -> w = 'der' OR w = 'die' OR w = 'und'
+            OR w = 'das' OR w = 'ist' OR w = 'nicht' OR w = 'ein'
+            OR w = 'zu')) AS de,
+        len(list_filter(toks, w -> w = 'le' OR w = 'la' OR w = 'les'
+            OR w = 'et' OR w = 'des' OR w = 'est' OR w = 'une'
+            OR w = 'dans')) AS fr
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                WHEN en = greatest(en, es, de, fr) THEN 'en'
+                WHEN es = greatest(en, es, de, fr) THEN 'es'
+                WHEN de = greatest(en, es, de, fr) THEN 'de'
+                WHEN fr = greatest(en, es, de, fr) THEN 'fr'
+           END AS lang_pred
+    FROM h
+    """)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID heuristic (argmax of marker-set
+    hits, fixed tie order)."""
+    from ..datapipe.textstats import with_langid
+    docs = _t(spark, sf_dir, "documents")
+    return with_langid(docs).select("doc_id", "lang_pred")
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           substr(md5(lower(regexp_replace(trim(text), '\s+', ' ',
+                                           'g'))), 1, 16) AS fingerprint
+    FROM documents
+    """)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-deterministic content fingerprint (md5 prefix of
+    normalized text)."""
+    from ..datapipe.textstats import with_fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(e.embedding, q.qv) AS cos
+      FROM embeddings e, q WHERE e.vec_id != q.qid)
+    SELECT qid, rank, vec_id FROM (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 per query vector (exact ANN
+    baseline): broadcast queries, one corpus scan, JVM-side
+    aggregate/zip_with arithmetic, row_number top-k. Scores agree
+    with DuckDB to ~1e-7 and gaps are >=1e-4, so the rank list is the
+    cross-engine-stable output."""
+    from ..datapipe.similarity import cosine_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    return cosine_topk(emb, q, k=10).select("qid", "rank", "vec_id")
+
+
+@query("ann_lsh_topk")  # rows-only: xxhash64-derived hyperplanes
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH banded ANN (the scale path): candidates from shared
+    signature bands, exact cosine re-rank within candidates. Recall
+    vs brute force asserted in tests/test_datapipe.py."""
+    from ..datapipe.similarity import lsh_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    return lsh_topk(emb, q, k=10)
+
+
+@query(
+    "multimodal_media_meta",
+    oracle="""
+    SELECT doc_id, 'application/octet-stream' AS media_type,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """)
+def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column convention: opaque binary + typed metadata
+    (size, content hash) — all JVM-side."""
+    from ..datapipe.multimodal import attach_media
+    docs = _t(spark, sf_dir, "documents")
+    return attach_media(docs).select(
+        "doc_id", "media_type", "n_bytes", "content_hash")
+
+
+@query("multimodal_frame_features")  # rows-only: stubbed decode kernel
+def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media feature extraction (decode stubbed with a
+    deterministic kernel; Spark plumbing real): (doc_id, frame_idx,
+    n_bytes, feature[8])."""
+    from ..datapipe.multimodal import attach_media, extract_frames
+    docs = _t(spark, sf_dir, "documents")
+    return extract_frames(attach_media(docs))
