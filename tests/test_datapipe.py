@@ -73,6 +73,33 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     assert mean_recall >= 0.5, f"ANN recall too low: {recalls}"
 
 
+def test_embedding_neardup_lsh_recall_vs_brute(spark):
+    from textract_demo_spark.datapipe.dedup import embedding_neardup_pairs
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # low threshold so enough pairs exist at this tiny sf
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_neardup_pairs(emb, threshold=0.30).collect()}
+    approx = {(r["id_a"], r["id_b"]) for r in
+              embedding_neardup_pairs(emb, threshold=0.30, use_lsh=True,
+                                      n_bits=16, bands=8).collect()}
+    assert exact, "expected some near-dup pairs at threshold 0.30"
+    # LSH candidates are a subset (it only prunes), with decent recall
+    assert approx <= exact
+    assert len(approx) / len(exact) >= 0.5, (
+        f"LSH neardup recall {len(approx)}/{len(exact)}")
+
+
+def test_ngram_jaccard_self_is_one(spark, docs):
+    from textract_demo_spark.datapipe.dedup import ngram_jaccard_pairs
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 50)
+    dup = base.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 500).alias("doc_id"), "text")
+    out = ngram_jaccard_pairs(base.unionByName(dup), other_ids=[3])
+    rows = {r["doc_id"]: r["jaccard"] for r in out.collect()}
+    assert rows[503] == pytest.approx(1.0)  # identical text
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+
+
 def test_multimodal_frames_shape_and_determinism(spark, docs):
     from textract_demo_spark.datapipe.multimodal import (attach_media,
                                                          extract_frames)

@@ -124,6 +124,50 @@ def with_simhash(shingled: DataFrame) -> DataFrame:
     return shingled.withColumn("simhash", sim)
 
 
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.47,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            use_lsh: bool = False,
+                            n_bits: int = 16, bands: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b) with
+    cosine >= threshold.
+
+    Brute force (use_lsh=False) is the exact baseline — a self
+    cross-join, O(n^2): fine for verification corpora, never for the
+    full table. The scale path (use_lsh=True) buckets rows by
+    sign-LSH bands (deterministic hash-derived hyperplanes, see
+    similarity._sign_bits) and only scores pairs sharing a band —
+    the same band-join shape as MinHash LSH, so the only shuffle is
+    the band-key exchange."""
+    from .similarity import _COS, _sign_bits
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("vb"))
+    if use_lsh:
+        rows = n_bits // bands
+        band_keys = f"""
+          transform(sequence(0, {bands - 1}), b ->
+            struct(b AS band,
+                   array_join(slice(sig, b * {rows} + 1, {rows}), '')
+                     AS key))"""
+        def banded(df, idc, vc):
+            return (df.withColumn("sig", F.expr(_sign_bits(vc, n_bits)))
+                    .select(idc, vc,
+                            F.explode(F.expr(band_keys)).alias("bk")))
+        pairs = (banded(a, "id_a", "va")
+                 .join(banded(b, "id_b", "vb"), ["bk"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "va", "id_b", "vb").distinct())
+    else:
+        pairs = (a.crossJoin(b)
+                 .filter(F.col("id_a") < F.col("id_b")))
+    return (pairs
+            .withColumn("cos", F.expr(_COS.format(a="va", b="vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 3).alias("cos")))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, other_ids, n: int = 3,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:

@@ -567,6 +567,63 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks FROM documents),
+    s AS (SELECT doc_id,
+        list_distinct(list_transform(
+          range(0, greatest(len(toks) - 3, 0) + 1),
+          i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+      FROM t)
+    SELECT p.doc_id AS probe_id, d.doc_id AS doc_id,
+           CAST(floor(1000000 * len(list_intersect(d.sh, p.sh))
+                / CAST(len(list_distinct(list_concat(d.sh, p.sh)))
+                       AS DOUBLE)) AS BIGINT) AS jaccard_bp
+    FROM s d, s p
+    WHERE p.doc_id < 3 AND d.doc_id != p.doc_id
+    """)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard of probe docs vs the corpus (brute
+    verification path of the dedup family; broadcast probes, one
+    corpus scan, JVM array algebra — no Python). Basis-point floor
+    keeps the value hash engine-stable."""
+    from ..datapipe.dedup import ngram_jaccard_pairs
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, other_ids=[0, 1, 2])
+    return out.select(
+        "probe_id", "doc_id",
+        F.floor(F.lit(1000000) * F.col("jaccard")).cast("long")
+         .alias("jaccard_bp"))
+
+
+@query(
+    "embedding_cosine_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(floor(1000 * list_cosine_similarity(a.embedding,
+                                                    b.embedding) + 0.5)
+                AS BIGINT) AS cos_milli
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.embedding, b.embedding) >= 0.47
+    """)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.47, chosen at a
+    wide score gap so the pair set is cross-engine stable). Brute
+    pair scan here; the LSH-banded scale path of the same operator is
+    covered by tests/test_datapipe.py (recall vs this baseline)."""
+    from ..datapipe.dedup import embedding_neardup_pairs
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, threshold=0.47)
+    return out.select(
+        "id_a", "id_b",
+        F.floor(F.lit(1000) * F.col("cos") + F.lit(0.5)).cast("long")
+         .alias("cos_milli"))
+
+
+@query(
     "text_token_stats",
     oracle=r"""
     WITH t AS (SELECT doc_id,
