@@ -72,6 +72,7 @@ def main() -> None:
             len(snapshot["skipped_already_committed"]),
         "rows_total": rows,
         "wall_sec": round(wall, 2),
+        "phase_sec": snapshot.get("phase_sec", {}),
     }))
 
 

@@ -513,6 +513,48 @@ def p5_numeric_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                " '^\\\\$+', '') AS DOUBLE)")))
 
 
+@query("streaming_extract_availablenow")  # rows-only: streaming sink
+def streaming_extract_availablenow(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Structured Streaming mode end-to-end (SURVEY.md §2.9): the
+    documents table becomes a file-source stream (two parquet chunks
+    = two arrival waves), drained with trigger(availableNow) through
+    the same extraction stages as the batch path into a checkpointed
+    exactly-once parquet sink; returns the sink contents. Equality
+    with the batch pipeline + checkpoint-resume semantics are
+    asserted in tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.stream import (read_transcripts_stream,
+                                    start_to_parquet, streaming_pipeline)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    turns = _docs_as_turns(docs, F.col("text")).drop("doc_id")
+    base = tempfile.mkdtemp(prefix="stream_q_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    for name, half in (("a", turns.filter(F.col("conv_id")
+                                          .substr(-1, 1) < "5")),
+                       ("b", turns.filter(F.col("conv_id")
+                                          .substr(-1, 1) >= "5"))):
+        stage = os.path.join(base, f"stage_{name}")
+        half.coalesce(1).write.mode("overwrite").parquet(stage)
+        for i, f in enumerate(sorted(os.listdir(stage))):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(stage, f),
+                            os.path.join(in_dir, f"{name}-{i}.parquet"))
+    stream = read_transcripts_stream(spark, in_dir)
+    results = streaming_pipeline(stream, salt=4, watermark="3650 days")
+    q = start_to_parquet(results, os.path.join(base, "out"),
+                         os.path.join(base, "ckpt"))
+    q.awaitTermination(600)
+    out = (spark.read.schema(results.schema)
+           .parquet(os.path.join(base, "out"))
+           .select("conv_id", "turn_idx", "status", "kind", "main_text"))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # 3. Training-data pipeline operators (datapipe) — dedup, similarity,
 #    text analysis, multimodal plumbing

@@ -114,14 +114,17 @@ class IcebergLike:
             pending_df = df.filter(
                 ~F.col(PART_COL).isin([int(k) for k in committed]))
         staging = os.path.join(self.staging_dir, run_id)
+        t_stage0 = time.time()
         (pending_df.write.mode("overwrite")
          .partitionBy(PART_COL).parquet(staging))
+        t_stage = time.time() - t_stage0
 
         spark = df.sparkSession
         staged_keys = sorted(
             int(d.split("=", 1)[1]) for d in os.listdir(staging)
             if d.startswith(f"{PART_COL}="))
         metrics_by_key: dict[int, dict] = {}
+        t_metrics0 = time.time()
         if staged_keys:
             staged = spark.read.parquet(staging)
             if metrics_fn is not None:
@@ -130,7 +133,9 @@ class IcebergLike:
                 rows = (staged.groupBy(PART_COL).count().collect())
                 metrics_by_key = {r[PART_COL]: {"rows": r["count"]}
                                   for r in rows}
+        t_metrics = time.time() - t_metrics0
 
+        t_promote0 = time.time()
         promoted = []
         for i, k in enumerate(staged_keys):
             if fail_after is not None and i >= fail_after:
@@ -162,6 +167,9 @@ class IcebergLike:
             "committed_keys": sorted(self.committed_keys()),
             "newly_committed": promoted,
             "skipped_already_committed": sorted(committed),
+            "phase_sec": {"stage_write": round(t_stage, 2),
+                          "metrics": round(t_metrics, 2),
+                          "promote": round(time.time() - t_promote0, 2)},
         }
         self._write_json_atomic(
             os.path.join(self.manifest_dir, f"snapshot-{snap_id:05d}.json"),

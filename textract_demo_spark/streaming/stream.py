@@ -1,0 +1,108 @@
+"""Structured Streaming mode: the reference is an *event-driven*
+continuous pipeline (uploads arrive at any time, S3 trigger ->
+Step Functions execution per document, template.sam.yml:597-620).
+This module reproduces those semantics with Spark Structured
+Streaming over the same engine stages the batch path uses — the
+transformation code is shared, only the source/sink differ.
+
+Reference semantics -> streaming primitives (SURVEY.md §2.9):
+
+- T1 event-at-a-time trigger on arrival: file-source ``readStream``
+  discovers new files per micro-batch; ``trigger(availableNow=True)``
+  drains what exists and stops (the batch-equivalence mode used by
+  tests and backfills).
+- T2 late/out-of-order events, stale dropped: watermark on ``ts`` +
+  ``dropDuplicatesWithinWatermark`` on (conv_id, turn_idx) — the
+  client-side "latest event wins, discard stale" reduction
+  (SmartOCR.vue:188-189,255-257) done engine-side.
+- T3 review wait with timeout: batch mode joins a static reviews
+  table (rows absent => still needs_review) — the exact analog of a
+  Step Functions execution still parked at waitForTaskToken
+  (StateMachine.asl.json:69-81) when the answer hasn't arrived.
+- T5 exactly-once resumability: checkpointed file sink — Spark's
+  commit log per micro-batch gives the resume-from-last-committed
+  property; the IcebergLike manifest layer covers the batch path.
+
+Scale note: the streaming plan is identical to the batch plan after
+the source (same salted repartition, same Arrow extraction stage,
+same narrow field rules), so the 100 TB sizing story carries over;
+state is bounded by the watermark (dedup buffer) only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import schemas
+from ..engine.review import apply_reviews
+from ..engine.rules import model_results
+from ..engine.udfs import extract_turns
+from ..engine.pipeline import RESULT_COLUMNS
+
+
+def read_transcripts_stream(spark: SparkSession, path: str,
+                            max_files_per_trigger: int | None = None,
+                            ) -> DataFrame:
+    """File-source stream of transcript turns (parquet files appearing
+    under ``path`` = the S3 ObjectCreated trigger analog, S1/T1)."""
+    reader = (spark.readStream
+              .schema(schemas.TRANSCRIPTS_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger or 32))
+    return reader.parquet(path)
+
+
+def streaming_pipeline(stream: DataFrame,
+                       reviews: DataFrame | None = None,
+                       salt: int = 16,
+                       watermark: str = "10 minutes",
+                       dedup_late: bool = True) -> DataFrame:
+    """Transcript stream -> extracted turn results.
+
+    Same stages as the batch ``run_pipeline`` (shared code): salted
+    repartition -> Arrow extraction -> narrow field rules -> optional
+    stream-static review join. Adds the streaming-only late-data
+    guard: watermark + drop-duplicate (conv_id, turn_idx) within the
+    watermark, i.e. re-delivered/stale turn events don't produce
+    duplicate result rows (T2/W4/P13).
+    """
+    if dedup_late:
+        stream = (stream
+                  .withWatermark("ts", watermark)
+                  .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"]))
+    extracted = extract_turns(stream, salt=salt)
+    results = model_results(extracted).select(*RESULT_COLUMNS)
+    if reviews is not None:
+        results = apply_reviews(results, reviews)
+    return results
+
+
+def start_to_parquet(results: DataFrame, out_dir: str,
+                     checkpoint_dir: str, available_now: bool = True):
+    """Checkpointed exactly-once parquet sink (T5): the micro-batch
+    commit log is the resume point — a restarted query reprocesses
+    nothing that was committed. ``availableNow`` drains pending input
+    then stops (backfill / test mode); pass False for continuous."""
+    writer = (results.writeStream
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_foreach_batch(results: DataFrame, checkpoint_dir: str,
+                        batch_fn, available_now: bool = True):
+    """foreachBatch sink for custom commit layers (e.g. IcebergLike
+    partition manifests per micro-batch): ``batch_fn(df, batch_id)``.
+    Spark guarantees batch_id-monotonic at-least-once delivery; the
+    commit layer makes it effectively-once via idempotent writes."""
+    writer = (results.writeStream
+              .foreachBatch(batch_fn)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
