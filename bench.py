@@ -23,7 +23,9 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "6000"))
+    # big enough that the timed section (~45-60 s) amortizes task/
+    # worker startup; ~9.6 turns/conv at the default mix
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "60000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from textract_demo_spark.engine.datagen import transcripts_df

@@ -40,7 +40,8 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from textract_demo_spark.engine.datagen import transcripts_df
-    from textract_demo_spark.engine.metrics import partition_metrics
+    from textract_demo_spark.engine.metrics import (partition_metrics,
+                                                    with_block_stats)
     from textract_demo_spark.engine.pipeline import run_pipeline
     from textract_demo_spark.engine.tables import IcebergLike, with_part_key
 
@@ -56,7 +57,7 @@ def main() -> None:
 
     t0 = time.time()
     results = run_pipeline(transcripts, reviews=None, salt=args.salt)
-    results = with_part_key(results, args.buckets)
+    results = with_block_stats(with_part_key(results, args.buckets))
     table = IcebergLike(args.out)
     snapshot = table.write(results, metrics_fn=partition_metrics,
                            input_fingerprint=fingerprint,

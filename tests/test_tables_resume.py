@@ -82,3 +82,13 @@ def test_manifest_metrics(spark, tmp_path, results_df):
         assert sum(met["conf_histogram"]) == met["blocks_kept"]
         assert m["files"], "manifest lists data files"
     assert total_rows == results_df.count()
+
+
+def test_block_stats_fast_path_matches_fallback(spark, results_df):
+    """with_block_stats precomputed columns must yield byte-identical
+    manifest metrics to the lambda-over-blocks fallback (the fast path
+    exists purely so the rollup never re-decodes the blocks column)."""
+    from textract_demo_spark.engine.metrics import with_block_stats
+    fast = partition_metrics(with_block_stats(results_df))
+    slow = partition_metrics(results_df)
+    assert fast == slow

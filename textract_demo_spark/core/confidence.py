@@ -16,8 +16,16 @@ versions (md5, not ``hash()``).
 from __future__ import annotations
 
 import hashlib
+import re
 
 __all__ = ["stable_hash", "line_confidence", "entity_score"]
+
+# ASCII fast path for the "clean character" count: for ASCII text,
+# str.isalnum() is exactly [0-9A-Za-z], so one C-level regex scan
+# replaces the per-char Python loop (hot: called for every extracted
+# line). Non-ASCII text falls back to the defining expression.
+_BAD_ASCII_RE = re.compile(r"[^0-9A-Za-z .$,:/-]")
+_GOOD_PUNCT = frozenset(" .$,:/-")
 
 
 def stable_hash(s: str, salt: str = "") -> int:
@@ -39,7 +47,10 @@ def line_confidence(text: str) -> float:
         return 0.0
     words = len(t.split())
     n = len(t)
-    alnum = sum(1 for c in t if c.isalnum() or c in " .$,:/-")
+    if t.isascii():
+        alnum = n - len(_BAD_ASCII_RE.findall(t))
+    else:
+        alnum = sum(1 for c in t if c.isalnum() or c in _GOOD_PUNCT)
     alnum_ratio = alnum / n
     weird = 1.0 - alnum_ratio
     jitter = (stable_hash(t, "conf") % 400) / 100.0  # 0.00 .. 3.99

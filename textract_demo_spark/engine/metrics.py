@@ -2,6 +2,16 @@
 north rule: "per-partition lineage + metrics (blocks kept/dropped,
 confidence histograms)"; the reference analog is the notification/
 observability path, SURVEY.md §3.3).
+
+Two-phase design for scale: the narrow per-row statistics
+(``with_block_stats``) are computed in the SAME stage that writes the
+staged data — the block arrays are already in memory there, so the
+lambda costs nothing extra — and land as four small scalar/array
+columns. The per-partition rollup (``partition_metrics``) then
+aggregates only those columns; Parquet column pruning means the
+second pass never re-decodes the fat ``blocks`` structs (measured:
+the lambda-over-blocks rollup forced a full-blocks ReadSchema —
+nested pruning cannot see through higher-order-function lambdas).
 """
 
 from __future__ import annotations
@@ -11,33 +21,62 @@ from pyspark.sql import functions as F
 
 from .tables import PART_COL
 
+STATS_COLS = ("n_blocks_kept", "n_blocks_dropped", "conf_hist")
+
+
+def with_block_stats(results: DataFrame) -> DataFrame:
+    """Narrow per-row stats columns (computed alongside the staging
+    write; no extra pass): blocks kept/dropped + a 10-bucket
+    confidence histogram of kept blocks."""
+    return (results
+            .withColumn("n_blocks_kept", F.expr(
+                "size(filter(blocks, b -> b.is_content))"))
+            .withColumn("n_blocks_dropped", F.expr(
+                "size(filter(blocks, b -> NOT b.is_content))"))
+            .withColumn("conf_hist", F.expr(
+                "transform(sequence(0, 9), i ->"
+                " size(filter(blocks, b -> b.is_content AND"
+                " int(least(greatest(b.conf, 0.0d), 99.99d) / 10) = i)))"
+            )))
+
 
 def partition_metrics(staged: DataFrame) -> dict[int, dict]:
-    """Compute manifest metrics per partition from the staged
-    extraction output (one columnar pass over freshly written data).
+    """Per-partition manifest metrics from the staged output.
+
+    Fast path: aggregate the precomputed ``with_block_stats`` columns
+    (scalar-only ReadSchema). Fallback: derive the same numbers from
+    the ``blocks`` arrays directly (full re-decode — used only when
+    the caller didn't precompute).
 
     Returns {part_key: {rows, ok, rejected, needs_review, blocks_kept,
     blocks_dropped, conf_histogram}}.
     """
-    has_blocks = "blocks" in staged.columns
+    cols = set(staged.columns)
     aggs = [
         F.count("*").alias("rows"),
         F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
         F.sum(F.when(F.col("status") != "ok", 1).otherwise(0))
          .alias("rejected"),
     ]
-    if "needs_review" in staged.columns:
+    if "needs_review" in cols:
         aggs.append(F.sum(F.when(F.col("needs_review"), 1).otherwise(0))
                     .alias("needs_review"))
-    if has_blocks:
+    has_stats = all(c in cols for c in STATS_COLS)
+    has_blocks = "blocks" in cols
+    if has_stats:
+        aggs += [
+            F.sum("n_blocks_kept").alias("blocks_kept"),
+            F.sum("n_blocks_dropped").alias("blocks_dropped"),
+        ]
+        aggs += [F.sum(F.expr(f"conf_hist[{i}]")).alias(f"hist_{i}")
+                 for i in range(10)]
+    elif has_blocks:
         aggs += [
             F.sum(F.expr("size(filter(blocks, b -> b.is_content))"))
              .alias("blocks_kept"),
             F.sum(F.expr("size(filter(blocks, b -> NOT b.is_content))"))
              .alias("blocks_dropped"),
         ]
-        # 10-bucket confidence histogram as 10 plain sums — scales as
-        # partial+final hash agg, no collect_list / explode blow-up
         aggs += [
             F.sum(F.expr(
                 "size(filter(blocks, b -> b.is_content AND "
@@ -51,7 +90,7 @@ def partition_metrics(staged: DataFrame) -> dict[int, dict]:
         d = r.asDict()
         k = d.pop(PART_COL)
         hist = [d.pop(f"hist_{i}", 0) for i in range(10)]
-        if has_blocks:
+        if has_stats or has_blocks:
             d["conf_histogram"] = [int(h or 0) for h in hist]
         out[int(k)] = d
     return out

@@ -513,6 +513,80 @@ def p5_numeric_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                " '^\\\\$+', '') AS DOUBLE)")))
 
 
+@query(
+    "a3_candidates_alternatives",
+    oracle="""
+    WITH c AS (
+      SELECT l_orderkey,
+             list(l_partkey ORDER BY l_extendedprice DESC,
+                  l_partkey DESC) AS pks
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey, pks[1] AS top_pk,
+           coalesce(array_to_string(pks[2:4], ','), '') AS alt_pks,
+           len(pks)::BIGINT AS n_cands
+    FROM c
+    """)
+def a3_candidates_alternatives(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Candidate collection + top-1 + alternatives = rest of ranking
+    (A3/A4/A5, fn-postprocess/main.py:119-148): collect_list ->
+    order-sensitive sort (desc conf, stable tiebreak) -> rank 1 is
+    the result, ranks 2..4 the Alternatives list."""
+    li = _t(spark, sf_dir, "lineitem")
+    cands = li.groupBy("l_orderkey").agg(
+        F.reverse(F.array_sort(F.collect_list(F.struct(
+            F.col("l_extendedprice").alias("conf"),
+            F.col("l_partkey").alias("pk"))))).alias("cands"))
+    return cands.select(
+        "l_orderkey",
+        F.expr("cands[0].pk").alias("top_pk"),
+        F.expr("array_join(transform(slice(cands, 2, 3),"
+               " x -> string(x.pk)), ',')").alias("alt_pks"),
+        F.size("cands").cast("long").alias("n_cands"))
+
+
+@query(
+    "j4_broadcast_dim_join",
+    oracle="""
+    SELECT e.event_id, n.n_name AS owner_nation
+    FROM events e JOIN nation n
+      ON n.n_nationkey = e.user_id % 25
+    """)
+def j4_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ownership-lookup dimension join (J4/S8: ExecutionId ->
+    identity via cached DynamoDB lookup, fn-notify-progress/
+    main.py:82-131): a stream of events equi-joined to a broadcast
+    dimension — BroadcastHashJoin, no shuffle of the fact side."""
+    e = _t(spark, sf_dir, "events")
+    n = _t(spark, sf_dir, "nation")
+    return (e.join(F.broadcast(n),
+                   n.n_nationkey == e.user_id % 25)
+            .select("event_id", F.col("n_name").alias("owner_nation")))
+
+
+@query(
+    "a11_first_answer_reduce",
+    oracle="""
+    SELECT user_id, event_id AS first_event_id,
+           event_type AS first_type
+    FROM (SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events) WHERE rn = 1
+    """)
+def a11_first_answer_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Review-answer reduce: first of N answers taken
+    (humanAnswers[0], fn-human-review-callback/main.py:61-69) —
+    row_number over (key, event-time) = 1, deterministic tiebreak."""
+    from pyspark.sql.window import Window
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_id").alias("first_event_id"),
+                    F.col("event_type").alias("first_type")))
+
+
 @query("streaming_extract_availablenow")  # rows-only: streaming sink
 def streaming_extract_availablenow(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:

@@ -136,29 +136,33 @@ def model_results(extracted: DataFrame,
         .withColumn("date_cands",
                     F.expr("concat(date_kv_cands, fb_cands)"))
     )
-    total_ranked = _ranked("total_cands")
-    date_ranked = _ranked("date_cands")
     empty_alts = ("cast(array() as"
                   " array<struct<confidence:double,value:string>>)")
     df = (
         df
+        # hoist each ranking into its own column: the sort runs once
+        # per row instead of once per referencing subexpression (the
+        # struct below reads each ranking four times; Catalyst does
+        # not reliably CSE identical higher-order-function trees)
+        .withColumn("total_ranked", F.expr(_ranked("total_cands")))
+        .withColumn("date_ranked", F.expr(_ranked("date_cands")))
         .withColumn("model_result", F.expr(f"""
           if(status = '{STATUS_OK}',
             named_struct(
               'date', named_struct(
-                 'confidence', {_top_conf(date_ranked)},
-                 'value', {_top_value(date_ranked)},
-                 'alternatives', {_alternatives(date_ranked)}),
+                 'confidence', {_top_conf('date_ranked')},
+                 'value', {_top_value('date_ranked')},
+                 'alternatives', {_alternatives('date_ranked')}),
               'total', named_struct(
-                 'confidence', {_top_conf(total_ranked)},
-                 'value', {_top_value(total_ranked)},
-                 'alternatives', {_alternatives(total_ranked)}),
+                 'confidence', {_top_conf('total_ranked')},
+                 'value', {_top_value('total_ranked')},
+                 'alternatives', {_alternatives('total_ranked')}),
               'vendor', named_struct(
                  'confidence', vendor_conf,
                  'value', vendor_value,
                  'alternatives', {empty_alts}),
-              'confidence', least({_top_conf(date_ranked)},
-                                  {_top_conf(total_ranked)},
+              'confidence', least({_top_conf('date_ranked')},
+                                  {_top_conf('total_ranked')},
                                   vendor_conf)),
             null)"""))
         # Check Confidence routing (P9, StateMachine.asl.json:54-65)
@@ -167,6 +171,6 @@ def model_results(extracted: DataFrame,
             f" NOT (model_result.confidence >= {threshold}d), null)"))
         .drop("content", "kv_pairs", "vendor_conf", "vendor_value",
               "total_cands", "date_kv_cands", "fb_entities", "fb_cands",
-              "date_cands", "search_text")
+              "date_cands", "search_text", "total_ranked", "date_ranked")
     )
     return df
