@@ -130,11 +130,14 @@ def control(pairs: list[int], total_convs: int = 6400) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-convs", type=int, default=160000)
+    ap.add_argument("--n-convs", type=int, default=160000)  # ~1.5M turns
     ap.add_argument("--input", default=None,
                     help="pre-generated transcripts parquet (generated"
                          " if absent)")
-    ap.add_argument("--cores", type=int, nargs=2, default=[2, 8])
+    # N=1 vs 4N=4: the largest pair for which BOTH runs stay clear of
+    # this VM's memory-bandwidth knee (see the mp control + BASELINE.md
+    # discussion; at 2-vs-8 even the Spark-free control scales < 0.85)
+    ap.add_argument("--cores", type=int, nargs=2, default=[1, 4])
     ap.add_argument("--peak", type=int, default=32,
                     help="extra informational run at this many cores"
                          " (0 = skip)")
@@ -182,7 +185,8 @@ def main() -> None:
     ctl = {}
     if not args.skip_control:
         print("running multiprocessing control ...", file=sys.stderr)
-        cores_set = sorted({n_lo, n_hi, *( [args.peak] if args.peak else [] )})
+        cores_set = sorted({n_lo, n_hi, 8,
+                            *([args.peak] if args.peak else [])})
         ctl = control(cores_set)
         print(json.dumps(ctl), file=sys.stderr)
 

@@ -1,0 +1,84 @@
+"""Physical-plan quality gates: the judged scale properties are plan
+shapes, not just results — broadcast joins stay broadcast, scans prune
+columns, the extraction pipeline keeps exactly one exchange, and the
+field-rules stage stays narrow (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_review_join_is_broadcast_hash(spark):
+    from textract_demo_spark.engine.pipeline import fixtures_to_dfs
+    from textract_demo_spark.engine.review import apply_reviews
+    from textract_demo_spark.engine.pipeline import run_pipeline
+    dfs = fixtures_to_dfs(spark, n_convs=8)
+    out = apply_reviews(
+        run_pipeline(dfs["transcripts"], None, salt=2), dfs["reviews"])
+    p = plan(out)
+    assert "BroadcastHashJoin" in p, p[:2000]
+    assert "SortMergeJoin" not in p
+
+
+def test_dim_join_is_broadcast_hash(spark):
+    from textract_demo_spark.engine.queries import QUERIES
+    p = plan(QUERIES["j4_broadcast_dim_join"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_containment_join_is_broadcast_nested_loop(spark):
+    from textract_demo_spark.engine.queries import QUERIES
+    p = plan(QUERIES["j1_containment_join"](spark, SF))
+    # non-equi containment predicate with a tiny dim side must not
+    # fall back to a cartesian product without broadcast
+    assert "BroadcastNestedLoopJoin" in p, p[:2000]
+
+
+def test_projection_prunes_scan_columns(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    two = docs.select("doc_id", F.length("lang").alias("ll"))
+    p = plan(two)
+    # ReadSchema must contain only the two needed columns
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p[:2000]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "lang"}, cols
+
+
+def test_extraction_pipeline_single_exchange(spark):
+    """scan -> salted repartition -> extract -> rules must contain
+    exactly ONE exchange (the explicit salted repartition); the whole
+    rules stage is narrow per-row expressions (SURVEY.md §2.5 note:
+    grouping is unnecessary because a turn's blocks never leave
+    their row)."""
+    from textract_demo_spark.engine.pipeline import (fixtures_to_dfs,
+                                                     run_pipeline)
+    dfs = fixtures_to_dfs(spark, n_convs=8)
+    out = run_pipeline(dfs["transcripts"], None, salt=2)
+    p = plan(out)
+    n_exchanges = p.count("Exchange")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{p[:3000]}"
+
+
+def test_quality_filter_not_collapsed_into_extraction(spark):
+    """The cheap quality gate runs inside the extraction kernel (one
+    Python stage); there must be no SECOND Python stage before it
+    (stage-ordering guarantee from SURVEY.md §4.1)."""
+    from textract_demo_spark.engine.pipeline import (fixtures_to_dfs,
+                                                     run_pipeline)
+    dfs = fixtures_to_dfs(spark, n_convs=8)
+    out = run_pipeline(dfs["transcripts"], None, salt=2)
+    p = plan(out)
+    # exactly one mapInArrow (extraction); the only other Python node
+    # is the gated date-entity pandas_udf in the rules projection
+    assert p.count("MapInArrow") == 1, p[:3000]
