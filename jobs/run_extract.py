@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--fail-after", type=int, default=None,
                     help="inject a crash after N partition commits"
                          " (resume testing)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="treat --input as a file-arrival stream:"
+                         " drain new files (availableNow) into a"
+                         " checkpointed exactly-once sink under --out;"
+                         " re-running resumes from the sink checkpoint")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -47,6 +52,26 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("run_extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.streaming:
+        if not args.input:
+            raise SystemExit("--streaming requires --input (a directory"
+                             " receiving transcript parquet files)")
+        from textract_demo_spark.streaming.stream import (
+            read_transcripts_stream, start_to_parquet, streaming_pipeline)
+        t0 = time.time()
+        stream = read_transcripts_stream(spark, args.input)
+        results = streaming_pipeline(stream, salt=args.salt)
+        q = start_to_parquet(results,
+                             out_dir=f"{args.out}/data",
+                             checkpoint_dir=f"{args.out}/_checkpoint")
+        q.awaitTermination()
+        wall = time.time() - t0
+        n = spark.read.schema(results.schema).parquet(
+            f"{args.out}/data").count()
+        print(json.dumps({"mode": "streaming", "rows_total": n,
+                          "wall_sec": round(wall, 2)}))
+        return
 
     if args.input:
         transcripts = spark.read.parquet(args.input)

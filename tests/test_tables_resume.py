@@ -92,3 +92,24 @@ def test_block_stats_fast_path_matches_fallback(spark, results_df):
     fast = partition_metrics(with_block_stats(results_df))
     slow = partition_metrics(results_df)
     assert fast == slow
+
+
+def test_snapshot_time_travel(spark, tmp_path, results_df):
+    """IcebergLike VERSION-AS-OF analog: a snapshot reads exactly the
+    partition set committed when it was taken."""
+    from pyspark.sql import functions as F
+    t = IcebergLike(str(tmp_path / "tt"))
+    t.write(results_df.filter(F.col("part_key") < 4),
+            metrics_fn=partition_metrics)       # snapshot 0: keys < 4
+    t.write(results_df, metrics_fn=partition_metrics)  # snapshot 1: all
+    snaps = t.snapshots()
+    assert len(snaps) == 2
+    early = t.read(spark, snapshot_id=0)
+    full = t.read(spark, snapshot_id=1)
+    assert set(r["part_key"] for r in
+               early.select("part_key").distinct().collect()) == \
+        set(snaps[0]["committed_keys"])
+    assert full.count() == t.read(spark).count()
+    assert early.count() < full.count()
+    with pytest.raises(ValueError):
+        t.read(spark, snapshot_id=7)

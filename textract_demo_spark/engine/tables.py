@@ -176,7 +176,23 @@ class IcebergLike:
             snapshot)
         return snapshot
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        return (spark.read
-                .option("basePath", self.data_dir)
-                .parquet(os.path.join(self.data_dir, f"{PART_COL}=*")))
+    def read(self, spark: SparkSession,
+             snapshot_id: int | None = None) -> DataFrame:
+        """Read the table; with ``snapshot_id``, time-travel to the
+        partition set committed as of that snapshot (Iceberg
+        ``VERSION AS OF`` analog). Committed partitions are immutable
+        (resume never rewrites them), so an old snapshot is exactly
+        the subset of partition directories it recorded."""
+        if snapshot_id is None:
+            return (spark.read
+                    .option("basePath", self.data_dir)
+                    .parquet(os.path.join(self.data_dir, f"{PART_COL}=*")))
+        snaps = self.snapshots()
+        if not 0 <= snapshot_id < len(snaps):
+            raise ValueError(f"no snapshot {snapshot_id}; have"
+                             f" {len(snaps)}")
+        keys = snaps[snapshot_id]["committed_keys"]
+        paths = [os.path.join(self.data_dir, f"{PART_COL}={k}")
+                 for k in keys]
+        return (spark.read.option("basePath", self.data_dir)
+                .parquet(*paths))
