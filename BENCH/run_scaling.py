@@ -83,8 +83,14 @@ def run_at(cores: int, input_path: str, zip_path: str,
                           timeout=7200)
     total = time.time() - t0
     if proc.returncode != 0:
+        dump = os.path.join(tempfile.gettempdir(),
+                            f"scaling_fail_{cores}.stderr")
+        with open(dump, "w") as fh:
+            fh.write(proc.stderr)
         sys.stderr.write(proc.stderr[-4000:])
-        raise RuntimeError(f"spark-submit local[{cores}] failed")
+        raise RuntimeError(f"spark-submit local[{cores}] failed"
+                           f" (rc={proc.returncode}; full stderr:"
+                           f" {dump})")
     stats = json.loads(proc.stdout.strip().splitlines()[-1])
     shutil.rmtree(out_dir, ignore_errors=True)
     return {"cores": cores, "pinned": pin,
@@ -270,8 +276,8 @@ core counts:
 {ctl_lines}
 
 Control efficiency {n_lo}->{n_hi} procs: **{ctl_eff}**; from 8->32
-procs even the Spark-free kernel drops to ~0.55-0.6 — the VM's
-allocation/memory-bandwidth ceiling, which a real 4N-executor cluster
+procs even the Spark-free kernel degrades markedly (0.55-0.75 across
+sessions) — the VM's allocation/memory-bandwidth ceiling, which a real 4N-executor cluster
 does not share (each executor brings its own memory system). The
 {n_lo}->{n_hi} pair keeps both runs below that knee, so the measured
 number reflects the job's own scaling (shuffle, skew handling, Arrow
