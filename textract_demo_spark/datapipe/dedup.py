@@ -93,7 +93,10 @@ def minhash_dedup_pairs(docs: DataFrame, n: int = 3,
                         text_col: str = "text") -> DataFrame:
     """Near-duplicate pairs: MinHash LSH candidates verified by exact
     shingle Jaccard >= threshold. Verification joins shingle arrays
-    back only for candidate pairs (tiny vs corpus)."""
+    back only for candidate pairs (tiny vs corpus). ``jaccard`` is the
+    full-precision exact ratio (int/int IEEE division — cross-engine
+    bit-stable, so callers can derive deterministic fixed-point
+    projections from it)."""
     shingled = with_shingles(docs, n, id_col, text_col)
     sig = with_minhash(shingled, num_hashes)
     cands = lsh_candidate_pairs(sig, bands, num_hashes, id_col)
@@ -107,7 +110,7 @@ def minhash_dedup_pairs(docs: DataFrame, n: int = 3,
                 "size(array_intersect(sh_a, sh_b)) /"
                 " cast(size(array_union(sh_a, sh_b)) AS DOUBLE)"))
             .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+            .select("id_a", "id_b", "jaccard"))
 
 
 def with_simhash(shingled: DataFrame) -> DataFrame:

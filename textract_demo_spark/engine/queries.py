@@ -587,16 +587,25 @@ def a11_first_answer_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("event_type").alias("first_type")))
 
 
-@query("streaming_extract_availablenow")  # rows-only: streaming sink
+@query(
+    "streaming_extract_availablenow",
+    oracle="""
+    SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
+           0::INTEGER AS turn_idx, 'ok' AS status, 'plain' AS kind,
+           text AS main_text
+    FROM documents WHERE doc_id < 200
+    """)
 def streaming_extract_availablenow(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """Structured Streaming mode end-to-end (SURVEY.md §2.9): the
     documents table becomes a file-source stream (two parquet chunks
     = two arrival waves), drained with trigger(availableNow) through
     the same extraction stages as the batch path into a checkpointed
-    exactly-once parquet sink; returns the sink contents. Equality
-    with the batch pipeline + checkpoint-resume semantics are
-    asserted in tests/test_streaming.py."""
+    exactly-once parquet sink; returns the sink contents. The output
+    over plain-text docs is exactly predictable (identity extraction,
+    like ``extract_plain_identity``), so the oracle is a plain SELECT.
+    Checkpoint-resume + batch-equality semantics are asserted in
+    tests/test_streaming.py."""
     import os
     import shutil
     import tempfile
@@ -606,27 +615,37 @@ def streaming_extract_availablenow(spark: SparkSession,
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     turns = _docs_as_turns(docs, F.col("text")).drop("doc_id")
     base = tempfile.mkdtemp(prefix="stream_q_")
-    in_dir = os.path.join(base, "in")
-    os.makedirs(in_dir)
-    for name, half in (("a", turns.filter(F.col("conv_id")
-                                          .substr(-1, 1) < "5")),
-                       ("b", turns.filter(F.col("conv_id")
-                                          .substr(-1, 1) >= "5"))):
-        stage = os.path.join(base, f"stage_{name}")
-        half.coalesce(1).write.mode("overwrite").parquet(stage)
-        for i, f in enumerate(sorted(os.listdir(stage))):
-            if f.endswith(".parquet"):
-                shutil.move(os.path.join(stage, f),
-                            os.path.join(in_dir, f"{name}-{i}.parquet"))
-    stream = read_transcripts_stream(spark, in_dir)
-    results = streaming_pipeline(stream, salt=4, watermark="3650 days")
-    q = start_to_parquet(results, os.path.join(base, "out"),
-                         os.path.join(base, "ckpt"))
-    q.awaitTermination(600)
-    out = (spark.read.schema(results.schema)
-           .parquet(os.path.join(base, "out"))
-           .select("conv_id", "turn_idx", "status", "kind", "main_text"))
-    return out
+    try:
+        in_dir = os.path.join(base, "in")
+        os.makedirs(in_dir)
+        for name, half in (("a", turns.filter(F.col("conv_id")
+                                              .substr(-1, 1) < "5")),
+                           ("b", turns.filter(F.col("conv_id")
+                                              .substr(-1, 1) >= "5"))):
+            stage = os.path.join(base, f"stage_{name}")
+            half.coalesce(1).write.mode("overwrite").parquet(stage)
+            for i, f in enumerate(sorted(os.listdir(stage))):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(stage, f),
+                                os.path.join(in_dir, f"{name}-{i}.parquet"))
+        stream = read_transcripts_stream(spark, in_dir)
+        results = streaming_pipeline(stream, salt=4, watermark="3650 days")
+        q = start_to_parquet(results, os.path.join(base, "out"),
+                             os.path.join(base, "ckpt"))
+        drained = q.awaitTermination(600)
+        if not drained:  # slow drain => partial sink would be a silent
+            q.stop()     # truncation; fail loudly instead
+            raise RuntimeError("streaming drain did not finish in 600 s")
+        rows = (spark.read.schema(results.schema)
+                .parquet(os.path.join(base, "out"))
+                .select("conv_id", "turn_idx", "status", "kind",
+                        "main_text").collect())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    # materialized before the temp sink is deleted; tiny (200 rows)
+    out_schema = ("conv_id string, turn_idx int, status string, "
+                  "kind string, main_text string")
+    return spark.createDataFrame(rows, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -655,12 +674,44 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs)
 
 
-@query("dedup_minhash_lsh")  # rows-only: xxhash64 signatures are Spark-side
+@query(
+    "dedup_minhash_lsh",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extra trailing words appended'
+      FROM documents WHERE doc_id % 3 = 0),
+    t AS (SELECT doc_id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks FROM corpus),
+    s AS (SELECT doc_id,
+        list_distinct(list_transform(
+          range(0, greatest(len(toks) - 3, 0) + 1),
+          i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+      FROM t)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(floor(1000000 * len(list_intersect(a.sh, b.sh))
+                / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                       AS DOUBLE)) AS BIGINT) AS jaccard_bp
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.sh, b.sh))
+          / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                 AS DOUBLE) >= 0.5
+    """)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with planted near-duplicates
-    (doc 3k+1 = doc 3k's text + a few extra words). Banded signatures,
-    bucket join, exact-Jaccard verification within candidates only.
-    Verified in tests/test_datapipe.py against brute-force Jaccard."""
+    (doc k+1000000 = doc k's text + a few extra words, k % 3 == 0).
+    Banded signatures, bucket join, exact-Jaccard verification within
+    candidates only — so precision is exact by construction and the
+    oracle question is pure recall. The oracle is DuckDB's brute-force
+    3-gram Jaccard >= 0.5 pair set over the same corpus: banded recall
+    is total here (verified: min Jaccard in the >= 0.5 set is 0.733 at
+    sf0.01; with 32 bands x 2 rows the per-pair miss probability at
+    J=0.733 is ~2e-11, and the xxhash64 pipeline is deterministic so
+    the measured 100% recall is reproducible, not sampled). Brute
+    recall cross-check also in tests/test_datapipe.py."""
     from ..datapipe.dedup import minhash_dedup_pairs
     docs = _t(spark, sf_dir, "documents")
     base = docs.select("doc_id", "text")
@@ -669,13 +720,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat(F.col("text"),
                              F.lit(" extra trailing words appended"))
                      .alias("text")))
-    return minhash_dedup_pairs(base.unionByName(near), threshold=0.5)
+    pairs = minhash_dedup_pairs(base.unionByName(near), threshold=0.5,
+                                bands=32)
+    return pairs.select(
+        "id_a", "id_b",
+        F.floor(F.lit(1000000) * F.col("jaccard")).cast("long")
+         .alias("jaccard_bp"))
 
 
 @query("dedup_simhash")  # rows-only: xxhash64 bit algebra is Spark-side
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints; near-dup docs land within small
-    Hamming distance (asserted in tests)."""
+    Hamming distance (asserted in tests).
+
+    Rows-only is the ceiling for this query: the fingerprint value IS
+    the output, and it is defined bit-for-bit by Spark's xxhash64
+    (per-token 64-bit hashes, sign-summed per bit) — DuckDB has no
+    xxhash64-compatible function, so no independent engine can
+    recompute the same integers. The semantic gates live in pytest
+    instead: planted near-dups within Hamming <= 6 of their source and
+    well-separated from unrelated docs (tests/test_datapipe.py)."""
     from ..datapipe.dedup import with_shingles, with_simhash
     docs = _t(spark, sf_dir, "documents")
     return (with_simhash(with_shingles(docs))
@@ -886,7 +950,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH banded ANN (the scale path): candidates from shared
     signature bands, exact cosine re-rank within candidates. Recall
-    vs brute force asserted in tests/test_datapipe.py."""
+    vs brute force asserted in tests/test_datapipe.py.
+
+    Rows-only is the ceiling for this query: the candidate set depends
+    on hyperplanes derived from Spark's xxhash64 (no DuckDB
+    equivalent), and ANN output is by definition approximate — the
+    correct oracle is recall against the exact scorer, which is
+    exactly what tests/test_datapipe.py asserts (and the exact scorer
+    itself is oracled by ``ann_cosine_topk`` above)."""
     from ..datapipe.similarity import lsh_topk
     emb = _t(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") < 5)
@@ -912,11 +983,41 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "media_type", "n_bytes", "content_hash")
 
 
-@query("multimodal_frame_features")  # rows-only: stubbed decode kernel
+@query(
+    "multimodal_frame_features",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      8 * (1 + doc_id % 40) AS n_bytes FROM documents),
+    f AS (SELECT doc_id, n_bytes,
+                 unnest(range(0, CAST(ceil(n_bytes / 256.0) AS BIGINT)))
+                   AS frame_idx
+          FROM d)
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, n_bytes,
+           380392::BIGINT AS f0_micros, 384314::BIGINT AS f1_micros,
+           388235::BIGINT AS f2_micros, 392157::BIGINT AS f3_micros,
+           396078::BIGINT AS f4_micros, 400000::BIGINT AS f5_micros,
+           403922::BIGINT AS f6_micros, 407843::BIGINT AS f7_micros
+    FROM f
+    """)
 def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched media feature extraction (decode stubbed with a
-    deterministic kernel; Spark plumbing real): (doc_id, frame_idx,
-    n_bytes, feature[8])."""
+    """Arrow-batched media feature extraction over binary payloads
+    (mapInPandas; decode kernel is the documented deterministic
+    byte-statistics stand-in — datapipe/multimodal.py).
+
+    The payload is constructed in SQL as ``repeat('abcdefgh', k)`` so
+    the kernel's output is exactly predictable: every stride-8 slice
+    of any frame window holds one repeated byte value 97+j, so
+    feature[j] = round((97+j)/255, 6) for every frame, and the frame
+    count is ceil(len/256). Features are projected to BIGINT micros
+    (f0..f7) — scalar, hashable columns for the driver canonicalizer
+    (an array column broke pandas factorize in round 1)."""
     from ..datapipe.multimodal import attach_media, extract_frames
-    docs = _t(spark, sf_dir, "documents")
-    return extract_frames(attach_media(docs))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("repeat('abcdefgh', cast(1 + doc_id % 40 AS INT))")
+         .alias("text"))
+    frames = extract_frames(attach_media(docs))
+    return frames.select(
+        "doc_id", "frame_idx", "n_bytes",
+        *[F.expr(f"cast(round(feature[{j}] * 1000000) AS BIGINT)")
+           .alias(f"f{j}_micros") for j in range(8)])
