@@ -50,7 +50,7 @@ def test_per_turn_equality(run):
         if g["status"] != r["status"]:
             bad.append((key, "status", r["status"], g["status"]))
             continue
-        if g["status"] == "rejected":
+        if g["status"] != "ok":
             if r["model_result"] is not None:
                 bad.append((key, "model_not_null", None, None))
             continue
@@ -102,7 +102,7 @@ def test_review_override(run):
 def test_rejected_turns_have_no_blocks(run):
     rows, golden, _ = run
     for key, g in golden.items():
-        if g["status"] == "rejected":
+        if g["status"] != "ok":
             r = rows[key]
             assert r["main_text"] == ""
             assert r["spans"] == []

@@ -21,14 +21,42 @@ from dataclasses import dataclass, field
 
 LINE = "LINE"
 KEY_VALUE = "KEY_VALUE"
+# Table structure blocks — the FORMS+TABLES analog: the reference
+# requests FeatureTypes=["FORMS","TABLES"]
+# (source/ocr/textract-integration/fn-call-textract/main.py:53-61) and
+# the public Textract Block model carries TABLE/CELL with row/column
+# indices (SURVEY.md §1.2).
+TABLE = "TABLE"
+CELL = "CELL"
+# Checkbox analog — Textract SELECTION_ELEMENT; the reference's review
+# template exposes checkbox '-present' toggles
+# (source/ocr/human-review/a2i-text-with-checkboxes.liquid.html:40-69).
+SELECTION_ELEMENT = "SELECTION_ELEMENT"
+SELECTED = "SELECTED"
+NOT_SELECTED = "NOT_SELECTED"
 
 KEY = "KEY"
 VALUE = "VALUE"
 
-# status enum (SURVEY.md §1.4 — the reference's typed error taxonomy
-# PoorQualityImage/ModelError/MalformedRequest becomes a status column)
+# status enum (SURVEY.md §1.4) — the reference's typed error taxonomy
+# becomes a status column:
+#   rejected      <- PoorQualityImage (fn-preprocess/main.py:22-25):
+#                    the quality gate refused the payload (empty,
+#                    truncated, binary noise, non-PDF bytes)
+#   malformed     <- MalformedRequest (fn-preprocess/main.py:26-29):
+#                    the request envelope itself is broken (a PDF
+#                    data-URI whose base64 does not decode)
+#   model_error   <- ModelError: the extractor failed AFTER the gate
+#                    accepted the payload (e.g. a PDF that decodes and
+#                    sniffs fine but dies mid-parse)
+#   review_failed <- ReviewFailed/MalformedReviewResponse
+#                    (fn-human-review-callback/main.py:24-30): the
+#                    human-review row for this turn was unusable
 STATUS_OK = "ok"
 STATUS_REJECTED = "rejected"
+STATUS_MALFORMED = "malformed"
+STATUS_MODEL_ERROR = "model_error"
+STATUS_REVIEW_FAILED = "review_failed"
 
 
 def make_block(
@@ -47,6 +75,9 @@ def make_block(
     kv_role: str | None = None,
     kv_group_id: int | None = None,
     is_content: bool = True,
+    row_idx: int | None = None,
+    col_idx: int | None = None,
+    selection_status: str | None = None,
 ) -> dict:
     return {
         "block_id": block_id,
@@ -64,6 +95,9 @@ def make_block(
         "kv_role": kv_role,
         "kv_group_id": kv_group_id,
         "is_content": is_content,
+        "row_idx": row_idx,
+        "col_idx": col_idx,
+        "selection_status": selection_status,
     }
 
 

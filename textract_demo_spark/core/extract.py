@@ -11,7 +11,8 @@ for parsing.
 
 from __future__ import annotations
 
-from .blocks import LINE, STATUS_OK, STATUS_REJECTED, ExtractResult, make_block
+from .blocks import (LINE, STATUS_MALFORMED, STATUS_MODEL_ERROR, STATUS_OK,
+                     STATUS_REJECTED, ExtractResult, make_block)
 from .confidence import line_confidence
 from .pdf_extract import PdfParseError, extract_pdf
 from .html_extract import extract_html
@@ -29,21 +30,34 @@ def extract_plain(payload: str) -> ExtractResult:
         spans=[(0, len(payload))], blocks=[block], span_domain="payload")
 
 
+def _failed(status: str, kind: str = "bad") -> ExtractResult:
+    return ExtractResult(status=status, kind=kind, main_text="",
+                         spans=[], blocks=[], span_domain="payload")
+
+
 def extract_payload(payload: str) -> ExtractResult:
-    """Quality-gate + extract one transcript-turn payload."""
+    """Quality-gate + extract one transcript-turn payload.
+
+    Typed error taxonomy (SURVEY.md §1.4 / core.blocks): the quality
+    gate refusing the payload is ``rejected`` (PoorQualityImage
+    analog); a broken request envelope (undecodable base64 PDF URI) is
+    ``malformed`` (MalformedRequest); an extractor failure AFTER the
+    gate accepted is ``model_error`` (ModelError) — so a PDF that
+    decodes but dies mid-parse is distinguishable from a rejected
+    upload."""
     q = classify_quality(payload)
     if not is_acceptable(q["label"], q["conf"]):
-        return ExtractResult(status=STATUS_REJECTED, kind="bad",
-                             main_text="", spans=[], blocks=[],
-                             span_domain="payload")
-    if q["kind"] == "pdf":
-        data = decode_pdf_payload(payload)
-        try:
+        if q["reason"] == "malformed_b64":
+            return _failed(STATUS_MALFORMED)
+        return _failed(STATUS_REJECTED)
+    try:
+        if q["kind"] == "pdf":
+            data = decode_pdf_payload(payload)
             return extract_pdf(data)
-        except PdfParseError:
-            return ExtractResult(status=STATUS_REJECTED, kind="bad",
-                                 main_text="", spans=[], blocks=[],
-                                 span_domain="payload")
-    if q["kind"] == "html":
-        return extract_html(payload)
-    return extract_plain(payload)
+        if q["kind"] == "html":
+            return extract_html(payload)
+        return extract_plain(payload)
+    except PdfParseError:
+        return _failed(STATUS_MODEL_ERROR, kind="pdf")
+    except Exception:  # extractor bug on an accepted payload
+        return _failed(STATUS_MODEL_ERROR, kind=q["kind"])

@@ -21,7 +21,9 @@ from __future__ import annotations
 
 import re
 
-from .blocks import KEY, KEY_VALUE, LINE, VALUE, ExtractResult, make_block
+from .blocks import (CELL, KEY, KEY_VALUE, LINE, NOT_SELECTED, SELECTED,
+                     SELECTION_ELEMENT, TABLE, VALUE, ExtractResult,
+                     make_block)
 from .confidence import line_confidence
 
 # --- tokenizer tables ------------------------------------------------------
@@ -88,10 +90,10 @@ def _unescape(s: str) -> str:
 
 class _Seg:
     __slots__ = ("text", "start", "end", "raw_len", "link_chars",
-                 "neg", "pos", "block_iid")
+                 "neg", "pos", "block_iid", "cell")
 
     def __init__(self, text, start, end, raw_len, link_chars, neg, pos,
-                 block_iid):
+                 block_iid, cell=None):
         self.text = text
         self.start = start
         self.end = end
@@ -100,6 +102,7 @@ class _Seg:
         self.neg = neg
         self.pos = pos
         self.block_iid = block_iid
+        self.cell = cell  # (table_id, row_idx, col_idx) inside a td/th
 
 
 def _tokenize(s: str) -> list[_Seg]:
@@ -114,6 +117,12 @@ def _tokenize(s: str) -> list[_Seg]:
     pos_depth = 0
     link_depth = 0
     block_iid = 0  # bumped on every block-level open/close and <br>
+    # table-structure context (TABLE/CELL analog of the FORMS+TABLES
+    # feature request, fn-call-textract/main.py:53-61): innermost
+    # table's [table_id, row_idx, col_idx]
+    table_stack: list[list[int]] = []
+    table_count = 0
+    cell_depth = 0  # inside a td/th
 
     def classify_attrs(attrs: str) -> tuple[bool, bool]:
         neg = pos = False
@@ -148,10 +157,14 @@ def _tokenize(s: str) -> list[_Seg]:
                 for k in range(len(stack) - 1, -1, -1):
                     if stack[k][0] == name:
                         while len(stack) > k:
-                            _, dneg, dpos, dlink = stack.pop()
+                            popped, dneg, dpos, dlink = stack.pop()
                             neg_depth -= dneg
                             pos_depth -= dpos
                             link_depth -= dlink
+                            if popped == "table" and table_stack:
+                                table_stack.pop()
+                            elif popped in ("td", "th") and cell_depth > 0:
+                                cell_depth -= 1
                         break
                 if name in BLOCK_TAGS:
                     block_iid += 1
@@ -188,6 +201,15 @@ def _tokenize(s: str) -> list[_Seg]:
             neg_depth += dneg
             pos_depth += dpos
             link_depth += dlink
+            if name == "table":
+                table_stack.append([table_count, -1, -1])
+                table_count += 1
+            elif name == "tr" and table_stack:
+                table_stack[-1][1] += 1
+                table_stack[-1][2] = -1
+            elif name in ("td", "th") and table_stack:
+                table_stack[-1][2] += 1
+                cell_depth += 1
             if name in BLOCK_TAGS:
                 block_iid += 1
             i = j + 1
@@ -204,10 +226,14 @@ def _tokenize(s: str) -> list[_Seg]:
             end = j - trail
             text = _WS_RE.sub(" ", _unescape(raw.strip()))
             raw_len = end - start
+            cell = None
+            if (cell_depth > 0 and table_stack
+                    and table_stack[-1][1] >= 0 and table_stack[-1][2] >= 0):
+                cell = tuple(table_stack[-1])
             segs.append(_Seg(
                 text, start, end, raw_len,
                 raw_len if link_depth > 0 else 0,
-                neg_depth > 0, pos_depth > 0, block_iid))
+                neg_depth > 0, pos_depth > 0, block_iid, cell))
         i = j
     return segs
 
@@ -234,6 +260,10 @@ CONTENT_THRESHOLD = 0.8
 
 _KV_RE = re.compile(r"^([^:]{1,48}?)\s*:\s*(.+)$", re.S)
 _SENTENCE_PUNCT_RE = re.compile(r"[.!?]")
+# Checkbox-like markers -> SELECTION_ELEMENT blocks (the Textract
+# selection-element analog; the reference review form's '-present'
+# checkbox toggles, a2i-text-with-checkboxes.liquid.html:40-69)
+_CHECKBOX_RE = re.compile(r"\[([ xX])\]")
 
 
 def split_key_value(text: str) -> tuple[str, str] | None:
@@ -286,6 +316,16 @@ def extract_html(payload: str) -> ExtractResult:
             reading_order=reading_order if is_content else -1,
             is_content=is_content))
         bid += 1
+        # SELECTION_ELEMENT markers in the raw line region — emitted
+        # regardless of the content classification (Textract reports
+        # selection elements independently of text relevance)
+        for m in _CHECKBOX_RE.finditer(payload, start, end):
+            state = SELECTED if m.group(1).strip() else NOT_SELECTED
+            blocks.append(make_block(
+                bid, SELECTION_ELEMENT, m.group(0), m.start(), m.end(),
+                line_confidence(m.group(0)), is_content=False,
+                selection_status=state))
+            bid += 1
         if is_content:
             reading_order += 1
             spans.append((start, end))
@@ -315,6 +355,49 @@ def extract_html(payload: str) -> ExtractResult:
                     kv_role=VALUE, kv_group_id=kv_gid))
                 bid += 1
                 kv_gid += 1
+
+    # TABLE/CELL structure blocks (FORMS+TABLES analog, SURVEY.md
+    # §1.2): one TABLE block per <table> (row_idx/col_idx carry the
+    # row/column COUNTS; conf = min over its cells) plus one CELL
+    # block per td/th with its (row_idx, col_idx) grid position and
+    # raw-source char span. Cell text also flows through the LINE
+    # path above (td is a block boundary), so main_text/spans are
+    # unchanged — these blocks add structure, not content.
+    cells: dict[tuple[int, int, int], dict] = {}
+    cell_order: list[tuple[int, int, int]] = []
+    for seg in segs:
+        if seg.cell is None:
+            continue
+        c = cells.get(seg.cell)
+        if c is None:
+            cells[seg.cell] = {"texts": [seg.text], "start": seg.start,
+                               "end": seg.end}
+            cell_order.append(seg.cell)
+        else:
+            c["texts"].append(seg.text)
+            c["start"] = min(c["start"], seg.start)
+            c["end"] = max(c["end"], seg.end)
+    tables: dict[int, list[tuple[int, int, int]]] = {}
+    for key in cell_order:
+        tables.setdefault(key[0], []).append(key)
+    for tid in sorted(tables):
+        keys = tables[tid]
+        confs = {k: line_confidence(" ".join(cells[k]["texts"]))
+                 for k in keys}
+        blocks.append(make_block(
+            bid, TABLE, "",
+            min(cells[k]["start"] for k in keys),
+            max(cells[k]["end"] for k in keys),
+            min(confs.values()), is_content=False,
+            row_idx=max(k[1] for k in keys) + 1,
+            col_idx=max(k[2] for k in keys) + 1))
+        bid += 1
+        for k in keys:
+            c = cells[k]
+            blocks.append(make_block(
+                bid, CELL, " ".join(c["texts"]), c["start"], c["end"],
+                confs[k], is_content=False, row_idx=k[1], col_idx=k[2]))
+            bid += 1
 
     return ExtractResult(
         status="ok", kind="html",

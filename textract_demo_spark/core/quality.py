@@ -56,9 +56,17 @@ def classify_quality(text: str) -> dict:
                 "kind": "bad", "reason": "empty"}
     if text.startswith(PDF_PREFIX):
         data = decode_pdf_payload(text)
-        if data is None or not data.startswith(b"%PDF") or b"endobj" not in data:
+        if data is None:
+            # The envelope itself is broken (not valid base64): the
+            # MalformedRequest analog, distinct from a decodable-but-
+            # poor-quality payload (fn-preprocess/main.py:26-29 vs
+            # 22-25). extract_payload maps this reason to status
+            # 'malformed'.
             return {"label": "bad", "conf": _label_conf(text, "bad"),
-                    "kind": "bad", "reason": "bad_pdf"}
+                    "kind": "bad", "reason": "malformed_b64"}
+        if not data.startswith(b"%PDF") or b"endobj" not in data:
+            return {"label": "bad", "conf": _label_conf(text, "bad"),
+                    "kind": "bad", "reason": "not_pdf"}
         return {"label": "good", "conf": _label_conf(text, "good"),
                 "kind": "pdf", "reason": ""}
     stripped = text.strip()

@@ -31,7 +31,7 @@ def fixtures_to_dfs(spark: SparkSession, n_convs: int = 50,
         fix["transcripts"], schema=schemas.TRANSCRIPTS_SCHEMA)
     reviews = spark.createDataFrame(
         [{k: r[k] for k in ("conv_id", "turn_idx", "vendor", "date",
-                            "total", "worker_id", "review_ts")}
+                            "total", "tax", "worker_id", "review_ts")}
          for r in fix["reviews"]] or [],
         schema=schemas.REVIEWS_SCHEMA)
     return {"transcripts": transcripts, "reviews": reviews,

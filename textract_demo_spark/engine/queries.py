@@ -209,6 +209,168 @@ def subtotal_penalty_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_alternatives"))
 
 
+@query(
+    "extract_table_cells",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, r.r AS row_idx, c.c AS col_idx
+      FROM documents, (VALUES (0), (1)) r(r), (VALUES (0), (1)) c(c))
+    SELECT doc_id, row_idx, col_idx,
+           CASE WHEN row_idx = 0 AND col_idx = 0 THEN 'Item'
+                WHEN row_idx = 0 AND col_idx = 1 THEN 'Price'
+                WHEN row_idx = 1 AND col_idx = 0
+                  THEN 'Widget ' || CAST(doc_id % 50 AS VARCHAR)
+                ELSE '$' || printf('%d.%02d', 1 + doc_id % 30,
+                                   doc_id % 100) END AS cell_text
+    FROM g
+    """)
+def extract_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE/CELL block extraction (SURVEY.md §1.2; the reference
+    requests FeatureTypes=["FORMS","TABLES"],
+    fn-call-textract/main.py:53-61): a constructed 2x2 HTML table per
+    document must come back as CELL blocks with the exact
+    (row_idx, col_idx) grid and cell texts."""
+    docs = _t(spark, sf_dir, "documents")
+    name = F.concat(F.lit("Widget "), (F.col("doc_id") % 50).cast("string"))
+    price = F.concat(F.lit("$"), F.format_string(
+        "%d.%02d", 1 + F.col("doc_id") % 30, F.col("doc_id") % 100))
+    payload = F.concat(
+        F.lit('<html><body><div class="content"><p>Corner Store</p>'
+              '<table><tr><td>Item</td><td>Price</td></tr><tr><td>'),
+        name, F.lit("</td><td>"), price,
+        F.lit("</td></tr></table></div></body></html>"))
+    out = _run_extraction(_docs_as_turns(docs, payload))
+    cells = out.select(
+        "doc_id", F.explode("blocks").alias("b")).filter(
+        F.col("b.block_type") == "CELL")
+    return cells.select(
+        "doc_id",
+        F.col("b.row_idx").alias("row_idx"),
+        F.col("b.col_idx").alias("col_idx"),
+        F.col("b.text").alias("cell_text"))
+
+
+@query(
+    "selection_elements",
+    oracle="""
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)::BIGINT
+             AS n_selected,
+           (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT
+             AS n_not_selected
+    FROM documents
+    """)
+def selection_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECTION_ELEMENT (checkbox) blocks — the review template's
+    '-present' toggles (a2i-text-with-checkboxes.liquid.html:40-69)
+    become SELECTED/NOT_SELECTED blocks: one box always checked, the
+    second checked for even doc_ids only."""
+    docs = _t(spark, sf_dir, "documents")
+    second = F.when(F.col("doc_id") % 2 == 0, F.lit("[x]")) \
+              .otherwise(F.lit("[ ]"))
+    payload = F.concat(
+        F.lit('<html><body><div class="content"><p>Corner Store</p>'
+              '<p>[x] Tax present</p><p>'),
+        second, F.lit(" Gift receipt</p></div></body></html>"))
+    out = _run_extraction(_docs_as_turns(docs, payload))
+    sels = out.select(
+        "doc_id", F.explode("blocks").alias("b")).filter(
+        F.col("b.block_type") == "SELECTION_ELEMENT")
+    return sels.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("b.selection_status") == "SELECTED", 1)
+              .otherwise(0)).cast("long").alias("n_selected"),
+        F.sum(F.when(F.col("b.selection_status") == "NOT_SELECTED", 1)
+              .otherwise(0)).cast("long").alias("n_not_selected"))
+
+
+# A data-URI PDF that passes the quality sniff (%PDF header + endobj)
+# but whose /FlateDecode stream is not zlib data => the extractor
+# raises PdfParseError past the gate => status 'model_error'.
+_BAD_FLATE_PDF = ("data:application/pdf;base64,"
+                  "JVBERi0xLjQKMSAwIG9iaiA8PCAvRmlsdGVyIC9GbGF0ZURlY29k"
+                  "ZSAvTGVuZ3RoIDggPj4gc3RyZWFtCk5PVFpMSUIhCmVuZHN0cmVh"
+                  "bSBlbmRvYmoKdHJhaWxlcgolJUVPRgo=")
+
+
+@query(
+    "error_taxonomy_routing",
+    oracle="""
+    SELECT CASE doc_id % 5
+             WHEN 0 THEN 'rejected' WHEN 1 THEN 'rejected'
+             WHEN 2 THEN 'malformed' WHEN 3 THEN 'model_error'
+             ELSE 'ok' END AS status,
+           CASE doc_id % 5
+             WHEN 3 THEN 'pdf' WHEN 4 THEN 'plain'
+             ELSE 'bad' END AS kind,
+           count(*)::BIGINT AS n
+    FROM documents GROUP BY 1, 2
+    """)
+def error_taxonomy_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed error taxonomy (SURVEY.md §1.4, core.blocks): empty and
+    truncated payloads are 'rejected' (PoorQualityImage analog,
+    fn-preprocess/main.py:22-25), a broken base64 envelope is
+    'malformed' (MalformedRequest, main.py:26-29), and a PDF that
+    decodes and sniffs fine but dies mid-parse is 'model_error' —
+    distinguishable from a rejected upload."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .when(F.col("doc_id") % 5 == 1, F.lit("<html><p>truncated"))
+        .when(F.col("doc_id") % 5 == 2,
+              F.lit("data:application/pdf;base64,!!!not-base64"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(_BAD_FLATE_PDF))
+        .otherwise(F.col("text")))
+    out = _run_extraction(_docs_as_turns(docs, payload))
+    return out.groupBy("status", "kind").agg(
+        F.count("*").cast("long").alias("n"))
+
+
+@query(
+    "review_failed_ingestion",
+    oracle="""
+    SELECT CASE WHEN doc_id % 4 = 2 THEN 'review_failed'
+                ELSE 'ok' END AS status,
+           (doc_id % 4 = 3) AS reviewed,
+           count(*)::BIGINT AS n
+    FROM documents GROUP BY 1, 2
+    """)
+def review_failed_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Review-ingestion hygiene as real code paths (P10/P11 +
+    ReviewFailed, fn-human-review-callback/main.py:24-30,46-59,81-96):
+    non-.json feed rows are dropped, token-less rows are dropped (both
+    leave the turn unreviewed), answer-less rows fail the turn with
+    status 'review_failed', and clean rows override as usual."""
+    from .review import apply_reviews, ingest_reviews
+    docs = _t(spark, sf_dir, "documents")
+    turns = _docs_as_turns(docs, F.col("text"))
+    m = F.col("doc_id") % 4
+    raw = turns.select(
+        "conv_id", "turn_idx",
+        F.when(m == 0, F.lit("export.txt")).otherwise(F.lit("review.json"))
+         .alias("source_key"),
+        F.when(m == 1, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lit("tok-"), F.col("conv_id")))
+         .alias("task_token"),
+        F.lit("Reviewed Vendor").alias("vendor"),
+        F.lit("2020-07-07").alias("date"),
+        F.lit("64.30").alias("total"),
+        F.lit(None).cast("string").alias("tax"),
+        F.when(m == 2, F.lit(None).cast("string"))
+         .otherwise(F.lit("worker-0001")).alias("worker_id"),
+        F.col("ts").alias("review_ts"))
+    valid, failed = ingest_reviews(raw)
+    results = turns.select(
+        "conv_id", "turn_idx", F.lit("ok").alias("status"),
+        F.expr("""cast(null AS struct<
+            date:struct<confidence:double,value:string>,
+            total:struct<confidence:double,value:string>,
+            vendor:struct<confidence:double,value:string>,
+            confidence:double>)""").alias("model_result"))
+    out = apply_reviews(results, valid, failed_reviews=failed)
+    return out.groupBy("status", "reviewed").agg(
+        F.count("*").cast("long").alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # 2. Generic operator queries over the TPC-H-ish tables
 

@@ -34,6 +34,12 @@ BLOCK_SCHEMA = T.StructType([
     T.StructField("kv_role", T.StringType(), True),
     T.StructField("kv_group_id", T.LongType(), True),
     T.StructField("is_content", T.BooleanType(), False),
+    # TABLE/CELL grid position (on CELL: the cell's 0-based row/col;
+    # on TABLE: the row/column counts) and SELECTION_ELEMENT state
+    # (SELECTED | NOT_SELECTED) — SURVEY.md §1.2 Block model parity
+    T.StructField("row_idx", T.IntegerType(), True),
+    T.StructField("col_idx", T.IntegerType(), True),
+    T.StructField("selection_status", T.StringType(), True),
 ])
 
 SPAN_SCHEMA = T.StructType([
@@ -76,6 +82,18 @@ REVIEWS_SCHEMA = T.StructType([
     T.StructField("vendor", T.StringType(), True),
     T.StructField("date", T.StringType(), True),
     T.StructField("total", T.StringType(), True),
+    # optional tax answer — the review form collects vendor, date,
+    # total AND an optional tax field
+    # (a2i-text-with-checkboxes.liquid.html, tax row)
+    T.StructField("tax", T.StringType(), True),
     T.StructField("worker_id", T.StringType(), True),
     T.StructField("review_ts", T.TimestampType(), True),
 ])
+
+# Raw review-ingestion shape (pre-hygiene): carries the source object
+# key and task token so the suffix filter (P10) and token guard (P11)
+# are real code paths, mirroring fn-human-review-callback/main.py:41-59.
+RAW_REVIEWS_SCHEMA = T.StructType(
+    [T.StructField("source_key", T.StringType(), True),
+     T.StructField("task_token", T.StringType(), True)]
+    + REVIEWS_SCHEMA.fields)

@@ -43,6 +43,9 @@ _BLOCK_FIELDS = [
     pa.field("kv_role", pa.string()),
     pa.field("kv_group_id", pa.int64()),
     pa.field("is_content", pa.bool_(), False),
+    pa.field("row_idx", pa.int32()),
+    pa.field("col_idx", pa.int32()),
+    pa.field("selection_status", pa.string()),
 ]
 _BLOCK_KEYS = [f.name for f in _BLOCK_FIELDS]
 

@@ -253,20 +253,24 @@ def _build_pdf(seed: int, conv_id: str, turn_idx: int,
     return payload, rendered, spans, kvs
 
 
-def _build_bad(seed: int, conv_id: str, turn_idx: int) -> str:
+def _build_bad(seed: int, conv_id: str, turn_idx: int) -> tuple[str, str]:
+    """Failing payload + its expected typed status (SURVEY.md §1.4):
+    quality-gate refusals are 'rejected'; a broken base64 envelope is
+    'malformed' (MalformedRequest analog)."""
     h = _h(seed, conv_id, turn_idx, "bad")
     variant = h % 5
     if variant == 0:
-        return ""
+        return "", "rejected"
     if variant == 1:
-        return "   \n\t  "
+        return "   \n\t  ", "rejected"
     if variant == 2:
         vendor = VENDORS[h % len(VENDORS)]
-        return f'<html><body><div class="content"><p>Receipt from {vendor}'
+        return (f'<html><body><div class="content"><p>Receipt from {vendor}',
+                "rejected")
     if variant == 3:
-        return "data:application/pdf;base64,%%%not//base64@@@"
+        return "data:application/pdf;base64,%%%not//base64@@@", "malformed"
     noise = "".join(chr((h >> (i % 48)) % 32) for i in range(64))
-    return "BIN" + noise
+    return "BIN" + noise, "rejected"
 
 
 # --------------------------------------------------------------------------
@@ -323,9 +327,9 @@ def make_turn(seed: int, conv_id: str, turn_idx: int) -> tuple[dict, dict]:
             "model_result": model, "needs_review": needs_review(model),
         }
     else:
-        payload = _build_bad(seed, conv_id, turn_idx)
+        payload, bad_status = _build_bad(seed, conv_id, turn_idx)
         expected = {
-            "status": "rejected", "main_text": "", "spans": [],
+            "status": bad_status, "main_text": "", "spans": [],
             "model_result": None, "needs_review": None,
         }
 
@@ -379,6 +383,11 @@ def make_fixtures(n_convs: int = 50, mean_turns: int = 4,
                     "date": "" if date_empty else (
                         mr["Date"]["Value"] or "2020-07-07"),
                     "total": mr["Total"]["Value"] or f"{(hh('revtot') % 9000 + 100) / 100.0:.2f}",
+                    # optional tax answer (the form's tax row +
+                    # '-present' checkbox): absent for ~half the
+                    # reviews, mirrored as None
+                    "tax": (f"{(hh('revtax') % 900 + 10) / 100.0:.2f}"
+                            if hh("taxpresent") % 2 == 0 else None),
                     "worker_id": f"worker-{hh('wid') % 1000:04d}",
                     "review_ts": row["ts"] + timedelta(seconds=3600),
                 })
