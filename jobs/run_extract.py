@@ -10,6 +10,15 @@ Usage (north-rule packaging, BASELINE.json:14):
 
 Re-running after a kill resumes: committed partitions are detected
 from their manifests and skipped before the Spark job starts.
+
+Output schema note: the committed table includes the per-row stats
+columns (n_blocks_kept, n_blocks_dropped, conf_hist) computed by
+with_block_stats — they are part of the table contract (cheap scalar
+lineage alongside the data). Tables written before these columns
+existed still read consistently: IcebergLike.read applies the schema
+recorded in the snapshot manifest, so older partitions surface the
+missing columns as null instead of depending on which parquet footer
+Spark samples.
 """
 
 from __future__ import annotations
