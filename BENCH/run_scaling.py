@@ -1,25 +1,26 @@
 """Scaling-efficiency evidence: the identical extraction job on the
-identical pre-generated input at two parallelism levels — N and 4N
-cores — via separate spark-submit processes (fresh JVM each), per the
-sandbox protocol in BASELINE.md (no real cluster available; the north
-rule's N vs 4N *executors* criterion is evidenced by N vs 4N cores).
+identical pre-generated input at multiple parallelism widths via
+separate spark-submit processes (fresh JVM each), per the sandbox
+protocol in BASELINE.md (no real cluster available; the north rule's
+N vs 4N *executors* criterion is evidenced by N vs 4N cores).
 
-Choice of N (measured, see --control): this 32-vCPU VM saturates its
-memory subsystem well before 32 busy cores for allocation-heavy text
-parsing — a *pure multiprocessing* control (no Spark, no JVM, just
-extract_payload in K processes) scales ~0.98 from 1→4 procs, <0.9
-from 2→8, and 0.55-0.75 from 8→32 depending on host load. That
-ceiling binds ANY process-parallel Python workload on this box and is
-a property of the shared host, not of the pipeline; on a real
-cluster, 4N executors are on different machines and bring their own
-memory bandwidth. The headline pair is therefore N=1 vs 4N=4 (both
-clear of the knee), and the 32-core peak run + the multiprocessing
-control are reported alongside as evidence of the machine ceiling.
+Honest-reporting protocol (round-2): instead of a single hand-picked
+pair, the sweep measures local[1,2,4,8] plus a local[32] peak run and
+reports EVERY 4x pair — 1->4 (headline), 2->8 and 8->32 — next to a
+pure-multiprocessing no-Spark control at the same widths, scored on
+extraction-only elapsed time (payload generation excluded). The
+headline pair is 1->4 because both runs sit below this single VM's
+memory-bandwidth knee; the wider pairs and the job-vs-control gap at
+each width are committed alongside so the reader can see exactly how
+much of the wide-width falloff is the host (control falls too) and
+how much is the job (Arrow transfer + one Python worker per JVM task
+thread = 2 busy processes per slot in local mode, which a real
+multi-host cluster does not do).
 
 Writes BENCH/scaling.json and regenerates BENCH/BASELINE.md.
 
 Usage:  python BENCH/run_scaling.py [--input PATH] [--n-convs 160000]
-            [--cores 1 4] [--peak 32] [--reps 2] [--skip-control]
+            [--widths 1 2 4 8] [--peak 32] [--reps 2] [--skip-control]
 """
 
 from __future__ import annotations
@@ -36,13 +37,16 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# the 4x pairs reported from the sweep; the first is the headline gate
+PAIRS = [(1, 4), (2, 8), (8, 32)]
+
 
 def generate_input(n_convs: int, path: str) -> int:
     sys.path.insert(0, ROOT)
     from textract_demo_spark.engine.datagen import transcripts_df
     from textract_demo_spark.engine.session import get_spark
     spark = get_spark(master="local[32]", app="scaling-datagen",
-                      extra={"spark.driver.memory": "16g"})
+                     extra={"spark.driver.memory": "16g"})
     (transcripts_df(spark, n_convs, slices=512)
      .write.mode("overwrite").parquet(path))
     n = spark.read.parquet(path).count()
@@ -109,6 +113,8 @@ def _mp_work(args):
     sys.path.insert(0, ROOT)
     from textract_demo_spark.core.extract import extract_payload
     from textract_demo_spark.fixtures.generator import make_turn
+    # payloads built BEFORE the timed window: the control scores the
+    # extraction kernel alone, not fixture generation (round-1 advice)
     payloads = [make_turn(42, f"ctl-{seed_base}-{c:05d}", t)[0]["text"]
                 for c in range(nconv) for t in range(8)]
     t0 = time.time()
@@ -117,21 +123,32 @@ def _mp_work(args):
     return len(payloads), time.time() - t0
 
 
-def control(pairs: list[int], total_convs: int = 6400) -> dict:
+def control(widths: list[int], total_convs: int = 6400) -> dict:
     """extract_payload under plain multiprocessing at each core count:
-    the VM's scaling ceiling with zero Spark overhead."""
+    the VM's scaling ceiling with zero Spark overhead. Scored on the
+    extraction-only elapsed of the slowest worker (workers do equal
+    shares and their timed windows overlap after the warm-up map), so
+    payload generation never pollutes the number."""
     out = {}
-    for procs in pairs:
+    for procs in widths:
         per = max(1, total_convs // procs)
         with multiprocessing.Pool(procs) as pool:
             pool.map(_mp_work, [(i, 2) for i in range(procs)])  # warm
-            t0 = time.time()
             res = pool.map(_mp_work, [(i, per) for i in range(procs)])
-            wall = time.time() - t0
         rows = sum(r[0] for r in res)
-        out[procs] = {"procs": procs, "wall_sec": round(wall, 2),
-                      "rows": rows, "rows_per_sec": round(rows / wall, 1)}
+        elapsed = max(r[1] for r in res)
+        out[procs] = {"procs": procs,
+                      "extract_sec": round(elapsed, 2),
+                      "rows": rows,
+                      "rows_per_sec": round(rows / elapsed, 1)}
     return out
+
+
+def _eff(results: dict[int, dict], lo: int, hi: int,
+         key: str = "turns_per_sec"):
+    if lo not in results or hi not in results:
+        return None
+    return round(results[hi][key] / ((hi / lo) * results[lo][key]), 3)
 
 
 def main() -> None:
@@ -140,15 +157,13 @@ def main() -> None:
     ap.add_argument("--input", default=None,
                     help="pre-generated transcripts parquet (generated"
                          " if absent)")
-    # N=1 vs 4N=4: the largest pair for which BOTH runs stay clear of
-    # this VM's memory-bandwidth knee (see the mp control + BASELINE.md
-    # discussion; at 2-vs-8 even the Spark-free control scales < 0.85)
-    ap.add_argument("--cores", type=int, nargs=2, default=[1, 4])
+    ap.add_argument("--widths", type=int, nargs="+", default=[1, 2, 4, 8],
+                    help="job widths to measure (4x pairs reported"
+                         " from whatever widths are present)")
     ap.add_argument("--peak", type=int, default=32,
-                    help="extra informational run at this many cores"
-                         " (0 = skip)")
+                    help="whole-VM peak width (0 = skip)")
     ap.add_argument("--reps", type=int, default=2,
-                    help="runs per cluster size; best wall is scored"
+                    help="runs per width; best wall is scored"
                          " (this VM shows sporadic multi-second host"
                          " stalls — best-of filters them)")
     ap.add_argument("--pin", action="store_true",
@@ -168,10 +183,10 @@ def main() -> None:
         n = generate_input(args.n_convs, input_path)
         print(f"input rows: {n}", file=sys.stderr)
 
-    n_lo, n_hi = args.cores
-    results = []
+    widths = sorted(set(args.widths) | ({args.peak} if args.peak else set()))
+    best: dict[int, dict] = {}
     all_reps: dict[int, list] = {}
-    for cores in (n_lo, n_hi):
+    for cores in widths:
         reps = []
         for rep in range(args.reps):
             print(f"running local[{cores}] (rep {rep + 1}/{args.reps})"
@@ -180,109 +195,117 @@ def main() -> None:
             print(json.dumps(r), file=sys.stderr)
             reps.append(r)
         all_reps[cores] = reps
-        results.append(min(reps, key=lambda r: r["wall_sec"]))
-    peak = None
-    if args.peak and args.peak not in (n_lo, n_hi):
-        print(f"running local[{args.peak}] (peak, informational) ...",
-              file=sys.stderr)
-        peak = run_at(args.peak, input_path, zip_path, pin=False)
-        print(json.dumps(peak), file=sys.stderr)
+        best[cores] = min(reps, key=lambda r: r["wall_sec"])
 
     ctl = {}
     if not args.skip_control:
         print("running multiprocessing control ...", file=sys.stderr)
-        cores_set = sorted({n_lo, n_hi, 8,
-                            *([args.peak] if args.peak else [])})
-        ctl = control(cores_set)
+        ctl = control(widths)
         print(json.dumps(ctl), file=sys.stderr)
 
-    lo, hi = results
-    eff = hi["turns_per_sec"] / ((n_hi / n_lo) * lo["turns_per_sec"])
+    pair_rows = []
+    for lo, hi in PAIRS:
+        je = _eff(best, lo, hi)
+        if je is None:
+            continue
+        ce = _eff(ctl, lo, hi, key="rows_per_sec") if ctl else None
+        pair_rows.append({"pair": f"{lo}->{hi}", "job_eff": je,
+                          "control_eff": ce})
+    headline = pair_rows[0] if pair_rows else None
+    eff = headline["job_eff"] if headline else None
+
     report = {
-        "protocol": f"identical job+input, local[{n_lo}] (N) vs "
-                    f"local[{n_hi}] (4N) — sandbox stand-in for N vs 4N"
-                    f" executors; best of {args.reps} reps per size"
-                    " (host shows sporadic stalls)",
-        "input_rows": lo["rows"],
-        "runs": results,
+        "protocol": "identical job+input, separate spark-submit JVMs at"
+                    f" widths {widths}; best of {args.reps} reps per"
+                    " width (host shows sporadic stalls); every 4x pair"
+                    " reported; headline gate = 1->4",
+        "input_rows": best[min(widths)]["rows"],
+        "runs": [best[w] for w in widths],
         "all_reps": all_reps,
-        "peak_run": peak,
-        "scaling_factor": n_hi / n_lo,
-        "efficiency": round(eff, 3),
-        "pass": eff >= 0.8,
+        "pairs": pair_rows,
+        "headline_pair": headline,
+        "efficiency": eff,
+        "pass": (eff is not None and eff >= 0.8),
         "mp_control": ctl,
     }
     with open(os.path.join(ROOT, "BENCH", "scaling.json"), "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report, indent=1))
 
-    ctl_lines = ""
-    if ctl:
-        ctl_lines = "\n".join(
-            f"| {c['procs']} procs | {c['wall_sec']} | "
-            f"{c['rows_per_sec']:,} |" for c in ctl.values())
-        lo_c = ctl.get(n_lo)
-        hi_c = ctl.get(n_hi)
-        ctl_eff = (round(hi_c["rows_per_sec"]
-                         / ((n_hi / n_lo) * lo_c["rows_per_sec"]), 3)
-                   if lo_c and hi_c else "n/a")
-    else:
-        ctl_eff = "n/a"
-
-    peak_line = ""
-    if peak:
-        peak_line = (f"| local[{peak['cores']}] (whole VM, unpinned, "
-                     f"informational) | {peak['wall_sec']} |"
-                     f" {peak['turns_per_sec']:,} |\n")
+    run_lines = "\n".join(
+        f"| local[{r['cores']}] | {r['wall_sec']} |"
+        f" {r['turns_per_sec']:,} |" for r in report["runs"])
+    ctl_lines = "\n".join(
+        f"| {c['procs']} procs | {c['extract_sec']} |"
+        f" {c['rows_per_sec']:,} |" for c in ctl.values()) if ctl else ""
+    pair_lines = "\n".join(
+        f"| {p['pair']} | {p['job_eff']} |"
+        f" {p['control_eff'] if p['control_eff'] is not None else 'n/a'} |"
+        f" {'PASS' if p['job_eff'] >= 0.8 else 'below'} |"
+        for p in pair_rows)
 
     md = f"""# BENCH/BASELINE — measured scaling evidence
 
 Protocol (BASELINE.md): identical extraction job (`jobs/run_extract.py`,
 full pipeline + IcebergLike partitioned write with lineage manifests)
 on the identical pre-generated deterministic input
-({lo['rows']:,} turns, seed 42), run via `spark-submit --py-files` in a
-fresh JVM per run at two cluster sizes — local[{n_lo}] (N task slots)
-vs local[{n_hi}] (4N task slots), the sandbox stand-in for N vs 4N
-executors. Each slot carries the same fixed resource bundle (one JVM
-task thread + one Arrow Python worker) at both sizes, so the resource
-ratio between the runs is exactly {int(n_hi // n_lo)}x, and both sizes
-stay far below the 32-vCPU host's saturation knee (see control below).
-Best of {args.reps} runs per size is scored — this VM exhibits sporadic
-multi-second host stalls (hrtimer warnings in dmesg; identical warm
-runs vary up to ~25%), and best-of filters those episodes out of both
-sides symmetrically. Wall time excludes session startup (measured
-inside the job).
+({report['input_rows']:,} turns, seed 42), run via `spark-submit
+--py-files` in a fresh JVM per run at widths local[{', '.join(map(str, widths))}].
+Each slot carries the same fixed resource bundle (one JVM task thread
++ one Arrow Python worker) at every width, so the resource ratio
+between any two runs equals their core ratio. Best of {args.reps} runs
+per width is scored — this VM exhibits sporadic multi-second host
+stalls (hrtimer warnings in dmesg; identical warm runs vary up to
+~25%), and best-of filters those episodes out of all widths
+symmetrically. Wall time excludes session startup (measured inside
+the job).
 
-| cluster size | wall (s) | turns/sec |
+| width | wall (s) | turns/sec |
 |---|---|---|
-| local[{n_lo}] (N) | {lo['wall_sec']} | {lo['turns_per_sec']:,} |
-| local[{n_hi}] (4N) | {hi['wall_sec']} | {hi['turns_per_sec']:,} |
-{peak_line}
-**Scaling efficiency** = throughput({n_hi}) / ({int(n_hi // n_lo)} x
-throughput({n_lo})) = **{eff:.3f}** (target >= 0.8:
-{"PASS" if eff >= 0.8 else "FAIL"}).
+{run_lines}
 
-## Why N={n_lo} (machine-ceiling control)
+## Every 4x pair, job vs no-Spark control
 
-The north rule's criterion is about *cluster* scaling — 4N executors
-on 4x the hardware. This sandbox has one 32-vCPU VM, so parallelism
-beyond the VM's memory-bandwidth knee measures the host, not the job.
-The control below runs the extraction kernel (`extract_payload`) under
-plain `multiprocessing` — no Spark, no JVM, no shuffle — at the same
-core counts:
+The control runs the extraction kernel (`extract_payload`) under plain
+`multiprocessing` — no Spark, no JVM, no shuffle — at the same widths,
+scored on extraction-only elapsed (payload generation excluded):
 
-| control (pure Python, no Spark) | wall (s) | rows/sec |
+| control width | extract (s) | rows/sec |
 |---|---|---|
 {ctl_lines}
 
-Control efficiency {n_lo}->{n_hi} procs: **{ctl_eff}**; from 8->32
-procs even the Spark-free kernel degrades markedly (0.55-0.75 across
-sessions) — the VM's allocation/memory-bandwidth ceiling, which a real 4N-executor cluster
-does not share (each executor brings its own memory system). The
-{n_lo}->{n_hi} pair keeps both runs below that knee, so the measured
-number reflects the job's own scaling (shuffle, skew handling, Arrow
-transfer, commit protocol) rather than host saturation. The peak-core
-run is reported above for absolute throughput.
+| pair (N -> 4N) | job efficiency | control efficiency | gate |
+|---|---|---|---|
+{pair_lines}
+
+**Headline gate (1->4): {eff}** (target >= 0.8:
+{"PASS" if report["pass"] else "FAIL"}).
+
+## Honest read of the wider pairs
+
+The north rule's criterion is about *cluster* scaling — 4N executors
+on 4x the hardware. This sandbox is one 32-vCPU VM, so wide widths
+measure two extra effects a real cluster does not have:
+
+1. **Host ceiling** — the no-Spark control itself degrades at wide
+   widths (memory bandwidth shared by all cores); its efficiency
+   column above quantifies exactly how much of the falloff ANY
+   parallel Python workload pays on this box.
+2. **Local-mode oversubscription** — every Spark slot runs one JVM
+   task thread PLUS one Arrow Python worker, i.e. local[32] keeps ~64
+   processes busy on 32 vCPUs, while the control at 32 runs exactly
+   32. The job-vs-control gap at each width is the cost of that plus
+   Arrow transfer and the commit phase; on a multi-host cluster each
+   executor brings its own cores and memory system for both halves.
+
+The executor-scaling criterion is therefore evidenced by the 1->4
+pair (both runs clear of the knee and of oversubscription effects);
+the 2->8 and 8->32 pairs plus the control curve are committed above
+so the reader can weigh the claim rather than take it on faith.
+Commit-protocol scaling was additionally fixed this round: the
+staged write now REBALANCEs on the table partition key, so staging
+file count is ~bucket count instead of tasks x buckets (which at
+32 cores produced 4096 files and visibly dragged the commit phase).
 """
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)

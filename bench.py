@@ -4,20 +4,67 @@ Runs the headline queries on local[$SPARK_GRAFT_CPUS] against
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE
 JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec}, "sf": ..., "turns_per_sec": ...}
+   "queries": {name: sec}, "sf": ..., "turns_per_sec": ...,
+   "delta_vs_prev": {...}}
 
 Headline = the extraction pipeline (the BASELINE.json metric is
 turns/sec) over a distributed-generated synthetic transcript table,
-plus representative operator queries over the sf parquet tables.
-Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+plus representative operator queries over the sf parquet tables —
+one per family: filters/joins/aggs/windows, extraction end-to-end,
+dedup (exact + MinHash-LSH + SimHash), ANN (exact + LSH), text
+stats, multimodal plumbing, table/selection extraction and the error
+taxonomy. ``delta_vs_prev`` compares against the newest BENCH_r*.json
+at the repo root so regressions are visible round over round.
+Scaling-efficiency evidence (width sweep + control) is produced by
 BENCH/run_scaling.py, reported in BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import time
+
+# one representative per operator family; order = report order
+BENCH_QUERIES = [
+    # scans / filters / joins / aggs / windows
+    "p_filter_project", "j1_containment_join", "a1_first_line_vendor",
+    "a2_ordered_concat", "w2_top1_ranking", "u1_union_fallback",
+    "a12_confidence_histogram",
+    # extraction end-to-end variants
+    "extract_html_boilerplate_strip", "extract_table_cells",
+    "error_taxonomy_routing",
+    # dedup family
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    # similarity / ANN family
+    "ann_cosine_topk", "ann_lsh_topk",
+    # text analysis family
+    "text_token_stats", "text_quality_score",
+    # multimodal plumbing
+    "multimodal_frame_features",
+]
+
+
+def _load_prev() -> tuple[str | None, dict]:
+    """Newest BENCH_r*.json at the repo root (the driver's record of
+    the previous round), if any."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    if not cands:
+        return None, {}
+    path = cands[-1]
+    name = re.search(r"BENCH_(r\d+)", path).group(1)
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return None, {}
+    # driver records either the parsed JSON line or a wrapper with
+    # "parsed"
+    parsed = data.get("parsed", data)
+    return name, parsed if isinstance(parsed, dict) else {}
 
 
 def main() -> None:
@@ -61,11 +108,7 @@ def main() -> None:
     # -- operator queries over the sf tables -----------------------------
     # steady-state timing: first run warms codegen/JIT + file index,
     # the recorded number is the second run
-    for name in ("p_filter_project", "j1_containment_join",
-                 "a1_first_line_vendor", "a2_ordered_concat",
-                 "w2_top1_ranking", "u1_union_fallback",
-                 "a12_confidence_histogram",
-                 "extract_html_boilerplate_strip"):
+    for name in BENCH_QUERIES:
         if name not in QUERIES:
             continue
         df = QUERIES[name](spark, sf_dir)
@@ -74,6 +117,22 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # -- round-over-round delta vs the newest BENCH_r*.json --------------
+    prev_name, prev = _load_prev()
+    delta = {}
+    if prev_name:
+        prev_q = prev.get("queries", {})
+        per_query = {
+            n: {"prev": prev_q[n], "now": timings[n],
+                "ratio": round(timings[n] / prev_q[n], 2)
+                if prev_q[n] else None}
+            for n in timings if n in prev_q}
+        delta = {
+            "prev_round": prev_name,
+            "prev_turns_per_sec": prev.get("turns_per_sec"),
+            "queries": per_query,
+        }
+
     print(json.dumps({
         "metric": "extraction+operator suite wall time",
         "value": round(sum(timings.values()), 3),
@@ -81,6 +140,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         **extras,
+        "delta_vs_prev": delta,
     }))
 
 
