@@ -1,0 +1,103 @@
+"""Keyed TTL state (T4): the real stateful-operator form of the
+reference's 7-day expiring ownership cache
+(fn-notify-progress/main.py:36-40,82-131) — applyInPandasWithState
+with event-time TTL semantics + state timeout eviction."""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from textract_demo_spark.streaming.state import enrich_with_keyed_ttl_cache
+
+T0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+DAY = timedelta(days=1)
+EVENTS_SCHEMA = "exec_id string, ts timestamp, owner string"
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ("in", "out", "ckpt")}
+    os.makedirs(d["in"])
+    return d
+
+
+def _write_wave(spark, in_dir, name, rows):
+    df = spark.createDataFrame(
+        [(e, ts.replace(tzinfo=None), o) for e, ts, o in rows],
+        schema=EVENTS_SCHEMA)
+    stage = os.path.join(in_dir, f".stage-{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    for i, f in enumerate(sorted(os.listdir(stage))):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(stage, f),
+                        os.path.join(in_dir, f"wave-{name}-{i}.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _drain(spark, dirs, ttl_seconds):
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .parquet(dirs["in"]))
+    enriched = enrich_with_keyed_ttl_cache(stream, ttl_seconds=ttl_seconds)
+    q = (enriched.writeStream.format("parquet")
+         .option("path", dirs["out"])
+         .option("checkpointLocation", dirs["ckpt"])
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    return {(r["exec_id"], str(r["ts"])): (r["owner"],
+                                           r["owner_from_cache"])
+            for r in spark.read.schema(
+                "exec_id string, ts timestamp, owner string,"
+                " owner_from_cache boolean").parquet(dirs["out"]).collect()}
+
+
+def test_keyed_ttl_cache_hit_refresh_expire(spark, dirs):
+    ttl = 7 * 24 * 3600  # the reference's 7-day TTL
+
+    # wave A (t0): identities learned; e3 looked up before + after learn
+    _write_wave(spark, dirs["in"], "a", [
+        ("e1", T0, "alice"),
+        ("e2", T0, "bob"),
+        ("e3", T0, None),               # cold lookup -> miss
+        ("e3", T0 + timedelta(seconds=5), "carol"),
+        ("e3", T0 + timedelta(seconds=9), None),  # warm -> hit
+    ])
+    out = _drain(spark, dirs, ttl)
+    assert out[("e1", str(T0.replace(tzinfo=None)))] == ("alice", False)
+    assert out[("e3", str(T0.replace(tzinfo=None)))] == (None, False)
+    assert out[("e3", str((T0 + timedelta(seconds=9))
+                          .replace(tzinfo=None)))] == ("carol", True)
+
+    # wave B (t0+3d, inside TTL): lookups hit; e2 refreshed
+    _write_wave(spark, dirs["in"], "b", [
+        ("e1", T0 + 3 * DAY, None),
+        ("e2", T0 + 3 * DAY, "bob-renewed"),
+    ])
+    out = _drain(spark, dirs, ttl)
+    assert out[("e1", str((T0 + 3 * DAY).replace(tzinfo=None)))] == \
+        ("alice", True)
+
+    # wave C (t0+20d): e1 idle 20d > TTL -> expired (cold miss);
+    # e2 refreshed at +3d, idle 17d > TTL -> also expired
+    _write_wave(spark, dirs["in"], "c", [
+        ("e1", T0 + 20 * DAY, None),
+        ("e2", T0 + 20 * DAY, None),
+    ])
+    out = _drain(spark, dirs, ttl)
+    assert out[("e1", str((T0 + 20 * DAY).replace(tzinfo=None)))] == \
+        (None, False)
+    assert out[("e2", str((T0 + 20 * DAY).replace(tzinfo=None)))] == \
+        (None, False)
+
+
+def test_ttl_zero_never_caches_across_gaps(spark, dirs):
+    # degenerate TTL: any later lookup is a miss
+    _write_wave(spark, dirs["in"], "a", [("e1", T0, "alice")])
+    _drain(spark, dirs, ttl_seconds=1)
+    _write_wave(spark, dirs["in"], "b", [("e1", T0 + DAY, None)])
+    out = _drain(spark, dirs, ttl_seconds=1)
+    assert out[("e1", str((T0 + DAY).replace(tzinfo=None)))] == \
+        (None, False)
