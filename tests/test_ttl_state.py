@@ -101,3 +101,71 @@ def test_ttl_zero_never_caches_across_gaps(spark, dirs):
     out = _drain(spark, dirs, ttl_seconds=1)
     assert out[("e1", str((T0 + DAY).replace(tzinfo=None)))] == \
         (None, False)
+
+
+# --- T3: keyed wait-for-review with timeout --------------------------------
+
+TAGGED_SCHEMA = ("conv_id string, turn_idx int, ts timestamp, kind string,"
+                 " vendor string, date string, total string,"
+                 " worker_id string")
+
+
+def _write_tagged(spark, in_dir, name, rows):
+    df = spark.createDataFrame(
+        [(c, t, ts.replace(tzinfo=None), k, v, d, tot, w)
+         for c, t, ts, k, v, d, tot, w in rows], schema=TAGGED_SCHEMA)
+    stage = os.path.join(in_dir, f".stage-{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    for i, f in enumerate(sorted(os.listdir(stage))):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(stage, f),
+                        os.path.join(in_dir, f"wave-{name}-{i}.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _drain_wait(spark, dirs, timeout_seconds=3600):
+    from textract_demo_spark.streaming.state import (WAIT_OUTPUT_SCHEMA,
+                                                     review_wait_with_timeout)
+    stream = spark.readStream.schema(TAGGED_SCHEMA).parquet(dirs["in"])
+    out = review_wait_with_timeout(stream, timeout_seconds=timeout_seconds)
+    q = (out.writeStream.format("parquet")
+         .option("path", dirs["out"])
+         .option("checkpointLocation", dirs["ckpt"])
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    return {(r["conv_id"], r["turn_idx"]): r.asDict()
+            for r in spark.read.schema(WAIT_OUTPUT_SCHEMA)
+            .parquet(dirs["out"]).collect()}
+
+
+def test_review_wait_match_timeout_and_out_of_order(spark, dirs):
+    R = lambda c, ts: (c, 0, ts, "result", None, None, None, None)  # noqa
+    V = lambda c, ts, w: (c, 0, ts, "review", "Vendor Co",  # noqa
+                          "2020-07-07", "64.30", w)
+    # wave A: three turns enter the wait; c3's review arrives BEFORE
+    # its result (out-of-order token round-trip)
+    _write_tagged(spark, dirs["in"], "a", [
+        R("c1", T0), R("c2", T0), V("c3", T0, "w-3")])
+    out = _drain_wait(spark, dirs)
+    assert out == {}  # everything still parked
+
+    # wave B (t0+10min, inside the 3600s timeout): c1's review lands;
+    # c3's result lands and matches the held review
+    _write_tagged(spark, dirs["in"], "b", [
+        V("c1", T0 + timedelta(seconds=600), "w-1"),
+        R("c3", T0 + timedelta(seconds=600))])
+    out = _drain_wait(spark, dirs)
+    assert out[("c1", 0)]["reviewed"] is True
+    assert out[("c1", 0)]["worker_id"] == "w-1"
+    assert out[("c1", 0)]["vendor"] == "Vendor Co"
+    assert out[("c3", 0)]["reviewed"] is True
+    assert out[("c3", 0)]["worker_id"] == "w-3"
+    assert ("c2", 0) not in out  # still parked
+
+    # wave C (t0+2h): watermark passes c2's deadline => timed out,
+    # stays unreviewed (the 3600s waitForTaskToken expiry)
+    _write_tagged(spark, dirs["in"], "c", [
+        R("c9", T0 + 2 * timedelta(hours=1))])
+    out = _drain_wait(spark, dirs)
+    assert out[("c2", 0)]["reviewed"] is False
+    assert out[("c2", 0)]["timed_out"] is True

@@ -35,6 +35,14 @@ OUTPUT_SCHEMA = ("exec_id string, ts timestamp, owner string, "
                  "owner_from_cache boolean")
 STATE_SCHEMA = "owner string, last_refresh_sec long"
 
+WAIT_OUTPUT_SCHEMA = (
+    "conv_id string, turn_idx int, reviewed boolean, timed_out boolean, "
+    "vendor string, date string, total string, worker_id string")
+WAIT_STATE_SCHEMA = (
+    "result_ts_sec long, "
+    "rev_vendor string, rev_date string, rev_total string, "
+    "rev_worker string")
+
 
 def enrich_with_keyed_ttl_cache(events: DataFrame,
                                 ttl_seconds: int = 7 * 24 * 3600,
@@ -94,5 +102,85 @@ def enrich_with_keyed_ttl_cache(events: DataFrame,
                 update,
                 outputStructType=OUTPUT_SCHEMA,
                 stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def review_wait_with_timeout(tagged: "DataFrame",
+                             timeout_seconds: int = 3600,
+                             watermark: str = "0 seconds") -> DataFrame:
+    """Keyed wait-for-review with timeout (T3): the real stateful form
+    of the reference's ``waitForTaskToken`` park —
+    ``StateMachine.asl.json:66-82`` parks the execution until the
+    review callback resumes it, with ``TimeoutSeconds: 3600``
+    (asl.json:80); an expired wait surfaces as an unreviewed outcome.
+
+    Input ``tagged`` is the union of the two streams on a shared
+    schema (conv_id string, turn_idx int, ts timestamp, kind string
+    ['result'|'review'], vendor string, date string, total string,
+    worker_id string): 'result' rows are low-confidence turns entering
+    the wait; 'review' rows are the human answers. One output row per
+    waiting turn:
+
+    - review arrives within ``timeout_seconds`` of the result's event
+      time => reviewed=true with the answers (out-of-order arrival —
+      review before result — is held and matched, the token round-trip
+      analog J5);
+    - watermark passes result_ts + timeout with no review =>
+      reviewed=false, timed_out=true (the turn stays needs_review,
+      exactly the batch left-join's absent-row semantics).
+    """
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        def emit(reviewed: bool, timed_out: bool, vendor=None, date=None,
+                 total=None, worker=None):
+            return pd.DataFrame({
+                "conv_id": [key[0]], "turn_idx": [key[1]],
+                "reviewed": [reviewed], "timed_out": [timed_out],
+                "vendor": [vendor], "date": [date], "total": [total],
+                "worker_id": [worker]})
+
+        if state.hasTimedOut:
+            had_result = state.exists and state.get[0] is not None
+            state.remove()
+            if had_result:
+                yield emit(False, True)
+            # else: a stray held review with no matching result —
+            # dropped, like a callback with an unknown token
+            return
+        (result_ts, rv, rd, rt, rw) = (state.get if state.exists
+                                       else (None, None, None, None, None))
+        rows = pd.concat(list(pdfs)).sort_values("ts", kind="stable")
+        for r in rows.itertuples():
+            if r.kind == "result":
+                result_ts = int(r.ts.timestamp())
+            else:  # review answers (first one wins, A11)
+                if rw is None:
+                    rv, rd, rt, rw = r.vendor, r.date, r.total, r.worker_id
+        if result_ts is not None and rw is not None:
+            state.remove()
+            yield emit(True, False, rv, rd, rt, rw)
+            return
+        if result_ts is not None:
+            # park with the reference's timeout from the RESULT's
+            # event time; the timeout fires once the watermark passes
+            state.update((result_ts, None, None, None, None))
+            state.setTimeoutTimestamp((result_ts + timeout_seconds) * 1000)
+        elif rw is not None:
+            # review before result (out-of-order): hold the answers,
+            # bounded by the same TTL-style timeout from the review ts
+            rev_ts = int(rows["ts"].iloc[-1].timestamp())
+            state.update((None, rv, rd, rt, rw))
+            state.setTimeoutTimestamp((rev_ts + timeout_seconds) * 1000)
+        return
+
+    return (tagged
+            .withWatermark("ts", watermark)
+            .groupBy("conv_id", "turn_idx")
+            .applyInPandasWithState(
+                update,
+                outputStructType=WAIT_OUTPUT_SCHEMA,
+                stateStructType=WAIT_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
