@@ -72,6 +72,65 @@ def test_table_missing_tr_is_tolerated():
                if b["block_type"] == "LINE")
 
 
+def _min_pdf(ops: list[str]) -> bytes:
+    """Minimal single-page uncompressed PDF around the given content
+    ops (same scaffolding shape as the fixture builder)."""
+    content = "\n".join(ops).encode("latin-1")
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >> endobj\n",
+        (f"4 0 obj << /Length {len(content)} >> stream\n").encode()
+        + content + b"\nendstream endobj\n",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for o in objs:
+        out.extend(o)
+    out.extend(b"trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    return bytes(out)
+
+
+def test_pdf_geometry_table_cells():
+    """Aligned multi-column lines in a PDF become a TABLE + CELL grid;
+    spans are main_text-domain (the PDF span convention)."""
+    from textract_demo_spark.core.pdf_extract import extract_pdf
+    ops = ["BT /F1 12 Tf 72 740 Td (Receipt Header) Tj ET"]
+    grid = [["Item", "Qty", "Price"],
+            ["Tea", "2", "$4.50"],
+            ["Scone", "1", "$3.25"]]
+    xs = [72, 300, 430]
+    for ri, row in enumerate(grid):
+        y = 700 - 20 * ri
+        for x, txt in zip(xs, row):
+            ops.append(f"BT /F1 12 Tf {x} {y} Td ({txt}) Tj ET")
+    res = extract_pdf(_min_pdf(ops))
+    assert res.status == "ok"
+    cells = [b for b in res.blocks if b["block_type"] == CELL]
+    got = {(b["row_idx"], b["col_idx"]): b["text"] for b in cells}
+    assert got == {(ri, ci): txt for ri, row in enumerate(grid)
+                   for ci, txt in enumerate(row)}
+    for b in cells:  # spans slice out of main_text (span_domain)
+        assert res.main_text[b["char_start"]:b["char_end"]] == b["text"]
+    tables = [b for b in res.blocks if b["block_type"] == TABLE]
+    assert len(tables) == 1
+    assert (tables[0]["row_idx"], tables[0]["col_idx"]) == (3, 3)
+    # the header line (single run) is not part of the grid
+    assert "Receipt Header" in res.main_text
+
+
+def test_pdf_misaligned_columns_are_not_a_table():
+    from textract_demo_spark.core.pdf_extract import extract_pdf
+    ops = [
+        "BT /F1 12 Tf 72 740 Td (alpha) Tj ET",
+        "BT /F1 12 Tf 300 740 Td (beta) Tj ET",
+        "BT /F1 12 Tf 90 720 Td (gamma) Tj ET",   # x-start shifted
+        "BT /F1 12 Tf 350 720 Td (delta) Tj ET",
+    ]
+    res = extract_pdf(_min_pdf(ops))
+    assert not [b for b in res.blocks if b["block_type"] == TABLE]
+
+
 # --- SELECTION_ELEMENT ------------------------------------------------------
 
 def test_selection_elements_states_and_spans():

@@ -22,7 +22,8 @@ from __future__ import annotations
 import re
 import zlib
 
-from .blocks import KEY, KEY_VALUE, LINE, VALUE, ExtractResult, make_block
+from .blocks import (CELL, KEY, KEY_VALUE, LINE, TABLE, VALUE,
+                     ExtractResult, make_block)
 from .confidence import line_confidence
 from .html_extract import split_key_value
 
@@ -33,6 +34,7 @@ _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
 Y_TOLERANCE = 2.0
 COLUMN_GAP = 30.0  # gap (pts) between estimated run end and next run => column split
 CHAR_WIDTH_EM = 0.6  # crude Helvetica-ish average advance per char
+TABLE_ALIGN_TOL = 2.0  # column x-start alignment tolerance (pts)
 
 
 class PdfParseError(ValueError):
@@ -230,6 +232,9 @@ def extract_pdf(data: bytes) -> ExtractResult:
     bid = 0
     kv_gid = 0
     offset = 0
+    # per-line geometry + char spans of each run, for the table
+    # detection post-pass: (page, runs, [per-run (start, end)], y)
+    line_meta: list[tuple[int, list[_Run], list[tuple[int, int]], float]] = []
     for order, c in enumerate(clusters):
         rs: list[_Run] = c["runs"]
         # detect a column split: large x-gap between consecutive runs
@@ -242,6 +247,12 @@ def extract_pdf(data: bytes) -> ExtractResult:
         start = offset
         end = start + len(text)
         offset = end + 1  # '\n' joiner
+        run_spans = []
+        off_in = 0
+        for r in rs:
+            run_spans.append((start + off_in, start + off_in + len(r.text)))
+            off_in += len(r.text) + 1
+        line_meta.append((c["page"], rs, run_spans, c["y"]))
         x0 = rs[0].x
         x1 = max(r.x_end for r in rs)
         y1 = c["y"] + rs[0].size
@@ -281,6 +292,56 @@ def extract_pdf(data: bytes) -> ExtractResult:
                 kv_role=VALUE, kv_group_id=kv_gid))
             bid += 1
             kv_gid += 1
+
+    # --- geometry-grid table detection (TABLE/CELL analog of
+    # FeatureTypes=["FORMS","TABLES"], fn-call-textract/main.py:53-61):
+    # >= 2 consecutive lines on one page whose multi-run column starts
+    # align within TABLE_ALIGN_TOL form a table region; each aligned
+    # run is a CELL with its (row, col) grid position. Char spans are
+    # main_text-domain (the PDF span domain), so CELL text slices out
+    # of main_text exactly. KV pairs emitted above are unaffected —
+    # like Textract, a two-column form region can carry both FORMS
+    # and TABLES structure.
+    regions: list[list[tuple]] = []
+    cur: list[tuple] = []
+    for meta in line_meta:
+        page, rs, run_spans, y = meta
+        multi = len(rs) >= 2
+        if (multi and cur
+                and page == cur[-1][0]
+                and len(rs) == len(cur[-1][1])
+                and all(abs(a.x - b.x) <= TABLE_ALIGN_TOL
+                        for a, b in zip(rs, cur[-1][1]))):
+            cur.append(meta)
+            continue
+        if len(cur) >= 2:
+            regions.append(cur)
+        cur = [meta] if multi else []
+    if len(cur) >= 2:
+        regions.append(cur)
+    for region in regions:
+        cell_confs = [line_confidence(r.text)
+                      for _, rs, _, _ in region for r in rs]
+        t_start = min(sp[0] for _, _, rsp, _ in region for sp in rsp)
+        t_end = max(sp[1] for _, _, rsp, _ in region for sp in rsp)
+        blocks.append(make_block(
+            bid, TABLE, "", t_start, t_end, min(cell_confs),
+            page=region[0][0],
+            x0=min(r.x for _, rs, _, _ in region for r in rs),
+            y0=min(y for _, _, _, y in region),
+            x1=max(r.x_end for _, rs, _, _ in region for r in rs),
+            y1=max(y for _, _, _, y in region) + region[0][1][0].size,
+            is_content=False,
+            row_idx=len(region), col_idx=len(region[0][1])))
+        bid += 1
+        for ri, (page, rs, rsp, y) in enumerate(region):
+            for ci, (r, sp) in enumerate(zip(rs, rsp)):
+                blocks.append(make_block(
+                    bid, CELL, r.text, sp[0], sp[1],
+                    line_confidence(r.text), page=page,
+                    x0=r.x, y0=y, x1=r.x_end, y1=y + r.size,
+                    is_content=False, row_idx=ri, col_idx=ci))
+                bid += 1
 
     return ExtractResult(
         status="ok", kind="pdf",
