@@ -76,7 +76,10 @@ def test_manifest_metrics(spark, tmp_path, results_df):
         assert m is not None
         met = m["metrics"]
         total_rows += met["rows"]
-        assert met["ok"] + met["rejected"] == met["rows"]
+        assert met["ok"] + met["failed"] == met["rows"]
+        # typed statuses partition the failures (SURVEY.md §1.4)
+        assert (met["rejected"] + met["malformed"] + met["model_error"]
+                + met["review_failed"]) == met["failed"]
         assert met["blocks_kept"] >= 0 and met["blocks_dropped"] >= 0
         assert len(met["conf_histogram"]) == 10
         assert sum(met["conf_histogram"]) == met["blocks_kept"]

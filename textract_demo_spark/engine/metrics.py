@@ -48,15 +48,23 @@ def partition_metrics(staged: DataFrame) -> dict[int, dict]:
     the ``blocks`` arrays directly (full re-decode — used only when
     the caller didn't precompute).
 
-    Returns {part_key: {rows, ok, rejected, needs_review, blocks_kept,
-    blocks_dropped, conf_histogram}}.
+    Returns {part_key: {rows, ok, rejected, malformed, model_error,
+    review_failed, failed, needs_review, blocks_kept, blocks_dropped,
+    conf_histogram}} — one count per typed error status (SURVEY.md
+    §1.4) so the lineage manifest distinguishes a quality reject from
+    a broken envelope from an extractor failure; ``failed`` is the
+    total of all non-ok statuses.
     """
     cols = set(staged.columns)
     aggs = [
         F.count("*").alias("rows"),
         F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
         F.sum(F.when(F.col("status") != "ok", 1).otherwise(0))
-         .alias("rejected"),
+         .alias("failed"),
+    ]
+    aggs += [
+        F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
+        for s in ("rejected", "malformed", "model_error", "review_failed")
     ]
     if "needs_review" in cols:
         aggs.append(F.sum(F.when(F.col("needs_review"), 1).otherwise(0))
