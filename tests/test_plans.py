@@ -70,6 +70,23 @@ def test_extraction_pipeline_single_exchange(spark):
     assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{p[:3000]}"
 
 
+def test_staged_commit_write_is_rebalanced(spark):
+    """The IcebergLike staging write must carry a REBALANCE exchange
+    on the table partition key: without it every upstream task writes
+    one file per bucket it touches (tasks x buckets small files —
+    measured to anti-scale with parallelism and fatal at cluster
+    scale); with it, output file count tracks bucket count and AQE
+    splits oversized buckets."""
+    from textract_demo_spark.engine.tables import PART_COL, with_part_key
+    df = with_part_key(
+        spark.range(0, 100).select(F.col("id").cast("string")
+                                   .alias("conv_id")), 8)
+    rebalanced = df.hint("rebalance", F.col(PART_COL))
+    logical = rebalanced._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in logical or "rebalance" in logical, \
+        logical[:2000]
+
+
 def test_quality_filter_not_collapsed_into_extraction(spark):
     """The cheap quality gate runs inside the extraction kernel (one
     Python stage); there must be no SECOND Python stage before it
