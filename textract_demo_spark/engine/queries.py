@@ -401,17 +401,20 @@ def p_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.p_partkey, t.term
     FROM part p
-    JOIN (VALUES ('steel'), ('copper'), ('brass')) AS t(term)
+    JOIN (VALUES ('eco'), ('small'), ('med')) AS t(term)
       ON position(t.term IN lower(p.p_type)) > 0
     """)
 def j1_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-text containment theta join (J1): the searchFieldsByKey
     analog — tiny terms dim broadcast, non-equi contains predicate
-    => BroadcastNestedLoopJoin (fn-postprocess/main.py:65-66)."""
+    => BroadcastNestedLoopJoin (fn-postprocess/main.py:65-66). Terms
+    are strict substrings of real p_type values ('eco' in 'economy')
+    so the match set is non-empty and the containment (not equality)
+    semantics are what the oracle checks."""
     part = _t(spark, sf_dir, "part")
     # JVM-native tiny dim (no Python RDD round-trip): VALUES-style
     terms = spark.range(1).select(F.explode(F.array(
-        F.lit("steel"), F.lit("copper"), F.lit("brass"))).alias("term"))
+        F.lit("eco"), F.lit("small"), F.lit("med"))).alias("term"))
     return (part.join(F.broadcast(terms),
                       F.expr("contains(lower(p_type), term)"))
             .select("p_partkey", "term"))
