@@ -69,11 +69,17 @@ def _h(seed: int, conv_id: str, turn_idx: int, salt: str) -> int:
 # receipt content construction (shared by the HTML and PDF builders)
 
 def _receipt_lines(seed: int, conv_id: str, turn_idx: int,
-                   date_fallback: bool) -> list[str]:
-    """Content lines of one receipt. Index 0 is always the vendor."""
+                   date_fallback: bool, as_table: bool = False):
+    """Content lines of one receipt. Index 0 is always the vendor.
+
+    With ``as_table`` the item lines are (description, price) cell
+    pairs for a 2-column itemized table — the extractor renders each
+    cell as its own visual line, so the flat ``lines`` list carries
+    both cells in order; returns (lines, table_items)."""
     h = lambda s: _h(seed, conv_id, turn_idx, s)  # noqa: E731
     vendor = VENDORS[h("vendor") % len(VENDORS)]
     lines = [vendor]
+    table_items: list[tuple[str, str]] = []
     n_items = 1 + h("nitems") % 3
     subtotal = 0.0
     for i in range(n_items):
@@ -81,7 +87,12 @@ def _receipt_lines(seed: int, conv_id: str, turn_idx: int,
         item = ITEMS[h(f"item{i}") % len(ITEMS)]
         price = (100 + h(f"price{i}") % 9000) / 100.0
         subtotal += qty * price
-        lines.append(f"{qty} x {item} ${price:.2f}")
+        if as_table:
+            table_items.append((f"{qty} x {item}", f"${price:.2f}"))
+            lines.append(f"{qty} x {item}")
+            lines.append(f"${price:.2f}")
+        else:
+            lines.append(f"{qty} x {item} ${price:.2f}")
     total = round(subtotal * 1.1, 2)
 
     dsel = h("datefmt") % 4
@@ -106,6 +117,8 @@ def _receipt_lines(seed: int, conv_id: str, turn_idx: int,
         tkey = TOTAL_KEYS[h("tkey") % len(TOTAL_KEYS)]
         lines.append(f"{tkey}: ${total:.2f}")
     lines.append(THANKS[h("thanks") % len(THANKS)])
+    if as_table:
+        return lines, table_items
     return lines
 
 
@@ -145,9 +158,16 @@ def _blocks_from_lines(lines: list[str], spans: list[tuple[int, int]],
 
 
 def _build_html(seed: int, conv_id: str, turn_idx: int,
-                lines: list[str]) -> tuple[str, list[tuple[int, int]]]:
+                lines: list[str],
+                table_items: list[tuple[str, str]] | None = None,
+                ) -> tuple[str, list[tuple[int, int]]]:
     """Assemble the HTML payload, recording content-line spans
-    (offsets into the payload) by construction."""
+    (offsets into the payload) by construction. With ``table_items``,
+    the item lines are laid out as a 2-column ``<table>`` (one row per
+    item: description, price) instead of ``<p>`` lines — each cell is
+    its own visual line for the extractor, and the builder records the
+    corresponding per-cell spans in ``lines`` order (the caller
+    pre-flattens cells into ``lines``)."""
     h = lambda s: _h(seed, conv_id, turn_idx, s)  # noqa: E731
     parts: list[str] = []
     off = 0
@@ -157,6 +177,12 @@ def _build_html(seed: int, conv_id: str, turn_idx: int,
         nonlocal off
         parts.append(s)
         off += len(s)
+
+    def add_span(line: str) -> None:
+        nonlocal off
+        start = off
+        add(line)
+        spans.append((start, off))
 
     add("<!DOCTYPE html>\n<html><head><title>Receipts Portal</title></head>\n<body>\n")
     add('<nav class="topnav">')
@@ -170,11 +196,25 @@ def _build_html(seed: int, conv_id: str, turn_idx: int,
         add(f'<li><a href="/s/{i}">{w} Archive</a></li>\n')
     add("</ul>\n</div>\n")
     add('<div class="content">\n')
-    for line in lines:
+    n_table_lines = 2 * len(table_items) if table_items else 0
+    head = lines[:1]
+    tail = lines[1 + n_table_lines:]
+    for line in head:
         add("<p>")
-        start = off
-        add(line)
-        spans.append((start, off))
+        add_span(line)
+        add("</p>\n")
+    if table_items:
+        add("<table>\n")
+        for desc, price in table_items:
+            add("<tr><td>")
+            add_span(desc)
+            add("</td><td>")
+            add_span(price)
+            add("</td></tr>\n")
+        add("</table>\n")
+    for line in tail:
+        add("<p>")
+        add_span(line)
         add("</p>\n")
     add("</div>\n")
     add('<footer class="footer"><a href="/privacy">Privacy</a> '
@@ -283,8 +323,10 @@ def make_turn(seed: int, conv_id: str, turn_idx: int) -> tuple[dict, dict]:
     ts = EPOCH + timedelta(seconds=int(stable_hash(conv_id) % 86400)
                            + turn_idx * 7)
 
-    if u < 55:
+    if u < 42:
         kind = "html"
+    elif u < 55:
+        kind = "table"  # itemized 2-column <table> receipt
     elif u < 75:
         kind = "pdf"
     elif u < 90:
@@ -294,12 +336,19 @@ def make_turn(seed: int, conv_id: str, turn_idx: int) -> tuple[dict, dict]:
     else:
         kind = "bad"
 
-    tool = {"html": "browser", "fallback": "browser",
+    tool = {"html": "browser", "fallback": "browser", "table": "browser",
             "pdf": "pdf_reader"}.get(kind, "")
 
-    if kind in ("html", "fallback"):
-        lines = _receipt_lines(seed, conv_id, turn_idx, kind == "fallback")
-        payload, spans = _build_html(seed, conv_id, turn_idx, lines)
+    if kind in ("html", "fallback", "table"):
+        table_items = None
+        if kind == "table":
+            lines, table_items = _receipt_lines(
+                seed, conv_id, turn_idx, False, as_table=True)
+        else:
+            lines = _receipt_lines(seed, conv_id, turn_idx,
+                                   kind == "fallback")
+        payload, spans = _build_html(seed, conv_id, turn_idx, lines,
+                                     table_items=table_items)
         blocks = _blocks_from_lines(lines, spans)
         model = postprocess_blocks(blocks)
         expected = {
