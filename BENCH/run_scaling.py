@@ -184,18 +184,22 @@ def main() -> None:
         print(f"input rows: {n}", file=sys.stderr)
 
     widths = sorted(set(args.widths) | ({args.peak} if args.peak else set()))
-    best: dict[int, dict] = {}
-    all_reps: dict[int, list] = {}
-    for cores in widths:
-        reps = []
-        for rep in range(args.reps):
+    all_reps: dict[int, list] = {w: [] for w in widths}
+    # reps are INTERLEAVED across widths (1,2,4,8,32, 1,2,4,8,32, ...)
+    # rather than consecutive per width: this host's background load
+    # drifts on multi-minute timescales, so consecutive reps would let
+    # one noisy window bias a single width; interleaving gives every
+    # width a sample from each window and best-of compares like
+    # conditions.
+    for rep in range(args.reps):
+        for cores in widths:
             print(f"running local[{cores}] (rep {rep + 1}/{args.reps})"
                   " ...", file=sys.stderr)
             r = run_at(cores, input_path, zip_path, pin=args.pin)
             print(json.dumps(r), file=sys.stderr)
-            reps.append(r)
-        all_reps[cores] = reps
-        best[cores] = min(reps, key=lambda r: r["wall_sec"])
+            all_reps[cores].append(r)
+    best = {w: min(rs, key=lambda r: r["wall_sec"])
+            for w, rs in all_reps.items()}
 
     ctl = {}
     if not args.skip_control:
