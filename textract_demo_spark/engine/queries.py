@@ -371,6 +371,56 @@ def review_failed_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"))
 
 
+@query(
+    "j3_tax_override",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 3 = 0) AS reviewed,
+           CASE WHEN doc_id % 3 = 0 THEN
+             CASE WHEN doc_id % 2 = 0
+                  THEN printf('%d.%02d', 1 + doc_id % 20, doc_id % 100)
+                  ELSE '' END
+           END AS tax_value,
+           CASE WHEN doc_id % 3 = 0 THEN
+             CASE WHEN doc_id % 2 = 0 THEN 100.0 ELSE 0.0 END
+           END AS tax_conf
+    FROM documents
+    """)
+def j3_tax_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optional review ``tax`` answer through the override join (the
+    form's tax row, a2i-text-with-checkboxes.liquid.html): answered
+    tax => confidence 100 + verbatim value; reviewed-but-unanswered =>
+    confidence 0 + empty value (the unchecked '-present' box
+    semantics); unreviewed turns carry no final_result here (null
+    model_result input)."""
+    from .review import apply_reviews
+    docs = _t(spark, sf_dir, "documents")
+    turns = _docs_as_turns(docs, F.col("text"))
+    reviews = (turns.filter(F.col("doc_id") % 3 == 0).select(
+        "conv_id", "turn_idx",
+        F.lit("Vendor Co").alias("vendor"),
+        F.lit("2020-07-07").alias("date"),
+        F.lit("64.30").alias("total"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.format_string("%d.%02d", 1 + F.col("doc_id") % 20,
+                               F.col("doc_id") % 100))
+         .otherwise(F.lit(None).cast("string")).alias("tax"),
+        F.lit("worker-0001").alias("worker_id"),
+        F.col("ts").alias("review_ts")))
+    results = turns.select(
+        "conv_id", "turn_idx", "doc_id", F.lit("ok").alias("status"),
+        F.expr("""cast(null AS struct<
+            date:struct<confidence:double,value:string>,
+            total:struct<confidence:double,value:string>,
+            vendor:struct<confidence:double,value:string>,
+            confidence:double>)""").alias("model_result"))
+    out = apply_reviews(results, reviews)
+    return out.select(
+        "doc_id", "reviewed",
+        F.col("final_result.tax.value").alias("tax_value"),
+        F.col("final_result.tax.confidence").alias("tax_conf"))
+
+
 # ---------------------------------------------------------------------------
 # 2. Generic operator queries over the TPC-H-ish tables
 
