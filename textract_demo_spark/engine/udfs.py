@@ -49,6 +49,16 @@ _BLOCK_FIELDS = [
 ]
 _BLOCK_KEYS = [f.name for f in _BLOCK_FIELDS]
 
+# The hot loop reads block dicts positionally via .values() — valid
+# because make_block builds its dict in exactly this field order
+# (python dicts preserve insertion order). Guarded here so a schema
+# edit that breaks the correspondence fails at import, not silently.
+from ..core.blocks import make_block as _mb  # noqa: E402
+
+assert list(_mb(0, "LINE", "", 0, 0, 0.0).keys()) == _BLOCK_KEYS, \
+    "make_block field order must match _BLOCK_FIELDS"
+del _mb
+
 
 def _extract_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """mapInArrow kernel: (conv_id, turn_idx, role, tool, ts, text)
@@ -73,8 +83,8 @@ def _extract_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
                 sp_end.append(b)
             sp_off.append(len(sp_start))
             for blk in res.blocks:
-                for i, k in enumerate(_BLOCK_KEYS):
-                    b_cols[i].append(blk[k])
+                for col, v in zip(b_cols, blk.values()):
+                    col.append(v)
             b_off.append(len(b_cols[0]))
 
         spans_arr = pa.ListArray.from_arrays(
