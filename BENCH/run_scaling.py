@@ -259,8 +259,9 @@ Each slot carries the same fixed resource bundle (one JVM task thread
 + one Arrow Python worker) at every width, so the resource ratio
 between any two runs equals their core ratio. Best of {args.reps} runs
 per width is scored — this VM exhibits sporadic multi-second host
-stalls (hrtimer warnings in dmesg; identical warm runs vary up to
-~25%), and best-of filters those episodes out of all widths
+stalls and multi-minute load drift (identical warm runs varied up
+to ~2x within this sweep — see all_reps in BENCH/scaling.json), and
+interleaved best-of filters those episodes out of all widths
 symmetrically. Wall time excludes session startup (measured inside
 the job).
 
