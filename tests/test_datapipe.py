@@ -125,3 +125,27 @@ def test_real_decode_is_explicitly_stubbed():
     from textract_demo_spark.datapipe import multimodal
     with pytest.raises(NotImplementedError):
         multimodal._real_decode(b"\x89PNG")
+
+
+def test_simhash_arrow_matches_sql_form(spark, docs):
+    """The Arrow numpy kernel and the pure-SQL higher-order form must
+    produce bit-identical fingerprints (the kernel only changes WHERE
+    the bit-sums run, not the definition)."""
+    from pyspark.sql import functions as F
+
+    from textract_demo_spark.datapipe.dedup import (with_shingles,
+                                                    with_simhash)
+    sh = with_shingles(docs.limit(60))
+    fast = {r["doc_id"]: r["simhash"]
+            for r in with_simhash(sh, use_arrow=True)
+            .select("doc_id", "simhash").collect()}
+    slow = {r["doc_id"]: r["simhash"]
+            for r in with_simhash(sh, use_arrow=False)
+            .select("doc_id", "simhash").collect()}
+    assert fast == slow and len(fast) == 60
+    # empty-text edge: split('') yields one '' token on both paths —
+    # the two forms must still agree bit-for-bit
+    empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    got = {arrow: with_simhash(with_shingles(empty), use_arrow=arrow)
+           .select("simhash").first()[0] for arrow in (True, False)}
+    assert got[True] == got[False]
