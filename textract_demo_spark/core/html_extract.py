@@ -67,6 +67,7 @@ _NAMED_ENTITIES = {
     "ldquo": "“", "rdquo": "”", "bull": "•", "middot": "·",
 }
 _WS_RE = re.compile(r"\s+")
+_DIGIT_RE = re.compile(r"\d")
 
 
 def _unescape(s: str) -> str:
@@ -139,15 +140,18 @@ def _tokenize(s: str) -> list[_Seg]:
     while i < n:
         c = s[i]
         if c == "<":
-            if s.startswith("<!--", i):
-                j = s.find("-->", i + 4)
-                i = n if j == -1 else j + 3
-                continue
-            if s.startswith("<!", i) or s.startswith("<?", i):
+            # single-char dispatch on the char after '<' (the hot loop
+            # ran 3 startswith probes per tag before)
+            c2 = s[i + 1] if i + 1 < n else ""
+            if c2 == "!" or c2 == "?":
+                if s.startswith("<!--", i):
+                    j = s.find("-->", i + 4)
+                    i = n if j == -1 else j + 3
+                    continue
                 j = s.find(">", i)
                 i = n if j == -1 else j + 1
                 continue
-            if s.startswith("</", i):
+            if c2 == "/":
                 j = s.find(">", i)
                 if j == -1:
                     break  # truncated
@@ -305,7 +309,7 @@ def extract_html(payload: str) -> ExtractResult:
         neg = any(g.neg for g in group)
         pos = any(g.pos for g in group)
         words = len(text.split())
-        has_digit = any(ch.isdigit() for ch in text)
+        has_digit = _DIGIT_RE.search(text) is not None
         score = _score_line(words, link_chars / raw_chars, neg, pos, has_digit)
         is_content = score >= CONTENT_THRESHOLD
         start = group[0].start
