@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     # similarity / ANN family
-    "ann_cosine_topk", "ann_lsh_topk",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     # text analysis family
     "text_token_stats", "text_quality_score",
     # multimodal plumbing

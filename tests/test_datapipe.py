@@ -149,3 +149,27 @@ def test_simhash_arrow_matches_sql_form(spark, docs):
     got = {arrow: with_simhash(with_shingles(empty), use_arrow=arrow)
            .select("simhash").first()[0] for arrow in (True, False)}
     assert got[True] == got[False]
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    from textract_demo_spark.datapipe.similarity import cosine_topk, ivf_topk
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    exact = cosine_topk(emb, q, k=10).collect()
+    approx = ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3,
+                      iters=1).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(exact_sets[q0] & approx_sets.get(q0, set())) / 10
+               for q0 in exact_sets]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"IVF recall too low: {recalls}"
+    # determinism: same call twice yields identical rankings
+    again = ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3,
+                     iters=1).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))

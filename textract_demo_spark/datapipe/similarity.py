@@ -64,6 +64,80 @@ def _sign_bits(vec_col: str, n_bits: int) -> str:
     """
 
 
+def ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
+                  iters: int = 1, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Deterministic IVF coarse quantizer: seeds are the n_centroids
+    corpus rows with the smallest xxhash64(id) (a uniform, driver-
+    randomness-free sample), refined by ``iters`` Lloyd steps run as
+    DataFrame jobs (assign = argmax cosine vs broadcast centroids;
+    update = per-dimension mean via posexplode + groupBy — the
+    standard distributed k-means shuffle, tiny because only
+    (cid, dim) pairs aggregate). Returns (cid, cvec)."""
+    from pyspark.sql.window import Window
+    w = Window.orderBy("_h")
+    cents = (corpus.withColumn("_h", F.xxhash64(F.col(id_col)))
+             .orderBy("_h").limit(n_centroids)
+             .withColumn("cid", F.row_number().over(w) - 1)
+             .select("cid", F.col(vec_col).alias("cvec")))
+    for _ in range(iters):
+        assigned = assign_to_centroids(corpus, cents, id_col, vec_col)
+        cents = (assigned
+                 .join(corpus, id_col)
+                 .select("cid", F.posexplode(vec_col)
+                         .alias("dim", "val"))
+                 .groupBy("cid", "dim")
+                 .agg(F.avg("val").alias("m"))
+                 .groupBy("cid")
+                 .agg(F.expr("transform(array_sort(collect_list("
+                             "struct(dim, m))), x -> cast(x.m AS FLOAT))")
+                      .alias("cvec")))
+    return cents
+
+
+def assign_to_centroids(corpus: DataFrame, cents: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(id, cid) assignment: argmax cosine vs the broadcast centroid
+    set — a narrow map over the corpus (centroids are tiny)."""
+    return (corpus.crossJoin(F.broadcast(cents))
+            .withColumn("_cos", F.expr(_COS.format(a=vec_col, b="cvec")))
+            .groupBy(id_col)
+            .agg(F.max_by("cid", F.struct("_cos", "cid")).alias("cid")))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, iters: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "qid", qvec_col: str = "qv") -> DataFrame:
+    """IVF approximate top-k (the inverted-file scale path): corpus
+    rows are bucketed by nearest coarse centroid; each query probes
+    its ``n_probe`` nearest centroids and re-ranks exactly ONLY within
+    those buckets — candidates ~= n_probe/n_centroids of the corpus
+    instead of a full scan. Output schema = cosine_topk. Recall vs the
+    exact scorer is gated in tests/test_datapipe.py; like the LSH
+    path, the centroid seeds derive from xxhash64, so no DuckDB oracle
+    can replay them (rows-only ceiling)."""
+    from pyspark.sql.window import Window
+    cents = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    assigned = (assign_to_centroids(corpus, cents, id_col, vec_col)
+                .join(corpus, id_col))
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("_cos"), F.col("cid"))
+    probes = (queries.crossJoin(F.broadcast(cents))
+              .withColumn("_cos", F.expr(_COS.format(a=qvec_col, b="cvec")))
+              .withColumn("_r", F.row_number().over(wq))
+              .filter(F.col("_r") <= n_probe)
+              .select(qid_col, qvec_col, "cid"))
+    cand = (assigned.join(F.broadcast(probes), "cid")
+            .filter(F.col(id_col) != F.col(qid_col))
+            .withColumn("cos", F.expr(_COS.format(a=vec_col, b=qvec_col))))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col(qid_col), F.col("rank").cast("long"),
+                    F.col(id_col), F.round("cos", 4).alias("cos")))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_bits: int = 16, bands: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -1184,6 +1184,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, q, k=10)
 
 
+@query("ann_ivf_topk")  # rows-only: xxhash64-seeded centroids
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (inverted-file scale path): hash-seeded coarse
+    centroids + one Lloyd refinement, corpus bucketed by nearest
+    centroid, queries probe their n_probe nearest buckets and re-rank
+    exactly within them.
+
+    Rows-only is the ceiling for this query: the centroid seeds
+    derive from Spark's xxhash64 (no DuckDB equivalent) and the
+    output is approximate by design — the correct oracle is recall
+    against the exact scorer (``ann_cosine_topk``, which IS oracled),
+    asserted in tests/test_datapipe.py with a determinism check."""
+    from ..datapipe.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    return ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4, iters=1)
+
+
 @query(
     "multimodal_media_meta",
     oracle="""
