@@ -133,6 +133,26 @@ def main() -> None:
             "queries": per_query,
         }
 
+    # human-readable sidecar (BENCH/LAST_RUN.md) with the delta table
+    try:
+        root = os.path.dirname(os.path.abspath(__file__))
+        lines = ["# BENCH last run", "",
+                 f"sf={sf}, turns/sec={extras['turns_per_sec']:,},"
+                 f" n_turns={extras['n_turns']:,}"
+                 + (f" (prev {prev_name}:"
+                    f" {delta.get('prev_turns_per_sec'):,} turns/sec)"
+                    if delta else ""), "",
+                 "| query | sec | prev | ratio |", "|---|---|---|---|"]
+        dq = delta.get("queries", {}) if delta else {}
+        for n, v in timings.items():
+            p = dq.get(n, {})
+            lines.append(f"| {n} | {v} | {p.get('prev', '—')} |"
+                         f" {p.get('ratio', '—')} |")
+        with open(os.path.join(root, "BENCH", "LAST_RUN.md"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout JSON is the contract
+
     print(json.dumps({
         "metric": "extraction+operator suite wall time",
         "value": round(sum(timings.values()), 3),

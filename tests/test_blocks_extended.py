@@ -245,3 +245,32 @@ def test_apply_reviews_failed_and_tax(spark):
     c6 = out["c6"]["final_result"]
     assert c6["tax"] == {"confidence": 0.0, "value": ""}
     assert out["c5"]["status"] == "ok" and out["c5"]["reviewed"]
+
+
+def test_run_pipeline_with_raw_reviews(spark):
+    """Pipeline-level wiring of the unhygienic review feed: valid rows
+    override, answer-less rows fail their turn, junk rows are dropped."""
+    from textract_demo_spark.engine.pipeline import (fixtures_to_dfs,
+                                                     run_pipeline)
+    from textract_demo_spark.engine.schemas import RAW_REVIEWS_SCHEMA
+    dfs = fixtures_to_dfs(spark, n_convs=6)
+    ok_turns = [r for r in dfs["fixtures"]["expected_turns"]
+                if r["status"] == "ok"][:3]
+    (c0, t0), (c1, t1), (c2, t2) = [(r["conv_id"], r["turn_idx"])
+                                    for r in ok_turns]
+    raw = spark.createDataFrame([
+        ("a.json", "tok-1", c0, t0, "Vendor A", "2020-01-01", "1.00",
+         None, "w-1", None),                      # valid override
+        ("b.json", "tok-2", c1, t1, "V", None, None,
+         None, None, None),                       # no worker => failed
+        ("c.txt", "tok-3", c2, t2, "V", "2020-01-01", "1.00",
+         None, "w-3", None),                      # non-.json => dropped
+    ], schema=RAW_REVIEWS_SCHEMA)
+    out = {(r["conv_id"], r["turn_idx"]): r
+           for r in run_pipeline(dfs["transcripts"],
+                                 raw_reviews=raw, salt=2).collect()}
+    assert out[(c0, t0)]["reviewed"] and out[(c0, t0)]["status"] == "ok"
+    assert out[(c0, t0)]["final_result"]["vendor"]["value"] == "Vendor A"
+    assert out[(c1, t1)]["status"] == "review_failed"
+    assert not out[(c2, t2)]["reviewed"]
+    assert out[(c2, t2)]["status"] == "ok"

@@ -39,11 +39,22 @@ def fixtures_to_dfs(spark: SparkSession, n_convs: int = 50,
 
 
 def run_pipeline(transcripts: DataFrame, reviews: DataFrame | None = None,
-                 salt: int = 16, partitions: int | None = None) -> DataFrame:
+                 salt: int = 16, partitions: int | None = None,
+                 raw_reviews: DataFrame | None = None) -> DataFrame:
     """transcripts -> extracted turns with model results (+ review
-    overrides when a reviews table is given)."""
+    overrides when a reviews table is given).
+
+    ``raw_reviews`` accepts an unhygienic review feed instead
+    (RAW_REVIEWS_SCHEMA shape): it is passed through
+    ``ingest_reviews`` first — non-.json sources and token-less rows
+    dropped, answer-less rows marking their turns ``review_failed``
+    (P10/P11 + the ReviewFailed path)."""
     extracted = extract_turns(transcripts, salt=salt, partitions=partitions)
     results = model_results(extracted).select(*RESULT_COLUMNS, "blocks")
-    if reviews is not None:
+    if raw_reviews is not None:
+        from .review import ingest_reviews
+        valid, failed = ingest_reviews(raw_reviews)
+        results = apply_reviews(results, valid, failed_reviews=failed)
+    elif reviews is not None:
         results = apply_reviews(results, reviews)
     return results
