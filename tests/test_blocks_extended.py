@@ -274,3 +274,33 @@ def test_run_pipeline_with_raw_reviews(spark):
     assert out[(c1, t1)]["status"] == "review_failed"
     assert not out[(c2, t2)]["reviewed"]
     assert out[(c2, t2)]["status"] == "ok"
+
+
+# --- PAGE + derived WORD blocks --------------------------------------------
+
+def test_page_blocks_emitted_per_kind():
+    from textract_demo_spark.core.pdf_extract import extract_pdf
+    html = extract_html('<html><body><p>Hello world</p></body></html>')
+    pages = [b for b in html.blocks if b["block_type"] == "PAGE"]
+    assert len(pages) == 1 and pages[0]["page"] == 1
+    plain = extract_payload("just some text")
+    assert [b["block_type"] for b in plain.blocks][:1] == ["PAGE"]
+    pdf = extract_pdf(_min_pdf(
+        ["BT /F1 12 Tf 72 740 Td (Line one) Tj ET"]))
+    pdf_pages = [b for b in pdf.blocks if b["block_type"] == "PAGE"]
+    assert len(pdf_pages) == 1
+    # PAGE blocks never contribute content
+    assert all(not b["is_content"] for b in pages + pdf_pages)
+
+
+def test_words_table_offsets_slice_line_text(spark):
+    from textract_demo_spark.engine.udfs import extract_turns, words_table
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "alpha beta  gamma", "", None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")
+    words = words_table(extract_turns(turns, salt=2)).collect()
+    line = "alpha beta  gamma"  # double space => empty word preserved
+    assert [w["word"] for w in words] == ["alpha", "beta", "", "gamma"]
+    for w in words:
+        assert line[w["word_start"]:w["word_end"]] == w["word"]

@@ -19,8 +19,15 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+PAGE = "PAGE"
 LINE = "LINE"
 KEY_VALUE = "KEY_VALUE"
+# WORD blocks are not materialized by the extractors (they would
+# multiply the block count ~8x for data nobody stores); they are a
+# DERIVED operator — engine.udfs.words_table splits LINE blocks into
+# WORD rows JVM-side (split + posexplode + cumulative offsets), the
+# Spark-first shape of the same information.
+WORD = "WORD"
 # Table structure blocks — the FORMS+TABLES analog: the reference
 # requests FeatureTypes=["FORMS","TABLES"]
 # (source/ocr/textract-integration/fn-call-textract/main.py:53-61) and

@@ -11,8 +11,8 @@ for parsing.
 
 from __future__ import annotations
 
-from .blocks import (LINE, STATUS_MALFORMED, STATUS_MODEL_ERROR, STATUS_OK,
-                     STATUS_REJECTED, ExtractResult, make_block)
+from .blocks import (LINE, PAGE, STATUS_MALFORMED, STATUS_MODEL_ERROR,
+                     STATUS_OK, STATUS_REJECTED, ExtractResult, make_block)
 from .confidence import line_confidence
 from .pdf_extract import PdfParseError, extract_pdf
 from .html_extract import extract_html
@@ -23,11 +23,14 @@ def extract_plain(payload: str) -> ExtractResult:
     """Plain-text payload: identity extraction — the whole text is
     main content, one LINE block, one span (FIXTURES.md §1.3)."""
     conf = line_confidence(payload)
-    block = make_block(0, LINE, payload, 0, len(payload), conf,
+    page = make_block(0, PAGE, "", 0, len(payload), 100.0,
+                      is_content=False)
+    block = make_block(1, LINE, payload, 0, len(payload), conf,
                        reading_order=0, is_content=True)
     return ExtractResult(
         status=STATUS_OK, kind="plain", main_text=payload,
-        spans=[(0, len(payload))], blocks=[block], span_domain="payload")
+        spans=[(0, len(payload))], blocks=[page, block],
+        span_domain="payload")
 
 
 def _failed(status: str, kind: str = "bad") -> ExtractResult:

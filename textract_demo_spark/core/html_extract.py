@@ -21,9 +21,9 @@ from __future__ import annotations
 
 import re
 
-from .blocks import (CELL, KEY, KEY_VALUE, LINE, NOT_SELECTED, SELECTED,
-                     SELECTION_ELEMENT, TABLE, VALUE, ExtractResult,
-                     make_block)
+from .blocks import (CELL, KEY, KEY_VALUE, LINE, NOT_SELECTED, PAGE,
+                     SELECTED, SELECTION_ELEMENT, TABLE, VALUE,
+                     ExtractResult, make_block)
 from .confidence import line_confidence
 
 # --- tokenizer tables ------------------------------------------------------
@@ -288,6 +288,11 @@ def split_key_value(text: str) -> tuple[str, str] | None:
 def extract_html(payload: str) -> ExtractResult:
     """Extract main content + blocks from an HTML payload."""
     segs = _tokenize(payload)
+    # PAGE block (Textract Block-model parity: one PAGE per document
+    # page; HTML payloads are single-page) — block_id 0, spanning the
+    # whole payload
+    page_block = make_block(0, PAGE, "", 0, len(payload), 100.0,
+                            is_content=False)
     # group consecutive segments sharing a block instance into lines
     lines: list[list[_Seg]] = []
     for seg in segs:
@@ -296,10 +301,10 @@ def extract_html(payload: str) -> ExtractResult:
         else:
             lines.append([seg])
 
-    blocks: list[dict] = []
+    blocks: list[dict] = [page_block]
     spans: list[tuple[int, int]] = []
     texts: list[str] = []
-    bid = 0
+    bid = 1
     kv_gid = 0
     reading_order = 0
     for group in lines:

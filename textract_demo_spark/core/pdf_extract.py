@@ -22,7 +22,7 @@ from __future__ import annotations
 import re
 import zlib
 
-from .blocks import (CELL, KEY, KEY_VALUE, LINE, TABLE, VALUE,
+from .blocks import (CELL, KEY, KEY_VALUE, LINE, PAGE, TABLE, VALUE,
                      ExtractResult, make_block)
 from .confidence import line_confidence
 from .html_extract import split_key_value
@@ -292,6 +292,18 @@ def extract_pdf(data: bytes) -> ExtractResult:
                 kv_role=VALUE, kv_group_id=kv_gid))
             bid += 1
             kv_gid += 1
+
+    # PAGE blocks (Block-model parity): one per page, spanning that
+    # page's lines in the main_text domain
+    by_page: dict[int, list[tuple[int, int]]] = {}
+    for (pg, _, rsp, _), sp in zip(line_meta, spans):
+        by_page.setdefault(pg, []).append(sp)
+    for pg in sorted(by_page):
+        sps = by_page[pg]
+        blocks.append(make_block(
+            bid, PAGE, "", min(s[0] for s in sps), max(s[1] for s in sps),
+            100.0, page=pg, is_content=False))
+        bid += 1
 
     # --- geometry-grid table detection (TABLE/CELL analog of
     # FeatureTypes=["FORMS","TABLES"], fn-call-textract/main.py:53-61):

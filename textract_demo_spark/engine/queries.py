@@ -283,6 +283,43 @@ def selection_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise(0)).cast("long").alias("n_not_selected"))
 
 
+@query(
+    "words_from_lines",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(u.s.i AS INT) AS word_idx,
+           u.s.w AS word,
+           CAST(CASE WHEN u.s.i = 0 THEN 0
+                ELSE length(array_to_string(toks[1:CAST(u.s.i AS INT)],
+                                            ' ')) + 1
+                END AS INT) AS word_start,
+           CAST(CASE WHEN u.s.i = 0 THEN 0
+                ELSE length(array_to_string(toks[1:CAST(u.s.i AS INT)],
+                                            ' ')) + 1
+                END + length(u.s.w) AS INT) AS word_end
+    FROM t, unnest(list_transform(toks, (w, i) -> {'w': w, 'i': i - 1}))
+           AS u(s)
+    """)
+def words_from_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived WORD blocks (Block-model parity, SURVEY.md §1.2): LINE
+    text split into per-word rows with cumulative in-line char offsets
+    — native split + aggregate + posexplode, no Python, no shuffle
+    (engine.udfs.words_table). Over plain-text turns the line text IS
+    the document text, so every word and offset is exactly
+    predictable."""
+    from .udfs import extract_turns, words_table
+    docs = _t(spark, sf_dir, "documents")
+    turns = _docs_as_turns(docs, F.col("text"))
+    ids = turns.select("conv_id", "doc_id")
+    words = words_table(extract_turns(turns.drop("doc_id"), salt=4))
+    return (words.join(F.broadcast(ids), "conv_id")
+            .select("doc_id", "word_idx", "word",
+                    F.col("word_start").cast("int").alias("word_start"),
+                    F.col("word_end").cast("int").alias("word_end")))
+
+
 # A data-URI PDF that passes the quality sniff (%PDF header + endobj)
 # but whose /FlateDecode stream is not zlib data => the extractor
 # raises PdfParseError past the gate => status 'model_error'.

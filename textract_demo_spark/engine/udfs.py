@@ -162,6 +162,40 @@ def python_float_udf(values: pd.Series) -> pd.Series:
     return values.map(f)
 
 
+def words_table(extracted: DataFrame) -> DataFrame:
+    """Derived WORD blocks (SURVEY.md §1.2 Block-model parity), the
+    Spark-first form: rather than materializing ~8x more block rows in
+    the extraction kernel, WORD rows are split out of LINE blocks with
+    native expressions — split + a single aggregate() scan building
+    the cumulative in-line offsets + posexplode. Offsets
+    (word_start/word_end) index into the LINE's ``text`` (the line's
+    own char_start/char_end columns relate the line to its span
+    domain). Zero Python, zero shuffle."""
+    lines = (blocks_table(extracted)
+             .filter((F.col("block_type") == "LINE")
+                     & (F.col("text") != "")))
+    offs = F.expr("""
+        aggregate(_words,
+          struct(cast(array() AS array<int>) AS arr, 0 AS off),
+          (acc, w) -> struct(concat(acc.arr, array(acc.off)),
+                             acc.off + length(w) + 1),
+          acc -> acc.arr)""")
+    return (lines
+            .withColumn("_words", F.split(F.col("text"), " "))
+            .withColumn("_offs", offs)
+            .select("conv_id", "turn_idx",
+                    F.col("block_id").alias("line_block_id"), "page",
+                    "char_start", "char_end",
+                    F.posexplode(F.arrays_zip("_words", "_offs"))
+                     .alias("word_idx", "wz"))
+            .select("conv_id", "turn_idx", "line_block_id", "page",
+                    "char_start", "char_end", "word_idx",
+                    F.col("wz._words").alias("word"),
+                    F.col("wz._offs").alias("word_start"),
+                    (F.col("wz._offs")
+                     + F.length("wz._words")).alias("word_end")))
+
+
 def blocks_table(extracted: DataFrame) -> DataFrame:
     """Exploded, columnar blocks DataFrame (SURVEY.md §1.2) — used for
     checkpointed materialization + metrics; the field rules consume
