@@ -35,7 +35,7 @@ BENCH_QUERIES = [
     "a12_confidence_histogram",
     # extraction end-to-end variants
     "extract_html_boilerplate_strip", "extract_table_cells",
-    "error_taxonomy_routing",
+    "error_taxonomy_routing", "words_from_lines",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     # similarity / ANN family
