@@ -51,7 +51,10 @@ def _load_prev() -> tuple[str | None, dict]:
     """Newest BENCH_r*.json at the repo root (the driver's record of
     the previous round), if any."""
     root = os.path.dirname(os.path.abspath(__file__))
-    cands = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    # numeric round sort: lexicographic would put r10 before r2
+    cands = sorted(
+        glob.glob(os.path.join(root, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)))
     if not cands:
         return None, {}
     path = cands[-1]
@@ -136,12 +139,12 @@ def main() -> None:
     # human-readable sidecar (BENCH/LAST_RUN.md) with the delta table
     try:
         root = os.path.dirname(os.path.abspath(__file__))
+        prev_tps = delta.get("prev_turns_per_sec") if delta else None
         lines = ["# BENCH last run", "",
                  f"sf={sf}, turns/sec={extras['turns_per_sec']:,},"
                  f" n_turns={extras['n_turns']:,}"
-                 + (f" (prev {prev_name}:"
-                    f" {delta.get('prev_turns_per_sec'):,} turns/sec)"
-                    if delta else ""), "",
+                 + (f" (prev {prev_name}: {prev_tps:,} turns/sec)"
+                    if prev_tps is not None else ""), "",
                  "| query | sec | prev | ratio |", "|---|---|---|---|"]
         dq = delta.get("queries", {}) if delta else {}
         for n, v in timings.items():
@@ -150,8 +153,8 @@ def main() -> None:
                          f" {p.get('ratio', '—')} |")
         with open(os.path.join(root, "BENCH", "LAST_RUN.md"), "w") as fh:
             fh.write("\n".join(lines) + "\n")
-    except OSError:
-        pass  # read-only checkout: stdout JSON is the contract
+    except Exception:
+        pass  # sidecar is best-effort: stdout JSON is the contract
 
     print(json.dumps({
         "metric": "extraction+operator suite wall time",

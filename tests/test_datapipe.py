@@ -173,3 +173,52 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     again = ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3,
                      iters=1).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_simhash_banded_pairs_recall_is_total(spark, docs):
+    """Banded pair generation == brute-force Hamming <= k pair set:
+    recall is guaranteed by pigeonhole (k <= bands-1), precision by
+    the in-bucket bit_count verification."""
+    from textract_demo_spark.datapipe.dedup import (simhash_pairs,
+                                                    with_shingles,
+                                                    with_simhash)
+    base = docs.select("doc_id", "text")
+    near = base.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat("text", F.lit(" tail words")).alias("text"))
+    fp = with_simhash(with_shingles(base.unionByName(near)))
+    banded = {(r.id_a, r.id_b, r.hamming)
+              for r in simhash_pairs(fp, bands=4, max_hamming=3).collect()}
+    rows = fp.select("doc_id", "simhash").collect()
+
+    def ham(a, b):  # 64-bit two's-complement popcount of the xor
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    brute = {(min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id),
+              ham(a.simhash, b.simhash))
+             for i, a in enumerate(rows) for b in rows[i + 1:]
+             if ham(a.simhash, b.simhash) <= 3}
+    assert banded == brute
+    assert len(banded) > 0  # planted near-dups actually exercised
+
+
+def test_simhash_pairs_rejects_impossible_recall_config():
+    import pytest as _pytest
+
+    from textract_demo_spark.datapipe.dedup import simhash_pairs
+    with _pytest.raises(ValueError):
+        simhash_pairs(None, bands=4, max_hamming=4)
+
+
+def test_minhash_release_cached_frees_storage(spark, docs):
+    """Repeated dedup sweeps must not leak cached partitions once the
+    caller releases the handle (caller contract on
+    lsh_candidate_pairs/minhash_dedup_pairs)."""
+    from textract_demo_spark.datapipe.dedup import (minhash_dedup_pairs,
+                                                    release_cached)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        pairs = minhash_dedup_pairs(docs, num_hashes=16, bands=8)
+        pairs.count()
+        release_cached(pairs)
+    assert jsc.getPersistentRDDs().size() == before

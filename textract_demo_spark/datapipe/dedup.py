@@ -8,9 +8,15 @@ Scale notes (the design constraints at 10^12 docs):
   array_min over shingle hashes); the only shuffle is the band-bucket
   exchange, and candidate verification happens only within buckets
   (never the O(n^2) cross join).
-- SimHash: 64 per-row bit sums; Hamming-ban ding via bucket keys.
-- md5 is used where cross-engine determinism matters (DuckDB oracle);
-  xxhash64 (cheaper, seedable) where it does not.
+- SimHash: 64 per-row bit sums; Hamming-banded pair generation
+  (``simhash_pairs``) buckets fingerprints by exact band keys —
+  pigeonhole makes recall TOTAL (not probabilistic) for pairs within
+  Hamming <= bands-1, and verification (bit_count of xor) runs only
+  within buckets.
+- hash family is parameterized (``hash64``): xxhash64 (cheaper,
+  seedable, JVM intrinsic) is the default; 'md5' mode derives the
+  same-width value from md5 so DuckDB can recompute identical
+  fingerprints — the driver-facing oracle queries use it.
 """
 
 from __future__ import annotations
@@ -20,6 +26,38 @@ from pyspark.sql import functions as F
 
 DEFAULT_NUM_HASHES = 64
 DEFAULT_BANDS = 16  # 16 bands x 4 rows: ~0.5 Jaccard threshold knee
+
+
+def hash64(inner: str, mode: str = "xxhash64") -> str:
+    """SQL fragment hashing the expression ``inner`` to a 64-bit-class
+    integer.
+
+    - ``xxhash64`` (default): Spark's native seedable hash — one JVM
+      intrinsic per value, the fast path; not replayable outside Spark.
+    - ``md5``: cross-engine mode — the top 60 bits of md5 as a
+      positive BIGINT (15 hex chars, so the value fits signed int64 in
+      every engine). DuckDB computes the identical integer as
+      ``('0x' || substr(md5(x), 1, 15))::BIGINT``, which is what makes
+      the simhash / sign-LSH / IVF driver queries DuckDB-oracleable.
+      ``inner`` must be a string-typed expression in this mode.
+    """
+    if mode == "xxhash64":
+        return f"xxhash64({inner})"
+    if mode == "md5":
+        return f"cast(conv(substr(md5({inner}), 1, 15), 16, 10) AS BIGINT)"
+    raise ValueError(f"unknown hash mode: {mode!r}")
+
+
+def release_cached(df: DataFrame) -> None:
+    """Unpersist the banded frame cached by ``lsh_candidate_pairs`` /
+    ``minhash_dedup_pairs`` once the returned DataFrame has been
+    materialized. Long-lived sessions running repeated dedup sweeps
+    must call this (or ``df._cached_banded.unpersist()``) — otherwise
+    each invocation leaves cached partitions in executor storage until
+    eviction. No-op for frames without a cache handle."""
+    handle = getattr(df, "_cached_banded", None)
+    if handle is not None:
+        handle.unpersist()
 
 
 def normalize_text(col: str = "text"):
@@ -82,7 +120,12 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = DEFAULT_BANDS,
     persist Spark recomputes the whole shingle->signature pipeline
     once per side (measured: the signature stage is the dominant cost
     and was paid twice). At full scale this frame is what you would
-    checkpoint to a table between the signature and join stages."""
+    checkpoint to a table between the signature and join stages.
+
+    Caller contract: the persisted frame is exposed as
+    ``result._cached_banded`` — call ``release_cached(result)`` after
+    materializing to free the cached partitions (per-query sessions
+    can skip it; repeated sweeps in one session must not)."""
     rows_per_band = num_hashes // bands
     banded = sig_df.select(
         F.col(id_col),
@@ -95,9 +138,11 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = DEFAULT_BANDS,
                    AS band_hash))""")).alias("bk")).persist()
     a = banded.select(F.col(id_col).alias("id_a"), "bk")
     b = banded.select(F.col(id_col).alias("id_b"), "bk")
-    return (a.join(b, ["bk"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    out = (a.join(b, ["bk"])
+           .filter(F.col("id_a") < F.col("id_b"))
+           .select("id_a", "id_b").distinct())
+    out._cached_banded = banded
+    return out
 
 
 def minhash_dedup_pairs(docs: DataFrame, n: int = 3,
@@ -116,16 +161,19 @@ def minhash_dedup_pairs(docs: DataFrame, n: int = 3,
     sig = with_minhash(shingled, num_hashes)
     cands = lsh_candidate_pairs(sig, bands, num_hashes, id_col)
     sh = shingled.select(F.col(id_col), "shingles")
-    return (cands
-            .join(sh.withColumnsRenamed(
-                {id_col: "id_a", "shingles": "sh_a"}), "id_a")
-            .join(sh.withColumnsRenamed(
-                {id_col: "id_b", "shingles": "sh_b"}), "id_b")
-            .withColumn("jaccard", F.expr(
-                "size(array_intersect(sh_a, sh_b)) /"
-                " cast(size(array_union(sh_a, sh_b)) AS DOUBLE)"))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    out = (cands
+           .join(sh.withColumnsRenamed(
+               {id_col: "id_a", "shingles": "sh_a"}), "id_a")
+           .join(sh.withColumnsRenamed(
+               {id_col: "id_b", "shingles": "sh_b"}), "id_b")
+           .withColumn("jaccard", F.expr(
+               "size(array_intersect(sh_a, sh_b)) /"
+               " cast(size(array_union(sh_a, sh_b)) AS DOUBLE)"))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    # propagate the cache handle (see lsh_candidate_pairs docstring)
+    out._cached_banded = cands._cached_banded
+    return out
 
 
 def _simhash_from_hashes_udf():
@@ -160,16 +208,24 @@ def _simhash_from_hashes_udf():
     return simhash_from_hashes
 
 
-def with_simhash(shingled: DataFrame, use_arrow: bool = True) -> DataFrame:
+def with_simhash(shingled: DataFrame, use_arrow: bool = True,
+                 hash_mode: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over tokens: bit b of the fingerprint is the
-    sign of sum over tokens of (+1 if bit b of xxhash64(token) else
+    sign of sum over tokens of (+1 if bit b of hash64(token) else
     -1). Near-dups differ in few bits. Tokens are hashed ONCE into a
     64-bit array JVM-side; the bit-sign packing runs as an Arrow
     numpy kernel by default (``use_arrow=False`` selects the pure-SQL
     higher-order form — same values bit-for-bit, no Python worker,
-    ~5x slower because lambda trees are interpreted)."""
+    ~5x slower because lambda trees are interpreted).
+
+    ``hash_mode='md5'`` selects the cross-engine hash family (see
+    ``hash64``): token hashes carry 60 bits (bits 60-63 of the
+    fingerprint are then always 0 — each per-token term is -1, the sum
+    negative), and DuckDB can recompute the identical fingerprint —
+    the driver oracle for ``dedup_simhash`` does exactly that."""
     df = shingled.withColumn(
-        "token_hashes", F.expr("transform(tokens, t -> xxhash64(t))"))
+        "token_hashes",
+        F.expr(f"transform(tokens, t -> {hash64('t', hash_mode)})"))
     if use_arrow:
         sim = _simhash_from_hashes_udf()(F.col("token_hashes"))
     else:
@@ -181,6 +237,48 @@ def with_simhash(shingled: DataFrame, use_arrow: bool = True) -> DataFrame:
                    s + if(shiftright(h, b) % 2 != 0, 1, -1)) > 0,
                  1L, 0L), b))""")
     return df.withColumn("simhash", sim).drop("token_hashes")
+
+
+def simhash_pairs(fingerprinted: DataFrame, bands: int = 4,
+                  max_hamming: int = 3, id_col: str = "doc_id",
+                  fp_col: str = "simhash") -> DataFrame:
+    """Hamming-banded SimHash near-dup pair generation — the scale
+    path of simhash dedup (mirrors ``lsh_candidate_pairs``): the
+    64-bit fingerprint splits into ``bands`` contiguous bit-bands;
+    docs agreeing EXACTLY on any band become candidates (one band-key
+    exchange, never the O(n^2) cross join); candidates are verified by
+    ``bit_count(a ^ b) <= max_hamming`` within buckets only.
+
+    Recall is TOTAL, not probabilistic: a pair within Hamming
+    ``max_hamming <= bands - 1`` differs in at most bands-1 bits, so
+    by pigeonhole at least one band is identical — every true pair is
+    a candidate (asserted against brute force in tests). Output:
+    (id_a, id_b, hamming), id_a < id_b.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
+            "for total recall (pigeonhole)")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = fingerprinted.select(
+        F.col(id_col), F.col(fp_col),
+        F.explode(F.expr(f"""
+          transform(sequence(0, {bands - 1}), b ->
+            struct(b AS band,
+                   shiftright({fp_col}, b * {width}) & {mask} AS key))"""
+                         )).alias("bk"))
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col(fp_col).alias("fp_a"), "bk")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col(fp_col).alias("fp_b"), "bk")
+    return (a.join(b, ["bk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+            .withColumn("hamming",
+                        F.expr("cast(bit_count(fp_a ^ fp_b) AS BIGINT)"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
 
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.47,

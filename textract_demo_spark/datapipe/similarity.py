@@ -50,48 +50,90 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     F.col(id_col), F.round("cos", 4).alias("cos")))
 
 
-def _sign_bits(vec_col: str, n_bits: int) -> str:
+def _sign_bits(vec_col: str, n_bits: int,
+               hash_mode: str = "xxhash64") -> str:
     """LSH signature: bit p = sign of <v, h_p> where h_p[d] in {-1,+1}
-    derives from xxhash64(p, d) — deterministic across executors."""
-    return f"""
-    transform(sequence(0, {n_bits - 1}), p ->
-      if(aggregate(zip_with({vec_col},
-                            sequence(0, size({vec_col}) - 1),
-                            (x, d) -> cast(x AS DOUBLE) *
-                              if(xxhash64(p * 4096 + d) % 2 = 0,
-                                 1.0d, -1.0d)),
-                   0.0d, (acc, v) -> acc + v) > 0, 1, 0))
-    """
+    derives from a hash of (p, d) — deterministic across executors.
+
+    ``hash_mode='md5'`` is the cross-engine mode (the driver oracle
+    replays it in DuckDB): the sign comes from the first md5 hex digit
+    of the string "p*4096+d" (< '8' => +1), and the dot product runs
+    in FIXED-POINT (each term rounded to 1e-6, summed as integers) so
+    the bit is independent of float summation order — double folds
+    are not bit-identical across engines; integer sums are."""
+    if hash_mode == "xxhash64":
+        return f"""
+        transform(sequence(0, {n_bits - 1}), p ->
+          if(aggregate(zip_with({vec_col},
+                                sequence(0, size({vec_col}) - 1),
+                                (x, d) -> cast(x AS DOUBLE) *
+                                  if(xxhash64(p * 4096 + d) % 2 = 0,
+                                     1.0d, -1.0d)),
+                       0.0d, (acc, v) -> acc + v) > 0, 1, 0))
+        """
+    if hash_mode == "md5":
+        return f"""
+        transform(sequence(0, {n_bits - 1}), p ->
+          if(aggregate(zip_with({vec_col},
+                                sequence(0, size({vec_col}) - 1),
+                                (x, d) -> cast(round(cast(x AS DOUBLE) *
+                                  if(substr(md5(cast(p * 4096 + d
+                                                     AS STRING)), 1, 1)
+                                       < '8',
+                                     1000000.0d, -1000000.0d)) AS BIGINT)),
+                       0L, (acc, v) -> acc + v) > 0, 1, 0))
+        """
+    raise ValueError(f"unknown hash mode: {hash_mode!r}")
 
 
 def ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
                   iters: int = 1, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  hash_mode: str = "xxhash64") -> DataFrame:
     """Deterministic IVF coarse quantizer: seeds are the n_centroids
-    corpus rows with the smallest xxhash64(id) (a uniform, driver-
-    randomness-free sample), refined by ``iters`` Lloyd steps run as
-    DataFrame jobs (assign = argmax cosine vs broadcast centroids;
-    update = per-dimension mean via posexplode + groupBy — the
-    standard distributed k-means shuffle, tiny because only
-    (cid, dim) pairs aggregate). Returns (cid, cvec)."""
-    from pyspark.sql.window import Window
-    w = Window.orderBy("_h")
-    cents = (corpus.withColumn("_h", F.xxhash64(F.col(id_col)))
+    corpus rows with the smallest hash64(string(id)) (a uniform,
+    driver-randomness-free sample; ``hash_mode='md5'`` makes the seed
+    choice DuckDB-replayable), refined by ``iters`` Lloyd steps run as
+    DataFrame jobs:
+
+    - assign = argmax cosine vs the broadcast centroid set (narrow);
+    - update = per-dimension mean as ``dim`` scalar avg() columns over
+      ONE groupBy(cid) — n corpus rows shuffle once with map-side
+      partial aggregation (not the n x d exploded (cid, dim) rows a
+      posexplode update would shuffle).
+
+    Centroid numbering is done on the driver over the collected
+    n_centroids seed rows (a bounded, tiny set at any corpus scale) —
+    no global-window single-partition stage. Updated means are
+    QUANTIZED to the 2^-16 grid before the float cast: double
+    summation order differs across engines (and across partition
+    layouts), and the grid snap makes the refined centroids — and so
+    bucket assignments — deterministic and cross-engine reproducible.
+    Returns (cid, cvec)."""
+    from ..datapipe.dedup import hash64
+    spark = corpus.sparkSession
+    seeds = (corpus
+             .select(F.col(id_col), F.col(vec_col),
+                     F.expr(hash64(f"cast({id_col} AS STRING)",
+                                   hash_mode)).alias("_h"))
              .orderBy("_h").limit(n_centroids)
-             .withColumn("cid", F.row_number().over(w) - 1)
-             .select("cid", F.col(vec_col).alias("cvec")))
+             .collect())
+    seeds.sort(key=lambda r: r["_h"])
+    dim = len(seeds[0][vec_col])
+    cents = spark.createDataFrame(
+        [(cid, r[vec_col]) for cid, r in enumerate(seeds)],
+        schema="cid int, cvec array<float>")
+    quant = ", ".join(
+        f"cast(round(_m{d} * 65536.0d) / 65536.0d AS FLOAT)"
+        for d in range(dim))
     for _ in range(iters):
         assigned = assign_to_centroids(corpus, cents, id_col, vec_col)
         cents = (assigned
                  .join(corpus, id_col)
-                 .select("cid", F.posexplode(vec_col)
-                         .alias("dim", "val"))
-                 .groupBy("cid", "dim")
-                 .agg(F.avg("val").alias("m"))
                  .groupBy("cid")
-                 .agg(F.expr("transform(array_sort(collect_list("
-                             "struct(dim, m))), x -> cast(x.m AS FLOAT))")
-                      .alias("cvec")))
+                 .agg(*[F.avg(F.col(vec_col)[d]).alias(f"_m{d}")
+                        for d in range(dim)])
+                 .select("cid", F.expr(f"array({quant})").alias("cvec")))
     return cents
 
 
@@ -109,17 +151,20 @@ def assign_to_centroids(corpus: DataFrame, cents: DataFrame,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, n_probe: int = 4, iters: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             qid_col: str = "qid", qvec_col: str = "qv") -> DataFrame:
+             qid_col: str = "qid", qvec_col: str = "qv",
+             hash_mode: str = "xxhash64") -> DataFrame:
     """IVF approximate top-k (the inverted-file scale path): corpus
     rows are bucketed by nearest coarse centroid; each query probes
     its ``n_probe`` nearest centroids and re-ranks exactly ONLY within
     those buckets — candidates ~= n_probe/n_centroids of the corpus
     instead of a full scan. Output schema = cosine_topk. Recall vs the
-    exact scorer is gated in tests/test_datapipe.py; like the LSH
-    path, the centroid seeds derive from xxhash64, so no DuckDB oracle
-    can replay them (rows-only ceiling)."""
+    exact scorer is gated in tests/test_datapipe.py;
+    ``hash_mode='md5'`` makes the whole construction (seeds, Lloyd
+    update, probes) DuckDB-replayable — the driver oracle for
+    ``ann_ivf_topk`` runs it."""
     from pyspark.sql.window import Window
-    cents = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    cents = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col,
+                          hash_mode)
     assigned = (assign_to_centroids(corpus, cents, id_col, vec_col)
                 .join(corpus, id_col))
     wq = Window.partitionBy(qid_col).orderBy(F.desc("_cos"), F.col("cid"))
@@ -141,9 +186,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_bits: int = 16, bands: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             qid_col: str = "qid", qvec_col: str = "qv") -> DataFrame:
+             qid_col: str = "qid", qvec_col: str = "qv",
+             hash_mode: str = "xxhash64") -> DataFrame:
     """Approximate top-k: sign-LSH banded candidate generation + exact
-    cosine re-rank within candidates. Output schema = cosine_topk."""
+    cosine re-rank within candidates. Output schema = cosine_topk.
+    ``hash_mode='md5'`` selects the DuckDB-replayable hyperplane
+    family (see ``_sign_bits``) used by the driver oracle."""
     from pyspark.sql.window import Window
     rows = n_bits // bands
     band_keys = f"""
@@ -151,9 +199,11 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         struct(b AS band,
                array_join(slice(sig, b * {rows} + 1, {rows}), '')
                  AS key))"""
-    c = (corpus.withColumn("sig", F.expr(_sign_bits(vec_col, n_bits)))
+    c = (corpus.withColumn("sig", F.expr(_sign_bits(vec_col, n_bits,
+                                                    hash_mode)))
          .select(id_col, vec_col, F.explode(F.expr(band_keys)).alias("bk")))
-    q = (queries.withColumn("sig", F.expr(_sign_bits(qvec_col, n_bits)))
+    q = (queries.withColumn("sig", F.expr(_sign_bits(qvec_col, n_bits,
+                                                     hash_mode)))
          .select(qid_col, qvec_col, F.explode(F.expr(band_keys)).alias("bk")))
     cand = (c.join(F.broadcast(q), ["bk"])
             .filter(F.col(id_col) != F.col(qid_col))

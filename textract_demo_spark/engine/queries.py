@@ -983,22 +983,77 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("jaccard_bp"))
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 bit algebra is Spark-side
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints; near-dup docs land within small
-    Hamming distance (asserted in tests).
+_SIMHASH_MD5_SQL = r"""
+    t AS (SELECT doc_id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks FROM {src}),
+    h AS (SELECT doc_id,
+        list_transform(toks, tk ->
+          CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)) AS hs FROM t),
+    fp AS (SELECT doc_id,
+        CAST(coalesce(list_sum(list_transform(range(0, 60), b ->
+          CASE WHEN coalesce(list_sum(list_transform(hs, hh ->
+                 CASE WHEN ((hh >> b) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)), 0) AS BIGINT)
+          AS simhash
+      FROM h)
+"""
 
-    Rows-only is the ceiling for this query: the fingerprint value IS
-    the output, and it is defined bit-for-bit by Spark's xxhash64
-    (per-token 64-bit hashes, sign-summed per bit) — DuckDB has no
-    xxhash64-compatible function, so no independent engine can
-    recompute the same integers. The semantic gates live in pytest
-    instead: planted near-dups within Hamming <= 6 of their source and
-    well-separated from unrelated docs (tests/test_datapipe.py)."""
+
+@query(
+    "dedup_simhash",
+    oracle="WITH " + _SIMHASH_MD5_SQL.format(src="documents")
+           + "SELECT doc_id, simhash FROM fp")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints in the cross-engine hash family
+    (``hash64`` md5 mode: per-token 60-bit hashes from the md5 hex
+    prefix, sign-summed per bit) — DuckDB recomputes the identical
+    integers, so the fingerprint VALUES are fully oracled (this row
+    was rows-only in rounds 1-2 when the family was xxhash64-only).
+    The xxhash64 family stays the fast default in the operator; the
+    Hamming-separation semantics of that path are gated in
+    tests/test_datapipe.py."""
     from ..datapipe.dedup import with_shingles, with_simhash
     docs = _t(spark, sf_dir, "documents")
-    return (with_simhash(with_shingles(docs))
+    return (with_simhash(with_shingles(docs), hash_mode="md5")
             .select("doc_id", "simhash"))
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extra trailing words appended'
+      FROM documents WHERE doc_id % 3 = 0),
+    """ + _SIMHASH_MD5_SQL.format(src="corpus") + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a, fp b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded SimHash near-dup PAIR GENERATION (the operator
+    the dedup module's scale path promises): fingerprints in the
+    cross-engine md5 family, 4 exact 16-bit bands -> bucket join ->
+    bit_count verification within buckets. Recall vs brute force is
+    total by pigeonhole (Hamming <= 3 < bands), so the oracle is
+    DuckDB's brute-force Hamming <= 3 pair set over identical
+    fingerprints — every banded candidate either verifies or is
+    dropped, and every true pair shares a band."""
+    from ..datapipe.dedup import simhash_pairs, with_shingles, with_simhash
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    near = (docs.filter(F.col("doc_id") % 3 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.concat(F.col("text"),
+                             F.lit(" extra trailing words appended"))
+                     .alias("text")))
+    fp = with_simhash(with_shingles(base.unionByName(near)),
+                      hash_mode="md5")
+    return simhash_pairs(fp, bands=4, max_hamming=3)
 
 
 @query(
