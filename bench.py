@@ -36,8 +36,10 @@ BENCH_QUERIES = [
     # extraction end-to-end variants
     "extract_html_boilerplate_strip", "extract_table_cells",
     "error_taxonomy_routing", "words_from_lines",
+    "extract_pdf_success",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_pairs",
     # similarity / ANN family
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     # text analysis family

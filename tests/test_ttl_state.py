@@ -169,3 +169,56 @@ def test_review_wait_match_timeout_and_out_of_order(spark, dirs):
     out = _drain_wait(spark, dirs)
     assert out[("c2", 0)]["reviewed"] is False
     assert out[("c2", 0)]["timed_out"] is True
+
+
+def test_review_past_event_time_deadline_never_matches(spark, dirs):
+    """A review whose EVENT TIME is past result_ts + timeout is
+    expired even if it arrives before the state timeout fires: the
+    turn surfaces as timed_out, not reviewed (waitForTaskToken's
+    3600s deadline is an event-time fact, not an arrival-order one)."""
+    _write_tagged(spark, dirs["in"], "a", [
+        ("c1", 0, T0, "result", None, None, None, None)])
+    out = _drain_wait(spark, dirs)
+    assert out == {}
+    # the review lands in the next batch with ts 2h after the result —
+    # past the 3600s deadline; its arrival also advances the watermark
+    # past the deadline, firing the timeout in the same drain
+    _write_tagged(spark, dirs["in"], "b", [
+        ("c1", 0, T0 + 2 * timedelta(hours=1), "review",
+         "Vendor Co", "2020-07-07", "64.30", "w-late")])
+    out = _drain_wait(spark, dirs)
+    assert out[("c1", 0)]["reviewed"] is False
+    assert out[("c1", 0)]["timed_out"] is True
+    assert out[("c1", 0)]["worker_id"] is None
+
+
+def test_review_late_in_same_batch_does_not_match(spark, dirs):
+    """Result + past-deadline review in ONE batch: output must not
+    depend on them sharing a micro-batch — still timed_out."""
+    _write_tagged(spark, dirs["in"], "a", [
+        ("c1", 0, T0, "result", None, None, None, None),
+        ("c1", 0, T0 + 2 * timedelta(hours=1), "review",
+         "Vendor Co", "2020-07-07", "64.30", "w-late"),
+        # sentinel advances the watermark past c1's deadline
+        ("c9", 0, T0 + 3 * timedelta(hours=1), "result",
+         None, None, None, None)])
+    out = _drain_wait(spark, dirs)
+    assert out[("c1", 0)]["reviewed"] is False
+    assert out[("c1", 0)]["timed_out"] is True
+
+
+def test_duplicate_result_does_not_extend_deadline(spark, dirs):
+    """A replayed result must keep the FIRST result's event time as
+    the park anchor: a review within timeout of the replay but past
+    timeout of the original does not match."""
+    _write_tagged(spark, dirs["in"], "a", [
+        ("c1", 0, T0, "result", None, None, None, None),
+        ("c1", 0, T0 + timedelta(seconds=3000), "result",
+         None, None, None, None)])
+    _write_tagged(spark, dirs["in"], "b", [
+        # ts is 1200s after the replay but 4200s after the original
+        ("c1", 0, T0 + timedelta(seconds=4200), "review",
+         "Vendor Co", "2020-07-07", "64.30", "w-dup")])
+    out = _drain_wait(spark, dirs)
+    assert out[("c1", 0)]["reviewed"] is False
+    assert out[("c1", 0)]["timed_out"] is True

@@ -123,6 +123,117 @@ def extract_html_boilerplate_strip(spark: SparkSession,
 
 
 @query(
+    "extract_pdf_success",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+        'Vendor ' || CAST(doc_id % 97 AS VARCHAR) AS v,
+        printf('%02d/%02d/2021', doc_id % 28 + 1, doc_id % 12 + 1) AS d,
+        '$' || printf('%d.%02d', doc_id % 450 + 10, doc_id % 100) AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, v, d, t,
+        'Vendor: ' || v AS l0, 'Date: ' || d AS l1, 'Total: ' || t AS l2
+      FROM f),
+    h AS (
+      SELECT doc_id, v, d, t, l0, l1, l2,
+        length(l0) AS e0,
+        length(l0) + 1 AS s1, length(l0) + 1 + length(l1) AS e1,
+        length(l0) + length(l1) + 2 AS s2,
+        length(l0) + length(l1) + 2 + length(l2) AS e2,
+        l0 || chr(10) || l1 || chr(10) || l2 AS mt
+      FROM g),
+    b AS (
+      SELECT doc_id, mt, 0 AS block_id, 'LINE' AS block_type,
+             '' AS kv_role, -1 AS kv_group_id, 0 AS reading_order,
+             l0 AS btext, 0 AS cs, e0 AS ce FROM h
+      UNION ALL SELECT doc_id, mt, 1, 'KEY_VALUE', 'KEY', 0, -1,
+             'Vendor', 0, 6 FROM h
+      UNION ALL SELECT doc_id, mt, 2, 'KEY_VALUE', 'VALUE', 0, -1,
+             v, 8, e0 FROM h
+      UNION ALL SELECT doc_id, mt, 3, 'LINE', '', -1, 1,
+             l1, s1, e1 FROM h
+      UNION ALL SELECT doc_id, mt, 4, 'KEY_VALUE', 'KEY', 1, -1,
+             'Date', s1, s1 + 4 FROM h
+      UNION ALL SELECT doc_id, mt, 5, 'KEY_VALUE', 'VALUE', 1, -1,
+             d, s1 + 6, e1 FROM h
+      UNION ALL SELECT doc_id, mt, 6, 'LINE', '', -1, 2,
+             l2, s2, e2 FROM h
+      UNION ALL SELECT doc_id, mt, 7, 'KEY_VALUE', 'KEY', 2, -1,
+             'Total', s2, s2 + 5 FROM h
+      UNION ALL SELECT doc_id, mt, 8, 'KEY_VALUE', 'VALUE', 2, -1,
+             t, s2 + 7, e2 FROM h
+      UNION ALL SELECT doc_id, mt, 9, 'PAGE', '', -1, -1,
+             '', 0, e2 FROM h)
+    SELECT doc_id, 'ok' AS status, 'pdf' AS kind,
+           'main_text' AS span_domain, mt AS main_text,
+           block_id::BIGINT AS block_id, block_type, kv_role,
+           kv_group_id::BIGINT AS kv_group_id,
+           reading_order::BIGINT AS reading_order, btext,
+           cs::BIGINT AS char_start, ce::BIGINT AS char_end
+    FROM b
+    """)
+def extract_pdf_success(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF SUCCESS path end-to-end under the driver oracle (the
+    reference's main artifact — Textract FORMS extraction over PDFs,
+    fn-call-textract/main.py:53-61; rounds 1-2 exercised only the
+    PDF failure mode via error_taxonomy_routing).
+
+    A complete single-page PDF is CONSTRUCTED IN SQL per document —
+    a fixed object-graph template whose one content stream printf's
+    the vendor/date/total fields into three Tj text runs (with the
+    real /Length) — then base64'd into the data-URI envelope the
+    quality gate sniffs. The real pipeline must: accept the payload,
+    decode it, object-scan the graph, interpret BT/Tf/Td/Tj, cluster
+    runs into 3 lines in reading order (y 720/700/680), detect the
+    same-line ``key: value`` pairs, and emit main_text-domain char
+    spans. The oracle predicts every block (3 LINE + 3 KEY + 3 VALUE
+    + 1 PAGE per doc) and every span from string arithmetic alone."""
+    docs = _t(spark, sf_dir, "documents")
+    vendor = F.concat(F.lit("Vendor "),
+                      (F.col("doc_id") % 97).cast("string"))
+    date = F.format_string("%02d/%02d/2021", F.col("doc_id") % 28 + 1,
+                           F.col("doc_id") % 12 + 1)
+    total = F.concat(F.lit("$"), F.format_string(
+        "%d.%02d", F.col("doc_id") % 450 + 10, F.col("doc_id") % 100))
+    stream = F.concat(
+        F.lit("BT\n/F1 12 Tf\n72 720 Td\n(Vendor: "), vendor,
+        F.lit(") Tj\n0 -20 Td\n(Date: "), date,
+        F.lit(") Tj\n0 -20 Td\n(Total: "), total,
+        F.lit(") Tj\nET"))
+    pdf = F.concat(
+        F.lit("%PDF-1.4\n"
+              "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+              "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n"
+              "endobj\n"
+              "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+              "endobj\n"
+              "4 0 obj\n<< /Length "),
+        F.length(stream).cast("string"),
+        F.lit(" >>\nstream\n"), stream,
+        F.lit("\nendstream\nendobj\n%%EOF\n"))
+    # this Spark build emits MIME-chunked base64 (newline every 76
+    # chars); the data-URI envelope needs the unchunked form
+    payload = F.concat(F.lit("data:application/pdf;base64,"),
+                       F.regexp_replace(F.base64(pdf.cast("binary")),
+                                        "[\\r\\n]", ""))
+    out = _run_extraction(_docs_as_turns(docs, payload))
+    b = out.select("doc_id", "status", "kind", "span_domain",
+                   "main_text", F.explode("blocks").alias("b"))
+    return b.select(
+        "doc_id", "status", "kind", "span_domain", "main_text",
+        F.col("b.block_id").cast("long").alias("block_id"),
+        F.col("b.block_type").alias("block_type"),
+        F.coalesce(F.col("b.kv_role"), F.lit("")).alias("kv_role"),
+        F.coalesce(F.col("b.kv_group_id"), F.lit(-1)).cast("long")
+         .alias("kv_group_id"),
+        F.col("b.reading_order").cast("long").alias("reading_order"),
+        F.col("b.text").alias("btext"),
+        F.col("b.char_start").cast("long").alias("char_start"),
+        F.col("b.char_end").cast("long").alias("char_end"))
+
+
+@query(
     "quality_gate_routing",
     oracle="""
     SELECT CASE WHEN doc_id % 7 IN (0, 1) THEN 'rejected' ELSE 'ok' END
@@ -287,37 +398,50 @@ def selection_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
     "words_from_lines",
     oracle="""
     WITH t AS (SELECT doc_id,
-                      string_split(text, ' ') AS toks FROM documents)
-    SELECT doc_id,
-           CAST(u.s.i AS INT) AS word_idx,
-           u.s.w AS word,
-           CAST(CASE WHEN u.s.i = 0 THEN 0
-                ELSE length(array_to_string(toks[1:CAST(u.s.i AS INT)],
-                                            ' ')) + 1
-                END AS INT) AS word_start,
-           CAST(CASE WHEN u.s.i = 0 THEN 0
-                ELSE length(array_to_string(toks[1:CAST(u.s.i AS INT)],
-                                            ' ')) + 1
-                END + length(u.s.w) AS INT) AS word_end
-    FROM t, unnest(list_transform(toks, (w, i) -> {'w': w, 'i': i - 1}))
-           AS u(s)
+                      string_split(text, ' ') AS toks FROM documents),
+    w AS (
+      SELECT doc_id,
+             CAST(u.s.i AS INT) AS word_idx,
+             u.s.w AS word,
+             CAST(CASE WHEN u.s.i = 0 THEN 0
+                  ELSE length(array_to_string(toks[1:CAST(u.s.i AS INT)],
+                                              ' ')) + 1
+                  END AS INT) AS word_start
+      FROM t, unnest(list_transform(toks, (w, i) -> {'w': w, 'i': i - 1}))
+             AS u(s))
+    SELECT doc_id, word_idx, word, word_start,
+           CAST(word_start + length(word) AS INT) AS word_end,
+           CAST(word_start + """ + str(len(_PRE)) + """ AS INT)
+             AS word_abs_start,
+           CAST(word_start + length(word) + """ + str(len(_PRE)) + """
+                AS INT) AS word_abs_end
+    FROM w
     """)
 def words_from_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived WORD blocks (Block-model parity, SURVEY.md §1.2): LINE
     text split into per-word rows with cumulative in-line char offsets
     — native split + aggregate + posexplode, no Python, no shuffle
-    (engine.udfs.words_table). Over plain-text turns the line text IS
-    the document text, so every word and offset is exactly
-    predictable."""
+    (engine.udfs.words_table). Payloads are HTML-wrapped (the constant
+    chrome of extract_html_boilerplate_strip), so the content LINE's
+    char_start is len(_PRE) and the word_abs_start/word_abs_end
+    columns are exercised non-trivially: they must index into the
+    ORIGINAL payload (payload[abs_start:abs_end] == word), which the
+    oracle states as rel + len(_PRE)."""
     from .udfs import extract_turns, words_table
     docs = _t(spark, sf_dir, "documents")
-    turns = _docs_as_turns(docs, F.col("text"))
+    payload = F.concat(F.lit(_PRE), F.col("text"), F.lit(_POST))
+    turns = _docs_as_turns(docs, payload)
     ids = turns.select("conv_id", "doc_id")
-    words = words_table(extract_turns(turns.drop("doc_id"), salt=4))
+    words = (words_table(extract_turns(turns.drop("doc_id"), salt=4))
+             .filter(F.col("is_content")))
     return (words.join(F.broadcast(ids), "conv_id")
             .select("doc_id", "word_idx", "word",
                     F.col("word_start").cast("int").alias("word_start"),
-                    F.col("word_end").cast("int").alias("word_end")))
+                    F.col("word_end").cast("int").alias("word_end"),
+                    F.col("word_abs_start").cast("int")
+                     .alias("word_abs_start"),
+                    F.col("word_abs_end").cast("int")
+                     .alias("word_abs_end")))
 
 
 # A data-URI PDF that passes the quality sniff (%PDF header + endobj)
@@ -900,6 +1024,186 @@ def streaming_extract_availablenow(spark: SparkSession,
     return spark.createDataFrame(rows, schema=out_schema)
 
 
+def _drain_stream_to_rows(spark: SparkSession, input_df: DataFrame,
+                          op, out_schema: str) -> DataFrame:
+    """Stage ``input_df`` as a file-source stream, drain it through
+    the stateful operator ``op`` with trigger(availableNow) into a
+    checkpointed parquet sink, and return the materialized rows (the
+    pattern of ``streaming_extract_availablenow``)."""
+    import os
+    import shutil
+    import tempfile
+    base = tempfile.mkdtemp(prefix="stateful_q_")
+    try:
+        in_dir = os.path.join(base, "in")
+        os.makedirs(in_dir)
+        stage = os.path.join(base, "stage")
+        input_df.coalesce(1).write.mode("overwrite").parquet(stage)
+        for i, f in enumerate(sorted(os.listdir(stage))):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(stage, f),
+                            os.path.join(in_dir, f"in-{i}.parquet"))
+        stream = (spark.readStream.schema(input_df.schema)
+                  .parquet(in_dir))
+        q = (op(stream).writeStream.format("parquet")
+             .option("path", os.path.join(base, "out"))
+             .option("checkpointLocation", os.path.join(base, "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        drained = q.awaitTermination(600)
+        if not drained:
+            q.stop()
+            raise RuntimeError("stateful drain did not finish in 600 s")
+        rows = (spark.read.schema(out_schema)
+                .parquet(os.path.join(base, "out")).collect())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=out_schema)
+
+
+_TTL_EPOCH = 1767225600  # 2026-01-01 00:00:00 UTC
+
+
+@query(
+    "streaming_ttl_cache",
+    oracle=f"""
+    WITH ev AS (
+      SELECT 'e' || CAST(doc_id % 12 AS VARCHAR) AS exec_id,
+             {_TTL_EPOCH} + (doc_id // 12) * 172800
+                          + (doc_id % 12) * 60 AS ts_sec,
+             CASE WHEN (doc_id // 12) % 3 = 0
+                  THEN 'o' || CAST(doc_id % 12 AS VARCHAR) || '-'
+                           || CAST(doc_id // 12 AS VARCHAR) END AS owner_in
+      FROM documents WHERE doc_id < 120),
+    w AS (
+      SELECT exec_id, ts_sec, owner_in,
+        last_value(CASE WHEN owner_in IS NOT NULL THEN ts_sec END
+                   IGNORE NULLS)
+          OVER (PARTITION BY exec_id ORDER BY ts_sec
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS lr_ts,
+        last_value(owner_in IGNORE NULLS)
+          OVER (PARTITION BY exec_id ORDER BY ts_sec
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS lr_owner
+      FROM ev)
+    SELECT exec_id, ts_sec::BIGINT AS ts_sec,
+           coalesce(CASE WHEN ts_sec - lr_ts <= 259200
+                         THEN lr_owner END, '') AS owner,
+           CASE WHEN owner_in IS NULL AND lr_ts IS NOT NULL
+                     AND ts_sec - lr_ts <= 259200
+                THEN true ELSE false END AS owner_from_cache
+    FROM w
+    """)
+def streaming_ttl_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed TTL cache (T4) as a DRIVER-ORACLED streaming query: a
+    deterministic event stream (12 keys x 10 events, learns every 3rd
+    event = every 6 days, TTL 3 days — so lookups alternate warm hit /
+    expired miss) drains through the real applyInPandasWithState
+    operator (streaming/state.py enrich_with_keyed_ttl_cache); the
+    oracle replays the event-time TTL semantics in plain SQL (owner =
+    last learn within TTL). Timestamps surface as epoch seconds so
+    the comparison is timezone-free."""
+    from ..streaming.state import enrich_with_keyed_ttl_cache
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    seq = (F.col("doc_id") / 12).cast("long")
+    key = F.col("doc_id") % 12
+    events = docs.select(
+        F.concat(F.lit("e"), key.cast("string")).alias("exec_id"),
+        F.timestamp_seconds(F.lit(_TTL_EPOCH) + seq * 172800
+                            + key * 60).alias("ts"),
+        F.when(seq % 3 == 0,
+               F.concat(F.lit("o"), key.cast("string"), F.lit("-"),
+                        seq.cast("string"))).alias("owner"))
+    out = _drain_stream_to_rows(
+        spark, events,
+        lambda s: enrich_with_keyed_ttl_cache(s, ttl_seconds=259200),
+        "exec_id string, ts timestamp, owner string,"
+        " owner_from_cache boolean")
+    return out.select(
+        "exec_id", F.col("ts").cast("long").alias("ts_sec"),
+        F.coalesce("owner", F.lit("")).alias("owner"),
+        "owner_from_cache")
+
+
+@query(
+    "streaming_review_wait",
+    oracle="""
+    SELECT 'c' || CAST(doc_id AS VARCHAR) AS conv_id,
+           0::INTEGER AS turn_idx,
+           (doc_id % 4) IN (0, 3) AS reviewed,
+           (doc_id % 4) IN (1, 2) AS timed_out,
+           CASE WHEN doc_id % 4 IN (0, 3)
+                THEN 'V' || CAST(doc_id AS VARCHAR) ELSE '' END AS vendor,
+           CASE WHEN doc_id % 4 IN (0, 3)
+                THEN '2021-03-04' ELSE '' END AS date,
+           CASE WHEN doc_id % 4 IN (0, 3)
+                THEN '$9.99' ELSE '' END AS total,
+           CASE WHEN doc_id % 4 IN (0, 3)
+                THEN 'w' || CAST(doc_id AS VARCHAR) ELSE '' END
+             AS worker_id
+    FROM documents WHERE doc_id < 60
+    """)
+def streaming_review_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed wait-for-review with timeout (T3) as a DRIVER-ORACLED
+    streaming query — the waitForTaskToken park
+    (StateMachine.asl.json:66-82, TimeoutSeconds 3600). 60 turns
+    enter the wait; by doc_id % 4 the review (a) arrives 600s after
+    the result => matched, (b) arrives 7200s after => past the
+    event-time deadline, expired => timed_out, (c) never arrives =>
+    timed_out, (d) arrives 300s BEFORE the result (out-of-order token
+    round-trip) => held and matched. A far-future sentinel result
+    pushes the watermark past every deadline so the timeouts fire in
+    the drain (the sentinel itself stays parked and emits nothing).
+    The oracle states the event-time semantics in plain SQL."""
+    from ..streaming.state import (WAIT_OUTPUT_SCHEMA,
+                                   review_wait_with_timeout)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    conv = F.concat(F.lit("c"), F.col("doc_id").cast("string"))
+    r_ts = F.lit(_TTL_EPOCH) + F.col("doc_id") * 60
+    mode = F.col("doc_id") % 4
+    results = docs.select(
+        conv.alias("conv_id"), F.lit(0).cast("int").alias("turn_idx"),
+        F.timestamp_seconds(r_ts).alias("ts"),
+        F.lit("result").alias("kind"),
+        F.lit(None).cast("string").alias("vendor"),
+        F.lit(None).cast("string").alias("date"),
+        F.lit(None).cast("string").alias("total"),
+        F.lit(None).cast("string").alias("worker_id"))
+    rev_ts = (F.when(mode == 0, r_ts + 600)
+              .when(mode == 1, r_ts + 7200)
+              .otherwise(r_ts - 300))
+    reviews = docs.filter(mode != 2).select(
+        conv.alias("conv_id"), F.lit(0).cast("int").alias("turn_idx"),
+        F.timestamp_seconds(rev_ts).alias("ts"),
+        F.lit("review").alias("kind"),
+        F.concat(F.lit("V"), F.col("doc_id").cast("string"))
+         .alias("vendor"),
+        F.lit("2021-03-04").alias("date"),
+        F.lit("$9.99").alias("total"),
+        F.concat(F.lit("w"), F.col("doc_id").cast("string"))
+         .alias("worker_id"))
+    sentinel = spark.range(1).select(
+        F.lit("c-sentinel").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.timestamp_seconds(F.lit(_TTL_EPOCH + 100000)).alias("ts"),
+        F.lit("result").alias("kind"),
+        F.lit(None).cast("string").alias("vendor"),
+        F.lit(None).cast("string").alias("date"),
+        F.lit(None).cast("string").alias("total"),
+        F.lit(None).cast("string").alias("worker_id"))
+    tagged = results.unionByName(reviews).unionByName(sentinel)
+    out = _drain_stream_to_rows(
+        spark, tagged,
+        lambda s: review_wait_with_timeout(s, timeout_seconds=3600),
+        WAIT_OUTPUT_SCHEMA)
+    return out.select(
+        "conv_id", "turn_idx", "reviewed", "timed_out",
+        F.coalesce("vendor", F.lit("")).alias("vendor"),
+        F.coalesce("date", F.lit("")).alias("date"),
+        F.coalesce("total", F.lit("")).alias("total"),
+        F.coalesce("worker_id", F.lit("")).alias("worker_id"))
+
+
 # ---------------------------------------------------------------------------
 # 3. Training-data pipeline operators (datapipe) — dedup, similarity,
 #    text analysis, multimodal plumbing
@@ -1256,44 +1560,126 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, q, k=10).select("qid", "rank", "vec_id")
 
 
-@query("ann_lsh_topk")  # rows-only: xxhash64-derived hyperplanes
+@query(
+    "ann_lsh_topk",
+    oracle="""
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+        list_transform(range(0, 16), p ->
+          CASE WHEN coalesce(list_sum(list_transform(range(0, 64), d ->
+            CAST(round(CAST(embedding[d + 1] AS DOUBLE) *
+              (CASE WHEN substr(md5(CAST(p * 4096 + d AS VARCHAR)), 1, 1)
+                      < '8'
+                    THEN 1000000.0 ELSE -1000000.0 END)) AS BIGINT))), 0)
+                 > 0
+          THEN 1 ELSE 0 END) AS sig
+      FROM embeddings),
+    bands AS (SELECT unnest(range(0, 4)) AS band),
+    cb AS (SELECT s.vec_id, s.embedding, b.band,
+                  array_to_string(s.sig[(b.band * 4 + 1):(b.band * 4 + 4)],
+                                  '') AS key
+           FROM sigs s, bands b),
+    qb AS (SELECT vec_id AS qid, embedding AS qv, band, key
+           FROM cb WHERE vec_id < 5),
+    cand AS (SELECT DISTINCT c.vec_id, c.embedding, q.qid, q.qv
+             FROM cb c JOIN qb q ON c.band = q.band AND c.key = q.key
+             WHERE c.vec_id != q.qid),
+    scored AS (SELECT qid, vec_id,
+                 list_cosine_similarity(embedding, qv) AS cos FROM cand)
+    SELECT qid, rank, vec_id FROM (
+      SELECT qid, vec_id,
+        row_number() OVER (PARTITION BY qid
+                           ORDER BY cos DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH banded ANN (the scale path): candidates from shared
-    signature bands, exact cosine re-rank within candidates. Recall
-    vs brute force asserted in tests/test_datapipe.py.
-
-    Rows-only is the ceiling for this query: the candidate set depends
-    on hyperplanes derived from Spark's xxhash64 (no DuckDB
-    equivalent), and ANN output is by definition approximate — the
-    correct oracle is recall against the exact scorer, which is
-    exactly what tests/test_datapipe.py asserts (and the exact scorer
-    itself is oracled by ``ann_cosine_topk`` above)."""
+    signature bands, exact cosine re-rank within candidates, in the
+    cross-engine md5 hyperplane family — DuckDB replays the signature
+    bits (fixed-point dot products, so the sign is independent of
+    float summation order), the band join, and the re-rank, making
+    the full approximate RESULT oracled (rows-only in rounds 1-2).
+    Recall vs brute force for the fast xxhash64 family stays asserted
+    in tests/test_datapipe.py."""
     from ..datapipe.similarity import lsh_topk
     emb = _t(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv")))
-    return lsh_topk(emb, q, k=10)
+    return lsh_topk(emb, q, k=10, hash_mode="md5").select(
+        "qid", "rank", "vec_id")
 
 
-@query("ann_ivf_topk")  # rows-only: xxhash64-seeded centroids
+@query(
+    "ann_ivf_topk",
+    oracle="""
+    WITH seeds AS (
+      SELECT vec_id, embedding,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM embeddings ORDER BY h LIMIT 16),
+    cents0 AS (
+      SELECT row_number() OVER (ORDER BY h) - 1 AS cid, embedding AS cvec
+      FROM seeds),
+    assign0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                     c.cid DESC) AS rn
+        FROM embeddings e, cents0 c) WHERE rn = 1),
+    dims AS (SELECT unnest(range(0, 64)) AS d),
+    upd AS (
+      SELECT a.cid, dm.d,
+             CAST(round(avg(CAST(e.embedding[dm.d + 1] AS DOUBLE))
+                        * 65536) / 65536 AS FLOAT) AS m
+      FROM assign0 a JOIN embeddings e USING (vec_id), dims dm
+      GROUP BY a.cid, dm.d),
+    cents1 AS (SELECT cid, list(m ORDER BY d) AS cvec FROM upd
+               GROUP BY cid),
+    assign1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                     c.cid DESC) AS rn
+        FROM embeddings e, cents1 c) WHERE rn = 1),
+    probes AS (
+      SELECT qid, qv, cid FROM (
+        SELECT e.vec_id AS qid, e.embedding AS qv, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                     c.cid ASC) AS rn
+        FROM embeddings e, cents1 c WHERE e.vec_id < 5) WHERE rn <= 4),
+    cand AS (
+      SELECT p.qid, p.qv, e.vec_id, e.embedding
+      FROM probes p JOIN assign1 a USING (cid)
+           JOIN embeddings e ON a.vec_id = e.vec_id
+      WHERE e.vec_id != p.qid)
+    SELECT qid, rank, vec_id FROM (
+      SELECT qid, vec_id,
+        row_number() OVER (PARTITION BY qid
+          ORDER BY list_cosine_similarity(embedding, qv) DESC,
+                   vec_id) AS rank
+      FROM cand) WHERE rank <= 10
+    """)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (inverted-file scale path): hash-seeded coarse
     centroids + one Lloyd refinement, corpus bucketed by nearest
     centroid, queries probe their n_probe nearest buckets and re-rank
-    exactly within them.
-
-    Rows-only is the ceiling for this query: the centroid seeds
-    derive from Spark's xxhash64 (no DuckDB equivalent) and the
-    output is approximate by design — the correct oracle is recall
-    against the exact scorer (``ann_cosine_topk``, which IS oracled),
-    asserted in tests/test_datapipe.py with a determinism check."""
+    exactly within them — in the cross-engine md5 hash family, with
+    the Lloyd means snapped to the 2^-16 grid, so DuckDB replays the
+    ENTIRE construction (seeds -> assign -> update -> probes ->
+    re-rank) and the approximate result is fully oracled (rows-only
+    in rounds 1-2). Recall + determinism of the fast xxhash64 family
+    stay asserted in tests/test_datapipe.py."""
     from ..datapipe.similarity import ivf_topk
     emb = _t(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv")))
-    return ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4, iters=1)
+    return ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4, iters=1,
+                    hash_mode="md5").select("qid", "rank", "vec_id")
 
 
 @query(

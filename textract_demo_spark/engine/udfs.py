@@ -168,9 +168,12 @@ def words_table(extracted: DataFrame) -> DataFrame:
     the extraction kernel, WORD rows are split out of LINE blocks with
     native expressions — split + a single aggregate() scan building
     the cumulative in-line offsets + posexplode. Offsets
-    (word_start/word_end) index into the LINE's ``text`` (the line's
-    own char_start/char_end columns relate the line to its span
-    domain). Zero Python, zero shuffle."""
+    (word_start/word_end) index into the LINE's ``text``;
+    word_abs_start/word_abs_end add the line's char_start, giving
+    offsets in the LINE's span DOMAIN — for html/plain payloads that
+    is the original payload string (north-rule "char spans into the
+    original payload"), for pdf it is main_text (see
+    ExtractResult.span_domain). Zero Python, zero shuffle."""
     lines = (blocks_table(extracted)
              .filter((F.col("block_type") == "LINE")
                      & (F.col("text") != "")))
@@ -185,15 +188,19 @@ def words_table(extracted: DataFrame) -> DataFrame:
             .withColumn("_offs", offs)
             .select("conv_id", "turn_idx",
                     F.col("block_id").alias("line_block_id"), "page",
-                    "char_start", "char_end",
+                    "char_start", "char_end", "is_content",
                     F.posexplode(F.arrays_zip("_words", "_offs"))
                      .alias("word_idx", "wz"))
             .select("conv_id", "turn_idx", "line_block_id", "page",
-                    "char_start", "char_end", "word_idx",
+                    "char_start", "char_end", "is_content", "word_idx",
                     F.col("wz._words").alias("word"),
                     F.col("wz._offs").alias("word_start"),
                     (F.col("wz._offs")
-                     + F.length("wz._words")).alias("word_end")))
+                     + F.length("wz._words")).alias("word_end"),
+                    (F.col("char_start") + F.col("wz._offs"))
+                    .alias("word_abs_start"),
+                    (F.col("char_start") + F.col("wz._offs")
+                     + F.length("wz._words")).alias("word_abs_end")))
 
 
 def blocks_table(extracted: DataFrame) -> DataFrame:

@@ -39,7 +39,7 @@ WAIT_OUTPUT_SCHEMA = (
     "conv_id string, turn_idx int, reviewed boolean, timed_out boolean, "
     "vendor string, date string, total string, worker_id string")
 WAIT_STATE_SCHEMA = (
-    "result_ts_sec long, "
+    "result_ts_sec long, rev_ts_sec long, "
     "rev_vendor string, rev_date string, rev_total string, "
     "rev_worker string")
 
@@ -122,13 +122,24 @@ def review_wait_with_timeout(tagged: "DataFrame",
     the wait; 'review' rows are the human answers. One output row per
     waiting turn:
 
-    - review arrives within ``timeout_seconds`` of the result's event
-      time => reviewed=true with the answers (out-of-order arrival —
-      review before result — is held and matched, the token round-trip
-      analog J5);
-    - watermark passes result_ts + timeout with no review =>
+    - review with event time within ``timeout_seconds`` of the FIRST
+      result's event time => reviewed=true with the answers
+      (out-of-order arrival — review before result — is held and
+      matched, the token round-trip analog J5);
+    - a review whose event time is PAST result_ts + timeout is
+      expired (the 3600s waitForTaskToken deadline is an event-time
+      fact, not an arrival-order one): it never matches, and the turn
+      surfaces as timed_out once the watermark passes the deadline;
+    - duplicate results keep the FIRST result's event time — a replay
+      must not extend the park window;
+    - watermark passes result_ts + timeout with no in-time review =>
       reviewed=false, timed_out=true (the turn stays needs_review,
       exactly the batch left-join's absent-row semantics).
+
+    Review selection: the first review to arrive wins (token
+    semantics — the reference resumes on the first callback); within
+    one micro-batch, rows are processed in event-time order, so the
+    earliest-ts review of the batch is "first".
     """
 
     def update(key: tuple, pdfs: Iterator[pd.DataFrame],
@@ -149,29 +160,35 @@ def review_wait_with_timeout(tagged: "DataFrame",
             # else: a stray held review with no matching result —
             # dropped, like a callback with an unknown token
             return
-        (result_ts, rv, rd, rt, rw) = (state.get if state.exists
-                                       else (None, None, None, None, None))
+        (result_ts, rev_ts, rv, rd, rt, rw) = (
+            state.get if state.exists
+            else (None, None, None, None, None, None))
         rows = pd.concat(list(pdfs)).sort_values("ts", kind="stable")
         for r in rows.itertuples():
+            ts_sec = int(r.ts.timestamp())
             if r.kind == "result":
-                result_ts = int(r.ts.timestamp())
-            else:  # review answers (first one wins, A11)
-                if rw is None:
-                    rv, rd, rt, rw = r.vendor, r.date, r.total, r.worker_id
+                if result_ts is None:  # first result anchors the park
+                    result_ts = ts_sec
+            elif rw is None:  # first review wins (A11)
+                rev_ts = ts_sec
+                rv, rd, rt, rw = r.vendor, r.date, r.total, r.worker_id
         if result_ts is not None and rw is not None:
-            state.remove()
-            yield emit(True, False, rv, rd, rt, rw)
-            return
+            if rev_ts <= result_ts + timeout_seconds:
+                state.remove()
+                yield emit(True, False, rv, rd, rt, rw)
+                return
+            # review past the event-time deadline: expired — drop it
+            # and keep the park; the state timeout surfaces timed_out
+            rev_ts = rv = rd = rt = rw = None
         if result_ts is not None:
             # park with the reference's timeout from the RESULT's
             # event time; the timeout fires once the watermark passes
-            state.update((result_ts, None, None, None, None))
+            state.update((result_ts, None, None, None, None, None))
             state.setTimeoutTimestamp((result_ts + timeout_seconds) * 1000)
         elif rw is not None:
             # review before result (out-of-order): hold the answers,
             # bounded by the same TTL-style timeout from the review ts
-            rev_ts = int(rows["ts"].iloc[-1].timestamp())
-            state.update((None, rv, rd, rt, rw))
+            state.update((None, rev_ts, rv, rd, rt, rw))
             state.setTimeoutTimestamp((rev_ts + timeout_seconds) * 1000)
         return
 
