@@ -79,6 +79,30 @@ def main() -> None:
         " recall-checked against.",
         formatted(QUERIES["ann_cosine_topk"](spark, SF))))
 
+    sections.append((
+        "SimHash banded pair generation (Hamming near-dup scale path)",
+        "Fingerprints are per-row (JVM token hashes + Arrow bit-pack);"
+        " pairs come from an EQUI hash join on the exact (band, key)"
+        " tuple — never a cartesian — and Catalyst pushes the"
+        " bit_count(fp_a ^ fp_b) <= k verification into the join"
+        " condition itself, so non-pairs die inside the join operator."
+        " Recall is total by pigeonhole for Hamming <= bands-1.",
+        formatted(QUERIES["dedup_simhash_pairs"](spark, SF))))
+
+    from textract_demo_spark.datapipe.similarity import ivf_centroids
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sections.append((
+        "IVF Lloyd update (centroid refinement)",
+        "Seeds are numbered driver-side over the collected n_centroids"
+        " rows (bounded at any corpus scale — no global-window"
+        " single-partition stage, round-2 nit fixed); the update is"
+        " ONE groupBy(cid) with dim scalar avg columns — n corpus rows"
+        " shuffle once with map-side partial_avg, instead of the n x d"
+        " (cid, dim) rows a posexplode update would shuffle (also"
+        " fixed). Means snap to the 2^-16 grid for cross-engine and"
+        " partition-layout determinism.",
+        formatted(ivf_centroids(emb, n_centroids=4, iters=1))))
+
     staged = with_part_key(out, 8).hint("rebalance", F.col(PART_COL))
     sections.append((
         "Commit staging write input (REBALANCE on the table partition"

@@ -222,3 +222,17 @@ def test_minhash_release_cached_frees_storage(spark, docs):
         pairs.count()
         release_cached(pairs)
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_md5_sign_bits_literal_matches_dynamic(spark):
+    """The plan-time literal hyperplane matrix must reproduce the
+    dynamic md5 SQL expression bit-for-bit (it is the same
+    derivation, evaluated once instead of per row)."""
+    from textract_demo_spark.datapipe.similarity import _sign_bits
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    lit = emb.selectExpr(
+        "vec_id", f"{_sign_bits('embedding', 16, 'md5', dim=64)} AS s")
+    dyn = emb.selectExpr(
+        "vec_id", f"{_sign_bits('embedding', 16, 'md5')} AS s")
+    assert ({(r.vec_id, tuple(r.s)) for r in lit.collect()}
+            == {(r.vec_id, tuple(r.s)) for r in dyn.collect()})

@@ -99,3 +99,28 @@ def test_quality_filter_not_collapsed_into_extraction(spark):
     # exactly one mapInArrow (extraction); the only other Python node
     # is the gated date-entity pandas_udf in the rules projection
     assert p.count("MapInArrow") == 1, p[:3000]
+
+
+def test_simhash_band_join_is_equi_hash_not_cartesian(spark):
+    """Banded SimHash pair generation must join on the exact band
+    key (equi hash join) — never a cartesian / nested-loop pairing;
+    Catalyst additionally pushes the bit_count verification into the
+    join condition."""
+    from textract_demo_spark.engine.queries import QUERIES
+    p = plan(QUERIES["dedup_simhash_pairs"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p and "bk" in p
+
+
+def test_ivf_centroid_update_narrow_shuffle(spark):
+    """The Lloyd update must shuffle n corpus rows with map-side
+    partial aggregation (dim scalar avg columns) — no posexplode
+    Generate blowing the shuffle up to n x d rows, and no
+    single-partition global Window anywhere (round-2 nit)."""
+    from textract_demo_spark.datapipe.similarity import ivf_centroids
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan(ivf_centroids(emb, n_centroids=4, iters=1))
+    assert "Generate" not in p, p[:2000]
+    assert "Window" not in p, p[:2000]
+    assert "partial_avg" in p, p[:2000]

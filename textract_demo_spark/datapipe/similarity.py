@@ -50,8 +50,16 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     F.col(id_col), F.round("cos", 4).alias("cos")))
 
 
+def _md5_sign(key: int) -> bool:
+    """True => +1 hyperplane weight: first md5 hex digit of str(key)
+    is < '8' — the same derivation DuckDB and the dynamic SQL form
+    compute, evaluated once at plan-build time."""
+    import hashlib
+    return hashlib.md5(str(key).encode()).hexdigest()[0] < "8"
+
+
 def _sign_bits(vec_col: str, n_bits: int,
-               hash_mode: str = "xxhash64") -> str:
+               hash_mode: str = "xxhash64", dim: int | None = None) -> str:
     """LSH signature: bit p = sign of <v, h_p> where h_p[d] in {-1,+1}
     derives from a hash of (p, d) — deterministic across executors.
 
@@ -60,7 +68,14 @@ def _sign_bits(vec_col: str, n_bits: int,
     of the string "p*4096+d" (< '8' => +1), and the dot product runs
     in FIXED-POINT (each term rounded to 1e-6, summed as integers) so
     the bit is independent of float summation order — double folds
-    are not bit-identical across engines; integer sums are."""
+    are not bit-identical across engines; integer sums are.
+
+    When ``dim`` is known, the md5 signs are PRECOMPUTED at plan-build
+    time and inlined as an n_bits x dim literal matrix — they depend
+    only on (p, d), so evaluating md5 per row is pure waste Catalyst
+    cannot constant-fold through lambda variables (measured 3.5x on
+    the sf0.1 bench); the per-row work drops to the dot products
+    alone. Without ``dim`` the dynamic md5 expression is used."""
     if hash_mode == "xxhash64":
         return f"""
         transform(sequence(0, {n_bits - 1}), p ->
@@ -72,6 +87,21 @@ def _sign_bits(vec_col: str, n_bits: int,
                        0.0d, (acc, v) -> acc + v) > 0, 1, 0))
         """
     if hash_mode == "md5":
+        if dim is not None:
+            rows = ", ".join(
+                "array(" + ", ".join(
+                    ("1000000.0D" if _md5_sign(p * 4096 + d)
+                     else "-1000000.0D")
+                    for d in range(dim)) + ")"
+                for p in range(n_bits))
+            return f"""
+            transform(sequence(0, {n_bits - 1}), p ->
+              if(aggregate(zip_with({vec_col},
+                                    element_at(array({rows}), p + 1),
+                                    (x, s) -> cast(round(
+                                      cast(x AS DOUBLE) * s) AS BIGINT)),
+                           0L, (acc, v) -> acc + v) > 0, 1, 0))
+            """
         return f"""
         transform(sequence(0, {n_bits - 1}), p ->
           if(aggregate(zip_with({vec_col},
@@ -187,11 +217,14 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_bits: int = 16, bands: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "qid", qvec_col: str = "qv",
-             hash_mode: str = "xxhash64") -> DataFrame:
+             hash_mode: str = "xxhash64",
+             dim: int | None = None) -> DataFrame:
     """Approximate top-k: sign-LSH banded candidate generation + exact
     cosine re-rank within candidates. Output schema = cosine_topk.
     ``hash_mode='md5'`` selects the DuckDB-replayable hyperplane
-    family (see ``_sign_bits``) used by the driver oracle."""
+    family (see ``_sign_bits``) used by the driver oracle; pass the
+    known embedding ``dim`` there so the hyperplane signs inline as
+    plan-time literals instead of per-row md5 calls."""
     from pyspark.sql.window import Window
     rows = n_bits // bands
     band_keys = f"""
@@ -200,10 +233,10 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                array_join(slice(sig, b * {rows} + 1, {rows}), '')
                  AS key))"""
     c = (corpus.withColumn("sig", F.expr(_sign_bits(vec_col, n_bits,
-                                                    hash_mode)))
+                                                    hash_mode, dim)))
          .select(id_col, vec_col, F.explode(F.expr(band_keys)).alias("bk")))
     q = (queries.withColumn("sig", F.expr(_sign_bits(qvec_col, n_bits,
-                                                     hash_mode)))
+                                                     hash_mode, dim)))
          .select(qid_col, qvec_col, F.explode(F.expr(band_keys)).alias("bk")))
     cand = (c.join(F.broadcast(q), ["bk"])
             .filter(F.col(id_col) != F.col(qid_col))

@@ -1606,7 +1606,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (emb.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv")))
-    return lsh_topk(emb, q, k=10, hash_mode="md5").select(
+    return lsh_topk(emb, q, k=10, hash_mode="md5", dim=64).select(
         "qid", "rank", "vec_id")
 
 
