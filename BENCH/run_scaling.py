@@ -83,18 +83,27 @@ def run_at(cores: int, input_path: str, zip_path: str,
         "--salt", "16",
     ]
     t0 = time.time()
-    proc = subprocess.run(cmd, capture_output=True, text=True,
-                          timeout=7200)
-    total = time.time() - t0
-    if proc.returncode != 0:
+    for attempt in (1, 2):
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=7200)
+        if proc.returncode == 0:
+            break
         dump = os.path.join(tempfile.gettempdir(),
                             f"scaling_fail_{cores}.stderr")
         with open(dump, "w") as fh:
             fh.write(proc.stderr)
-        sys.stderr.write(proc.stderr[-4000:])
-        raise RuntimeError(f"spark-submit local[{cores}] failed"
-                           f" (rc={proc.returncode}; full stderr:"
-                           f" {dump})")
+        if attempt == 2:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"spark-submit local[{cores}] failed"
+                               f" (rc={proc.returncode}; full stderr:"
+                               f" {dump})")
+        # this VM sporadically resets Python-worker sockets mid-run
+        # (observed round 3: one local[1] rep died after 12 min of
+        # host stall); one retry keeps a flake from killing the sweep
+        print(f"  local[{cores}] attempt {attempt} failed (rc="
+              f"{proc.returncode}) — retrying once", file=sys.stderr)
+        t0 = time.time()
+    total = time.time() - t0
     stats = json.loads(proc.stdout.strip().splitlines()[-1])
     shutil.rmtree(out_dir, ignore_errors=True)
     return {"cores": cores, "pinned": pin,
@@ -248,6 +257,31 @@ def main() -> None:
         f" {'PASS' if p['job_eff'] >= 0.8 else 'below'} |"
         for p in pair_rows)
 
+    stress_path = os.path.join(ROOT, "BENCH", "SF1_STRESS.json")
+    stress_section = ""
+    if os.path.exists(stress_path):
+        with open(stress_path) as fh:
+            st = json.load(fh)
+        stress_section = f"""
+## Volume stress — sf1.0-scale single run (BENCH/run_sf1_stress.py)
+
+{st['n_turns']:,} turns (10x the per-round bench volume) through the
+same code paths, single-run protocol (drift applies):
+
+- pipeline alone: {st['pipeline_only_sec']} s =
+  {st['pipeline_turns_per_sec']:,} turns/s at local[32] — the Arrow
+  batch path and the salted exchange hold at volume (no spill, no
+  batch-cap failures).
+- full spark-submit job incl. IcebergLike commit at
+  {st['buckets']:,} buckets: {st['full_job']['wall_sec']} s
+  (stage_write {st['full_job']['phase_sec']['stage_write']},
+  metrics {st['full_job']['phase_sec']['metrics']},
+  promote {st['full_job']['phase_sec']['promote']} s across
+  {st['full_job']['committed_partitions']:,} partition commits);
+  output file count {st['out_files']:,} tracks bucket count
+  (~3/bucket: data + manifest), not tasks x buckets.
+"""
+
     md = f"""# BENCH/BASELINE — measured scaling evidence
 
 Protocol (BASELINE.md): identical extraction job (`jobs/run_extract.py`,
@@ -307,11 +341,11 @@ The executor-scaling criterion is therefore evidenced by the 1->4
 pair (both runs clear of the knee and of oversubscription effects);
 the 2->8 and 8->32 pairs plus the control curve are committed above
 so the reader can weigh the claim rather than take it on faith.
-Commit-protocol scaling was additionally fixed this round: the
-staged write now REBALANCEs on the table partition key, so staging
-file count is ~bucket count instead of tasks x buckets (which at
-32 cores produced 4096 files and visibly dragged the commit phase).
-"""
+Commit-protocol scaling: the staged write REBALANCEs on the table
+partition key, so staging file count is ~bucket count instead of
+tasks x buckets (which at 32 cores produced 4096 files and visibly
+dragged the commit phase before the fix).
+{stress_section}"""
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
 

@@ -236,3 +236,21 @@ def test_md5_sign_bits_literal_matches_dynamic(spark):
         "vec_id", f"{_sign_bits('embedding', 16, 'md5')} AS s")
     assert ({(r.vec_id, tuple(r.s)) for r in lit.collect()}
             == {(r.vec_id, tuple(r.s)) for r in dyn.collect()})
+
+
+def test_neardup_clusters_transitive_closure(spark):
+    """Label propagation must merge CHAINS (a-b, b-c => one cluster
+    with min-id representative), leave singletons alone, and converge
+    — checked against a hand-built edge list, not LSH."""
+    from textract_demo_spark.datapipe.dedup import (neardup_clusters,
+                                                    release_cached)
+    ids = spark.createDataFrame([(i,) for i in range(10)],
+                                "doc_id long")
+    # chain 0-1-2-3, pair 5-6, singletons 4,7,8,9
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    out = neardup_clusters(ids, pairs)
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    release_cached(out)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4,
+                   5: 5, 6: 5, 7: 7, 8: 8, 9: 9}

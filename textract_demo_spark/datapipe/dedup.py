@@ -289,6 +289,61 @@ def simhash_pairs(fingerprinted: DataFrame, bands: int = 4,
     return out
 
 
+def neardup_clusters(ids: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id",
+                     max_iters: int = 25) -> DataFrame:
+    """Connected components over the near-dup pair graph — the
+    keep-one-per-cluster step of a dedup pipeline (pairs from
+    ``minhash_dedup_pairs`` / ``simhash_pairs`` are edges; every doc
+    gets the MIN doc id of its component as ``cluster_id``, so
+    ``cluster_id == id`` marks the kept representative).
+
+    Iterative min-label propagation: label(v) starts as v; each round
+    takes the min of a node's own label and its neighbors' labels;
+    converges in O(diameter) <= O(log n) rounds for the short chains
+    near-dup graphs form. Each round is ONE shuffle (edge-label join +
+    groupBy min) plus a driver-side convergence count — the standard
+    distributed connected-components shape; labels persist per round
+    and the previous round unpersists, so memory is one label set.
+    Deterministic; DuckDB replays it as a recursive CTE (min reachable
+    id), which is how the driver oracle checks it.
+
+    Output: (id, cluster_id), one row per input id.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"))).persist()
+    labels = ids.select(F.col(id_col).alias("v"),
+                        F.col(id_col).alias("label")).persist()
+    cached = labels  # the persisted handle of the current label set
+    for _ in range(max_iters):
+        neigh = (sym.join(labels, sym.dst == labels.v)
+                 .groupBy("src").agg(F.min("label").alias("nmin")))
+        nxt = (labels
+               .withColumnRenamed("label", "_prev")
+               .join(neigh, F.col("v") == F.col("src"), "left")
+               .select("v",
+                       F.least(F.col("_prev"),
+                               F.coalesce(F.col("nmin"), F.col("_prev")))
+                        .alias("label"),
+                       "_prev")
+               .persist())
+        changed = nxt.filter(F.col("label") != F.col("_prev")).count()
+        cached.unpersist()
+        cached = nxt
+        labels = nxt.select("v", "label")
+        if changed == 0:
+            break
+    sym.unpersist()
+    out = labels.select(F.col("v").alias(id_col),
+                        F.col("label").alias("cluster_id"))
+    # the final label frame stays persisted for the caller's action;
+    # release via release_cached(result) like the banded frames
+    out._cached_banded = cached
+    return out
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.47,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",

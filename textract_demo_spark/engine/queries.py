@@ -1361,6 +1361,66 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 250
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extra trailing words appended'
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id < 250
+      UNION ALL
+      SELECT doc_id + 2000000,
+             text || ' extra trailing words appended more'
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id < 250),
+    t AS (SELECT doc_id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks FROM corpus),
+    s AS (SELECT doc_id,
+        list_distinct(list_transform(
+          range(0, greatest(len(toks) - 3, 0) + 1),
+          i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+      FROM t),
+    e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM s a, s b
+          WHERE a.doc_id != b.doc_id
+            AND len(list_intersect(a.sh, b.sh))
+                / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                       AS DOUBLE) >= 0.5),
+    comp AS (
+      SELECT doc_id AS v, doc_id AS r FROM corpus
+      UNION
+      SELECT e.dst, c.r FROM comp c JOIN e ON e.src = c.v)
+    SELECT v AS doc_id, min(r) AS cluster_id FROM comp GROUP BY v
+    """)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation — the keep-one-per-cluster step of
+    a dedup pipeline: MinHash-LSH pairs (total recall on this corpus,
+    see dedup_minhash_lsh) become edges; iterative min-label
+    propagation assigns every doc the min doc id of its connected
+    component. Two planted variants per source doc (k+1000000,
+    k+2000000) form 3-cliques, so clusters must transitively merge.
+    The oracle computes the same components as a DuckDB recursive CTE
+    over brute-force Jaccard >= 0.5 edges."""
+    from ..datapipe.dedup import minhash_dedup_pairs, neardup_clusters
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    base = docs.select("doc_id", "text")
+    thirds = docs.filter(F.col("doc_id") % 3 == 0)
+    near1 = thirds.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"),
+                 F.lit(" extra trailing words appended")).alias("text"))
+    near2 = thirds.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"),
+                 F.lit(" extra trailing words appended more"))
+         .alias("text"))
+    corpus = base.unionByName(near1).unionByName(near2)
+    pairs = minhash_dedup_pairs(corpus, threshold=0.5,
+                                num_hashes=32, bands=16)
+    return neardup_clusters(corpus.select("doc_id"), pairs)
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=r"""
     WITH t AS (SELECT doc_id,
