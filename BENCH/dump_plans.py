@@ -103,6 +103,29 @@ def main() -> None:
         " partition-layout determinism.",
         formatted(ivf_centroids(emb, n_centroids=4, iters=1))))
 
+    from textract_demo_spark.datapipe.dedup import contamination_overlap
+    from textract_demo_spark.datapipe.splits import (with_hash_sample,
+                                                     with_split_assignment)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sections.append((
+        "Dataset split + hash-sample assignment",
+        "Pure per-row hash of (salt, id): ZERO exchanges — membership"
+        " is independent of physical layout, reproducible across runs"
+        " and engines, and costs one scan at any corpus size.",
+        formatted(with_hash_sample(
+            with_split_assignment(docs.select("doc_id")), 0.1))))
+
+    sections.append((
+        "Eval-set decontamination (hashed-shingle broadcast probe)",
+        "The eval shingle set (small by definition) is hashed, deduped"
+        " and BROADCAST; corpus shingles probe it with a broadcast"
+        " hash join BEFORE any shuffle, so non-matching shingles die"
+        " map-side; the only hashpartitioning exchanges re-collapse"
+        " the (small) matched set, and the counts broadcast back onto"
+        " the corpus id set.",
+        formatted(contamination_overlap(docs.filter("doc_id >= 20"),
+                                        docs.filter("doc_id < 20")))))
+
     staged = with_part_key(out, 8).hint("rebalance", F.col(PART_COL))
     sections.append((
         "Commit staging write input (REBALANCE on the table partition"

@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     # text analysis family
     "text_token_stats", "text_quality_score",
+    # dataset curation family (splits / decontamination / repetition)
+    "split_assign", "decontam_ngram_overlap", "text_repetition_stats",
+    "mix_resample",
     # multimodal plumbing
     "multimodal_frame_features",
 ]

@@ -254,3 +254,114 @@ def test_neardup_clusters_transitive_closure(spark):
     release_cached(out)
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4,
                    5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+
+
+def test_split_assignment_total_disjoint_and_stable(spark, docs):
+    """Every row gets exactly one split; proportions track the ratios;
+    the assignment is a pure function of (salt, id) — identical across
+    hash modes' own reruns and across repartitioning."""
+    from textract_demo_spark.datapipe.splits import with_split_assignment
+    out = with_split_assignment(docs.select("doc_id"))
+    rows = {r.doc_id: (r.split_bucket, r.split) for r in out.collect()}
+    assert len(rows) == docs.count()
+    n = len(rows)
+    frac_train = sum(1 for _, s in rows.values() if s == "train") / n
+    assert 0.7 <= frac_train <= 0.9
+    assert {s for _, s in rows.values()} <= {"train", "val", "test"}
+    # stability under repartitioning (membership must not depend on
+    # physical layout)
+    again = {r.doc_id: (r.split_bucket, r.split)
+             for r in with_split_assignment(
+                 docs.select("doc_id").repartition(7)).collect()}
+    assert again == rows
+    # re-salting re-rolls: some doc moves
+    resalt = {r.doc_id: r.split for r in with_split_assignment(
+        docs.select("doc_id"), salt="v2").collect()}
+    assert any(resalt[d] != rows[d][1] for d in rows)
+
+
+def test_hash_sample_nested_and_sized(spark, docs):
+    """Same-salt samples nest (1% subset of 10%); fraction is honored
+    within tolerance."""
+    from textract_demo_spark.datapipe.splits import with_hash_sample
+    ids = docs.select("doc_id")
+    s10 = {r.doc_id for r in with_hash_sample(ids, 0.10)
+           .filter("sampled").collect()}
+    s01 = {r.doc_id for r in with_hash_sample(ids, 0.01)
+           .filter("sampled").collect()}
+    n = ids.count()
+    assert s01 <= s10
+    assert 0.04 * n <= len(s10) <= 0.16 * n
+    # independent salt gives a different (overlapping-by-chance) draw
+    other = {r.doc_id for r in with_hash_sample(ids, 0.10, salt="zz")
+             .filter("sampled").collect()}
+    assert other != s10
+
+
+def test_contamination_overlap_plants_and_clears(spark):
+    """A corpus doc embedding an eval doc's text is flagged with the
+    eval doc's full shingle count; disjoint-vocabulary docs report 0.
+    xxhash64 and md5 modes agree on the verdicts."""
+    from textract_demo_spark.datapipe.dedup import contamination_overlap
+    eval_docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(100, "intro words then the quick brown fox jumps over the"
+               " lazy dog and more"),
+         (101, "completely unrelated vocabulary here nothing shared"),
+         (102, "quick brown fox appears alone")],
+        "doc_id long, text string")
+    for mode in ("xxhash64", "md5"):
+        got = {r.doc_id: (r.n_overlap, r.contaminated)
+               for r in contamination_overlap(
+                   corpus, eval_docs, n=3, min_overlap=2,
+                   hash_mode=mode).collect()}
+        # eval doc has 7 distinct 3-gram shingles, all inside doc 100
+        assert got[100] == (7, True)
+        assert got[101] == (0, False)
+        # one shared shingle ("quick brown fox") stays under
+        # min_overlap=2
+        assert got[102] == (1, False)
+
+
+def test_repetition_stats_flags_planted_boilerplate(spark):
+    """A keyword-stuffed doc scores high on both repetition markers;
+    an all-distinct doc scores top_token = 1/n and zero dup 2-grams."""
+    from textract_demo_spark.datapipe.textstats import with_repetition_stats
+    docs = spark.createDataFrame(
+        [(0, "buy now buy now buy now buy now"),
+         (1, "eight totally distinct words appear exactly once here")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.top_token_frac_bp, r.dup_2gram_frac_bp)
+           for r in with_repetition_stats(docs).collect()}
+    # doc 0: 8 tokens, 'buy' x4 -> 500000 bp; 7 2-grams, 2 distinct
+    # ("buy now", "now buy") -> floor(1e6 * (1 - 2/7)) = 714285
+    assert got[0] == (500000, 714285)
+    # doc 1: 8 distinct tokens -> 125000 bp; 7 distinct 2-grams -> 0
+    assert got[1] == (125000, 0)
+
+
+def test_mix_resample_integer_thresholds_and_quota(spark):
+    """Skewed corpus (20 'a' docs, 5 'b' docs), equal target weights:
+    'b' is most under-represented so it keeps everything; 'a' gets the
+    exact integer threshold 2500 and keeps precisely the ids whose
+    (salt, id) md5 bucket clears it. Unknown domains come back
+    kept=false."""
+    import hashlib
+    from textract_demo_spark.datapipe.splits import with_mix_resample
+    rows = ([(i, "a") for i in range(20)]
+            + [(100 + i, "b") for i in range(5)]
+            + [(200, "zz")])
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r.doc_id: (r.keep_thr, r.kept)
+           for r in with_mix_resample(docs, {"a": 1, "b": 1},
+                                      hash_mode="md5").collect()}
+    assert all(got[100 + i] == (10000, True) for i in range(5))
+    assert got[200] == (0, False)
+
+    def bucket(i):
+        return int(hashlib.md5(f"mx-{i}".encode()).hexdigest()[:15],
+                   16) % 10000
+    for i in range(20):
+        assert got[i] == (2500, bucket(i) < 2500), i

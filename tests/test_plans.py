@@ -124,3 +124,53 @@ def test_ivf_centroid_update_narrow_shuffle(spark):
     assert "Generate" not in p, p[:2000]
     assert "Window" not in p, p[:2000]
     assert "partial_avg" in p, p[:2000]
+
+
+def test_split_assignment_is_narrow(spark):
+    """Split/sample assignment is a pure per-row hash — the plan must
+    contain no Exchange at all (membership can never depend on
+    physical layout, and at 100 TB the operator costs one scan)."""
+    from textract_demo_spark.datapipe.splits import (with_hash_sample,
+                                                     with_split_assignment)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    out = with_hash_sample(with_split_assignment(docs), 0.1)
+    p = plan(out)
+    assert "Exchange" not in p, p[:2000]
+
+
+def test_contamination_probe_is_broadcast_single_shuffle(spark):
+    """Decontamination must broadcast the (tiny) eval shingle set and
+    probe it with a broadcast hash join BEFORE any shuffle of corpus
+    data; the only exchanges are the groupBy re-collapse of matched
+    shingles and its broadcast back onto the corpus id set — no
+    SortMergeJoin of corpus-sized inputs."""
+    from textract_demo_spark.datapipe.dedup import contamination_overlap
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = contamination_overlap(docs.filter("doc_id >= 20"),
+                                docs.filter("doc_id < 20"))
+    p = plan(out)
+    assert "BroadcastHashJoin" in p, p[:2000]
+    assert "SortMergeJoin" not in p, p[:2000]
+    # shuffles: the eval-side distinct (eval-set-sized) plus the
+    # two-phase count_distinct collapse of MATCHED shingles (bounded
+    # by overlap, not corpus size, because the inner probe join drops
+    # non-matches first). Corpus text itself is never shuffled.
+    import re
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", p)
+    assert len(shuffles) <= 3, shuffles
+    eval_side = [s for s in shuffles if s.startswith("h#")]
+    assert len(eval_side) <= 1, shuffles
+
+
+def test_mix_resample_broadcasts_threshold_dim(spark):
+    """Domain-mix resampling must attach per-domain thresholds via a
+    BroadcastHashJoin (the dim is domain-count-sized) — the corpus is
+    scanned, never sort-merge shuffled; the only hashpartitioning
+    exchange is the tiny groupBy(source) count."""
+    from textract_demo_spark.datapipe.splits import with_mix_resample
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = with_mix_resample(docs, {f"src{i}": (3 if i % 2 else 1)
+                                   for i in range(20)})
+    p = plan(out)
+    assert "BroadcastHashJoin" in p, p[:2000]
+    assert "SortMergeJoin" not in p, p[:2000]

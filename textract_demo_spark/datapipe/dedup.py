@@ -13,6 +13,10 @@ Scale notes (the design constraints at 10^12 docs):
   pigeonhole makes recall TOTAL (not probabilistic) for pairs within
   Hamming <= bands-1, and verification (bit_count of xor) runs only
   within buckets.
+- decontamination (``contamination_overlap``): the eval-set shingle
+  table is the small side by definition — hashed, deduped, broadcast;
+  corpus rows only shuffle AFTER the inner probe join has dropped
+  every non-matching shingle.
 - hash family is parameterized (``hash64``): xxhash64 (cheaper,
   seedable, JVM intrinsic) is the default; 'md5' mode derives the
   same-width value from md5 so DuckDB can recompute identical
@@ -403,3 +407,54 @@ def ngram_jaccard_pairs(docs: DataFrame, other_ids, n: int = 3,
                 "size(array_intersect(shingles, probe_sh)) /"
                 " cast(size(array_union(shingles, probe_sh)) AS DOUBLE)"))
             .select("probe_id", F.col(id_col), "jaccard"))
+
+
+def contamination_overlap(corpus: DataFrame, eval_docs: DataFrame,
+                          n: int = 3, min_overlap: int = 1,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          hash_mode: str = "xxhash64",
+                          broadcast_counts: bool = True) -> DataFrame:
+    """Eval-set decontamination: for every corpus doc, count its
+    distinct word n-gram shingles that appear ANYWHERE in the eval
+    set, and flag docs at/above ``min_overlap`` as contaminated.
+
+    Output: one row per corpus doc — (id_col, n_overlap, contaminated).
+
+    Scale shape (corpus = 10^12 docs, eval set = benchmarks, i.e.
+    thousands of docs): shingles are hashed to 64-bit (``hash64``) so
+    the join key is fixed-width, the distinct eval-shingle set is tiny
+    and BROADCAST, corpus shingles explode and probe it with a
+    broadcast join (no shuffle of corpus data), and the only exchange
+    is the groupBy(id) that re-collapses matched shingles — bounded by
+    the number of *matching* shingles, not corpus size, because the
+    inner join drops non-matches first. The final attach of counts to
+    the full corpus id set defaults to a broadcast join — right
+    whenever the contaminated fraction is benchmark-overlap-sized; a
+    corpus whose matched-doc set is itself huge should pass
+    ``broadcast_counts=False`` and pay a shuffle join instead of
+    broadcasting it.
+
+    md5 ``hash_mode`` makes the counts DuckDB-replayable (the oracle
+    computes identical shingle hashes); collisions across engines are
+    then identical by construction rather than merely improbable.
+    """
+    c_sh = (with_shingles(corpus, n, id_col, text_col)
+            .select(id_col, F.explode("shingles").alias("sh"))
+            .select(id_col, F.expr(hash64("sh", hash_mode)).alias("h")))
+    e_sh = (with_shingles(eval_docs, n, id_col, text_col)
+            .select(F.explode("shingles").alias("sh"))
+            .select(F.expr(hash64("sh", hash_mode)).alias("h"))
+            .distinct())
+    counts = (c_sh.join(F.broadcast(e_sh), "h")
+              .groupBy(id_col)
+              .agg(F.count_distinct("h").alias("n_overlap")))
+    if broadcast_counts:
+        counts = F.broadcast(counts)
+    return (corpus.select(id_col)
+            .join(counts, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_overlap", F.lit(0)).cast("long")
+                     .alias("n_overlap"))
+            .withColumn("contaminated",
+                        F.col("n_overlap") >= min_overlap))

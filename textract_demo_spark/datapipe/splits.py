@@ -1,0 +1,130 @@
+"""Deterministic dataset splitting, sampling and domain-mix
+resampling for training-data pipelines: hash-based train/val/test
+assignment, hash-threshold (Bernoulli-style) sampling, and per-domain
+quota down-sampling toward a target mix.
+
+These are beyond-reference training-pipeline operators (like the rest
+of ``datapipe``): membership must be a pure function of a stable key,
+never of arrival order, partitioning or a random seed held in driver
+state — the property that makes a 100 TB split reproducible and
+incrementally extensible.
+
+Scale notes (the design constraints at 10^12 docs):
+- split/sample assignment is a narrow per-row expression — zero
+  shuffles, zero state, embarrassingly parallel; whole-stage codegen
+  applies. Mix resampling adds only a domain-count-sized aggregate
+  and a broadcast threshold dim (see its docstring).
+- assignment is reproducible across runs, engines and repartitions
+  because the bucket is a pure hash of (salt, id): growing the corpus
+  never reassigns an existing id, and downstream incremental jobs can
+  re-derive membership without a membership table.
+- the hash family is parameterized like the dedup family
+  (``dedup.hash64``): xxhash64 default, ``md5`` mode for cross-engine
+  (DuckDB-oracleable) determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash64
+
+SPLIT_BUCKETS = 10_000
+
+
+def _bucket_expr(id_col: str, salt: str, mode: str) -> str:
+    """Bucket in [0, SPLIT_BUCKETS) from a pure hash of (salt, id).
+    md5 mode yields a positive 60-bit value, so ``pmod`` here equals
+    plain ``%`` in DuckDB."""
+    keyed = f"concat('{salt}', '-', cast({id_col} AS STRING))"
+    return f"pmod({hash64(keyed, mode)}, {SPLIT_BUCKETS})"
+
+
+def with_split_assignment(docs: DataFrame,
+                          ratios: dict[str, float] | None = None,
+                          salt: str = "v1",
+                          id_col: str = "doc_id",
+                          hash_mode: str = "xxhash64") -> DataFrame:
+    """Assign every row to exactly one named split by hash bucket.
+
+    ``ratios`` maps split name -> fraction (must sum to ~1); the
+    bucket space [0, 10000) is carved into contiguous ranges in dict
+    order, so the assignment is total and disjoint by construction.
+    Changing ``salt`` re-rolls the whole assignment; changing ratios
+    only moves rows across the adjusted boundaries.
+    """
+    ratios = ratios or {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = docs.withColumn(
+        "split_bucket",
+        F.expr(_bucket_expr(id_col, salt, hash_mode)).cast("long"))
+    case, lo = "CASE", 0
+    names = list(ratios)
+    for name in names[:-1]:
+        lo += int(round(ratios[name] * SPLIT_BUCKETS))
+        case += f" WHEN split_bucket < {lo} THEN '{name}'"
+    case += f" ELSE '{names[-1]}' END"
+    return docs.withColumn("split", F.expr(case))
+
+
+def with_mix_resample(docs: DataFrame, targets: dict[str, int],
+                      salt: str = "mx", id_col: str = "doc_id",
+                      source_col: str = "source",
+                      hash_mode: str = "xxhash64") -> DataFrame:
+    """Domain-mix resampling: mark the deterministic down-sample that
+    reshapes the corpus toward integer target weights per source
+    domain (the domain-weighting step of corpus curation).
+
+    The keep probability for domain s is ``ratio_s / max_ratio`` where
+    ``ratio_s = targets[s] / count_s`` — the most under-represented
+    domain keeps everything and every other domain down-samples toward
+    the target mix (down-sampling only; no row duplication). A domain
+    absent from ``targets`` has weight 0: its rows come back with
+    ``kept = false``.
+
+    Determinism: per-domain keep thresholds are computed in INTEGER
+    arithmetic — ``thr_s = (10000 * w_s * c_m) div (c_s * w_m)`` — so
+    there is no floating-point boundary to disagree across engines,
+    and membership is the same pure (salt, id) hash bucket as
+    ``with_split_assignment``.
+
+    Scale shape: one groupBy(source) aggregate whose output is
+    domain-count-sized, a TakeOrdered(1) for the max-ratio domain (no
+    global window), a broadcast join of the tiny threshold dim back
+    onto the corpus, and a per-row hash — corpus rows are never
+    shuffled.
+    """
+    if not targets:
+        raise ValueError("targets must name at least one domain")
+    w_case = "CASE " + " ".join(
+        f"WHEN {source_col} = '{s}' THEN {int(w)}"
+        for s, w in targets.items()) + " ELSE 0 END"
+    counts = (docs.groupBy(source_col)
+              .agg(F.count("*").alias("_c"))
+              .withColumn("_w", F.expr(w_case)))
+    top = (counts.filter(F.col("_w") > 0)
+           .orderBy((F.col("_w") / F.col("_c")).desc(), source_col)
+           .limit(1)
+           .select(F.col("_w").alias("_wm"), F.col("_c").alias("_cm")))
+    thr = (counts.crossJoin(F.broadcast(top))
+           .select(source_col,
+                   F.expr("(10000 * _w * _cm) div (_c * _wm)")
+                    .cast("long").alias("keep_thr")))
+    return (docs.join(F.broadcast(thr), source_col)
+            .withColumn("kept", F.expr(
+                f"{_bucket_expr(id_col, salt, hash_mode)} < keep_thr")))
+
+
+def with_hash_sample(docs: DataFrame, fraction: float,
+                     salt: str = "s1", id_col: str = "doc_id",
+                     flag_col: str = "sampled",
+                     hash_mode: str = "xxhash64") -> DataFrame:
+    """Deterministic Bernoulli-style sample marker: ``flag_col`` is
+    true for the ~``fraction`` of rows whose (salt, id) hash bucket
+    falls below the threshold. Independent salts give independent
+    samples; the same salt gives a nested sample (fraction 0.01 is a
+    subset of fraction 0.1)."""
+    thr = int(round(fraction * SPLIT_BUCKETS))
+    return docs.withColumn(
+        flag_col,
+        F.expr(f"{_bucket_expr(id_col, salt, hash_mode)} < {thr}"))

@@ -86,6 +86,35 @@ def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("lang_pred", F.expr(case))
 
 
+def with_repetition_stats(docs: DataFrame,
+                          text_col: str = "text") -> DataFrame:
+    """Within-document repetition markers (Gopher/C4-style quality
+    rules): the fraction of the doc taken by its most frequent token,
+    and the fraction of word-2-gram occurrences that are repeats.
+    High values mark boilerplate/spam/keyword-stuffed docs a training
+    corpus drops.
+
+    Integer basis points via floor (cross-engine determinism, same
+    convention as ``with_quality_score``). Narrow per-row array
+    expressions — zero shuffles; the per-row cost is O(distinct
+    tokens x tokens), bounded by document length, not corpus size.
+    """
+    t = _tokens(text_col)
+    return (docs
+            .withColumn("top_token_frac_bp", F.expr(f"""
+                cast(floor(1000000 * array_max(transform(
+                      array_distinct({t}),
+                      d -> size(filter({t}, w -> w = d))))
+                    / cast(greatest(size({t}), 1) AS DOUBLE)) AS BIGINT)"""))
+            .withColumn("dup_2gram_frac_bp", F.expr(f"""
+                cast(floor(1000000 * (1.0d -
+                      size(array_distinct(transform(
+                        sequence(0, greatest(size({t}) - 2, 0)),
+                        i -> array_join(slice({t}, i + 1, 2), ' '))))
+                      / cast(greatest(size({t}) - 2, 0) + 1 AS DOUBLE)))
+                     AS BIGINT)""")))
+
+
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit content fingerprint: md5 prefix of normalized text
     (cross-engine deterministic), plus a shingle-based robust

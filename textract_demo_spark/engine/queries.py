@@ -1797,3 +1797,142 @@ def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "frame_idx", "n_bytes",
         *[F.expr(f"cast(round(feature[{j}] * 1000000) AS BIGINT)")
            .alias(f"f{j}_micros") for j in range(8)])
+
+
+@query(
+    "text_repetition_stats",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(floor(1000000 * list_max(list_transform(
+                  list_distinct(toks),
+                  d -> len(list_filter(toks, w -> w = d))))
+                / CAST(greatest(len(toks), 1) AS DOUBLE)) AS BIGINT)
+             AS top_token_frac_bp,
+           CAST(floor(1000000 * (1.0 -
+                  len(list_distinct(list_transform(
+                    range(0, greatest(len(toks) - 2, 0) + 1),
+                    i -> array_to_string(toks[(i + 1):(i + 2)], ' '))))
+                  / CAST(greatest(len(toks) - 2, 0) + 1 AS DOUBLE)))
+                AS BIGINT) AS dup_2gram_frac_bp
+    FROM t
+    """)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality markers (Gopher/C4-style):
+    most-frequent-token fraction + duplicate word-2-gram fraction —
+    narrow JVM array expressions (datapipe/textstats.py)."""
+    from ..datapipe.textstats import with_repetition_stats
+    docs = _t(spark, sf_dir, "documents")
+    return with_repetition_stats(docs).select(
+        "doc_id", "top_token_frac_bp", "dup_2gram_frac_bp")
+
+
+# ---------------------------------------------------------------------------
+# 4. Dataset splitting / sampling / decontamination (datapipe.splits,
+#    datapipe.dedup.contamination_overlap)
+
+
+@query(
+    "split_assign",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substr(md5('v1-' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT % 10000 AS split_bucket,
+           CASE WHEN ('0x' || substr(md5('v1-' || CAST(doc_id AS VARCHAR)),
+                      1, 15))::BIGINT % 10000 < 8000 THEN 'train'
+                WHEN ('0x' || substr(md5('v1-' || CAST(doc_id AS VARCHAR)),
+                      1, 15))::BIGINT % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           ('0x' || substr(md5('s1-' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT % 10000 < 1000 AS sampled
+    FROM documents
+    """)
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) plus an
+    independent-salt 10% sample marker — pure per-row hash
+    expressions, zero shuffles, reproducible across runs/partitioning
+    (datapipe/splits.py). md5 hash mode so DuckDB replays the exact
+    buckets; xxhash64 is the production default."""
+    from ..datapipe.splits import with_hash_sample, with_split_assignment
+    docs = _t(spark, sf_dir, "documents")
+    out = with_hash_sample(
+        with_split_assignment(docs, salt="v1", hash_mode="md5"),
+        fraction=0.1, salt="s1", hash_mode="md5")
+    return out.select("doc_id", "split_bucket", "split", "sampled")
+
+
+_MIX_TARGETS = {f"src{i}": (3 if i % 2 else 1) for i in range(20)}
+_MIX_W_SQL = ("CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {w}" for s, w in _MIX_TARGETS.items())
+    + " ELSE 0 END")
+
+
+@query(
+    "mix_resample",
+    oracle=f"""
+    WITH c AS (SELECT source, count(*) AS c FROM documents
+               GROUP BY source),
+    w AS (SELECT source, c, {_MIX_W_SQL} AS w FROM c),
+    m AS (SELECT w AS wm, c AS cm FROM w WHERE w > 0
+          ORDER BY w * 1.0 / c DESC, source LIMIT 1),
+    thr AS (SELECT source, (10000 * w * (SELECT cm FROM m))
+                            // (c * (SELECT wm FROM m)) AS keep_thr
+            FROM w)
+    SELECT d.doc_id, d.source, t.keep_thr,
+           ('0x' || substr(md5('mx-' || CAST(d.doc_id AS VARCHAR)), 1,
+                           15))::BIGINT % 10000 < t.keep_thr AS kept
+    FROM documents d JOIN thr t ON d.source = t.source
+    """)
+def mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix resampling (datapipe/splits.py with_mix_resample):
+    odd source domains get 3x the target weight of even ones, so the
+    most under-represented (odd) domains keep everything and even
+    domains deterministically down-sample toward the 3:1 mix.
+    Integer-only threshold arithmetic; md5 hash mode for the
+    oracle."""
+    from ..datapipe.splits import with_mix_resample
+    docs = _t(spark, sf_dir, "documents")
+    out = with_mix_resample(docs, _MIX_TARGETS, salt="mx",
+                            hash_mode="md5")
+    return out.select("doc_id", "source", "keep_thr", "kept")
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id,
+        list_distinct(list_transform(
+          range(0, greatest(len(toks) - 3, 0) + 1),
+          i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+      FROM tok),
+    hashed AS (SELECT doc_id,
+        list_distinct(list_transform(sh, s ->
+          ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+      FROM sh),
+    ev AS (SELECT list_distinct(flatten(list(hs))) AS ehs
+           FROM hashed WHERE doc_id < 20),
+    c AS (SELECT h.doc_id,
+                 len(list_intersect(h.hs, ev.ehs))::BIGINT AS n_overlap
+          FROM hashed h, ev WHERE h.doc_id >= 20)
+    SELECT doc_id, n_overlap, n_overlap >= 5 AS contaminated
+    FROM c
+    """)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: docs 0-19 play the benchmark/eval
+    set, the rest the training corpus; each corpus doc reports how
+    many of its distinct word-3-gram shingles appear anywhere in the
+    eval set (hashed-shingle broadcast probe join —
+    dedup.contamination_overlap). md5 hash mode for the oracle;
+    xxhash64 default in production."""
+    from ..datapipe.dedup import contamination_overlap
+    docs = _t(spark, sf_dir, "documents")
+    out = contamination_overlap(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        n=3, min_overlap=5, hash_mode="md5")
+    return out.select("doc_id", "n_overlap", "contaminated")
