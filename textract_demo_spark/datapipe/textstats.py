@@ -96,15 +96,26 @@ def with_repetition_stats(docs: DataFrame,
 
     Integer basis points via floor (cross-engine determinism, same
     convention as ``with_quality_score``). Narrow per-row array
-    expressions — zero shuffles; the per-row cost is O(distinct
-    tokens x tokens), bounded by document length, not corpus size.
+    expressions — zero shuffles. The top-token count is the max run
+    length of the SORTED token array (one aggregate pass), i.e.
+    O(n log n) per doc — the naive distinct x filter formulation is
+    O(n^2) in document length, which at book-length docs is the
+    difference between a scan and a stall.
     """
     t = _tokens(text_col)
     return (docs
             .withColumn("top_token_frac_bp", F.expr(f"""
-                cast(floor(1000000 * array_max(transform(
-                      array_distinct({t}),
-                      d -> size(filter({t}, w -> w = d))))
+                cast(floor(1000000 * aggregate(array_sort({t}),
+                      named_struct('prev', cast(null AS string),
+                                   'run', 0L, 'best', 0L),
+                      (s, w) -> named_struct(
+                        'prev', w,
+                        'run', IF(s.prev IS NOT NULL AND w = s.prev,
+                                  s.run + 1L, 1L),
+                        'best', greatest(s.best,
+                          IF(s.prev IS NOT NULL AND w = s.prev,
+                             s.run + 1L, 1L))),
+                      s -> s.best)
                     / cast(greatest(size({t}), 1) AS DOUBLE)) AS BIGINT)"""))
             .withColumn("dup_2gram_frac_bp", F.expr(f"""
                 cast(floor(1000000 * (1.0d -
