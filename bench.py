@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "text_token_stats", "text_quality_score",
     # dataset curation family (splits / decontamination / repetition)
     "split_assign", "decontam_ngram_overlap", "text_repetition_stats",
-    "mix_resample",
+    "mix_resample", "pii_detect_redact", "pack_sequences",
     # multimodal plumbing
     "multimodal_frame_features",
 ]

@@ -365,3 +365,68 @@ def test_mix_resample_integer_thresholds_and_quota(spark):
                    16) % 10000
     for i in range(20):
         assert got[i] == (2500, bucket(i) < 2500), i
+
+
+def test_pii_detect_and_redact_planted(spark):
+    """Each typed detector fires exactly on its planted string; the
+    redactor swaps matches for digit-free placeholders and leaves
+    clean text untouched."""
+    from textract_demo_spark.datapipe.pii import redact_pii, with_pii_stats
+    docs = spark.createDataFrame(
+        [(0, "mail bob.smith+x@corp.example.org now"),
+         (1, "call +1 555-123-4567 or wire 4111-1111-1111-1111"),
+         (2, "host 192.168.0.1 ssn 078-05-1120"),
+         (3, "nothing sensitive here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r
+           for r in redact_pii(with_pii_stats(docs)).collect()}
+    assert (out[0].n_email, out[0].n_pii) == (1, 1)
+    assert out[0].text_redacted == "mail <EMAIL> now"
+    assert (out[1].n_phone, out[1].n_card) == (1, 1)
+    assert out[1].text_redacted == "call <PHONE> or wire <CARD>"
+    assert (out[2].n_ipv4, out[2].n_ssn) == (1, 1)
+    assert out[2].text_redacted == "host <IP> ssn <SSN>"
+    assert out[3].n_pii == 0 and not out[3].has_pii
+    assert out[3].text_redacted == "nothing sensitive here"
+
+
+def test_pack_greedy_boundaries_and_oversize(spark):
+    """Single shard, budget 200, token lengths chosen so the greedy
+    scan exercises: full pack, boundary overflow, oversize doc in its
+    own pack, and refill after the oversize."""
+    from textract_demo_spark.datapipe.packing import pack_greedy, pack_stats
+    rows = list(enumerate([60, 60, 60, 90, 250, 10, 100, 100]))
+    docs = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_greedy(docs, budget=200, n_shards=1, hash_mode="md5")
+    got = {r.doc_id: (r.pack_idx, r.pack_pos) for r in out.collect()}
+    assert got == {0: (0, 0), 1: (0, 1), 2: (0, 2), 3: (1, 0),
+                   4: (2, 0), 5: (3, 0), 6: (3, 1), 7: (4, 0)}
+    stats = {r.pack_idx: (r.n_docs, r.pack_tokens, r.fill_bp)
+             for r in pack_stats(out, budget=200).collect()}
+    assert stats[0] == (3, 180, 9000)
+    assert stats[2] == (1, 250, 10000)   # oversize pack caps at 100%
+    # deterministic under repartitioning
+    again = {r.doc_id: (r.pack_idx, r.pack_pos)
+             for r in pack_greedy(docs.repartition(5), budget=200,
+                                  n_shards=1, hash_mode="md5").collect()}
+    assert again == got
+
+
+def test_pack_greedy_sharded_total_and_consistent(spark, docs):
+    """Every doc lands in exactly one (shard, pack, pos) slot; within
+    each pack the positions are 0..n-1; no pack except oversize
+    singletons exceeds the budget."""
+    from textract_demo_spark.datapipe.packing import pack_greedy
+    from textract_demo_spark.datapipe.textstats import with_token_stats
+    budget = 120
+    out = pack_greedy(with_token_stats(docs), budget=budget,
+                      n_shards=4, tok_col="n_tokens").collect()
+    assert len(out) == docs.count()
+    assert len({r.doc_id for r in out}) == len(out)
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault((r.shard, r.pack_idx), []).append(r)
+    for rows in by_pack.values():
+        assert sorted(r.pack_pos for r in rows) == list(range(len(rows)))
+        tot = sum(r.n_tok for r in rows)
+        assert tot <= budget or len(rows) == 1

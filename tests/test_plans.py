@@ -174,3 +174,26 @@ def test_mix_resample_broadcasts_threshold_dim(spark):
     p = plan(out)
     assert "BroadcastHashJoin" in p, p[:2000]
     assert "SortMergeJoin" not in p, p[:2000]
+
+
+def test_pii_scrub_is_narrow(spark):
+    """PII detection + redaction is pure per-row JVM regex — the plan
+    must contain no Exchange and no Python evaluation node."""
+    from textract_demo_spark.datapipe.pii import redact_pii, with_pii_stats
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(redact_pii(with_pii_stats(docs)))
+    assert "Exchange" not in p, p[:2000]
+    assert "Python" not in p, p[:2000]
+
+
+def test_packing_exactly_one_shuffle(spark):
+    """Sequence packing pays exactly ONE exchange (the groupBy(shard)
+    hash partitioning feeding the stateful per-shard scan) — the
+    corpus is never shuffled twice and never sort-merge joined."""
+    from textract_demo_spark.datapipe.packing import pack_greedy
+    from textract_demo_spark.datapipe.textstats import with_token_stats
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(pack_greedy(with_token_stats(docs), budget=256,
+                         tok_col="n_tokens"))
+    assert p.count("Exchange hashpartitioning") == 1, p[:2000]
+    assert "FlatMapGroupsInPandas" in p, p[:2000]

@@ -1936,3 +1936,124 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < 20),
         n=3, min_overlap=5, hash_mode="md5")
     return out.select("doc_id", "n_overlap", "contaminated")
+
+
+# ---------------------------------------------------------------------------
+# 5. PII scrubbing + sequence packing (datapipe.pii, datapipe.packing)
+
+# The synthetic corpus has no PII, so the query INJECTS deterministic
+# PII (derived from doc_id, identically in Spark and DuckDB) into a
+# constructed column, then runs the real detect/redact operators over
+# it — the same construct-in-SQL pattern as the extraction-path
+# queries above.
+_PII_TEXT_SPARK = """concat(
+    substr(text, 1, 60),
+    ' contact user', CAST(doc_id AS STRING), '@mail',
+    CAST(doc_id % 7 AS STRING), '.example.com',
+    CASE WHEN doc_id % 3 = 0 THEN concat(' call +1 555-',
+      lpad(CAST((doc_id * 7) % 1000 AS STRING), 3, '0'), '-',
+      lpad(CAST((doc_id * 31) % 10000 AS STRING), 4, '0'))
+      ELSE '' END,
+    CASE WHEN doc_id % 4 = 1 THEN concat(' from 10.',
+      CAST(doc_id % 256 AS STRING), '.',
+      CAST((doc_id * 3) % 256 AS STRING), '.',
+      CAST((doc_id * 5) % 256 AS STRING)) ELSE '' END,
+    CASE WHEN doc_id % 5 = 2 THEN concat(' ssn 123-45-',
+      lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,
+    CASE WHEN doc_id % 6 = 3 THEN concat(' card 4111-',
+      lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), '-1111-',
+      lpad(CAST((doc_id * 13) % 10000 AS STRING), 4, '0'))
+      ELSE '' END)"""
+
+_PII_TEXT_DUCK = _PII_TEXT_SPARK.replace("AS STRING", "AS VARCHAR")
+
+
+def _pii_oracle() -> str:
+    """Assemble the DuckDB oracle from PII_PATTERNS itself, so the
+    pattern strings and the redaction ORDER can never drift between
+    the operator and the oracle."""
+    from ..datapipe.pii import PII_PATTERNS
+    det = ",\n           ".join(
+        f"len(regexp_extract_all(pii_text, '{p}'))::BIGINT AS n_{n}"
+        for n, (p, _) in PII_PATTERNS.items())
+    red = "pii_text"
+    for _, (p, r) in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '{r}', 'g')"
+    total = " + ".join(f"n_{n}" for n in PII_PATTERNS)
+    names = ", ".join(f"n_{n}" for n in PII_PATTERNS)
+    return f"""
+    WITH p AS (SELECT doc_id, {_PII_TEXT_DUCK} AS pii_text
+               FROM documents),
+    d AS (SELECT doc_id,
+           {det},
+           {red} AS text_redacted FROM p)
+    SELECT doc_id, {names}, ({total})::BIGINT AS n_pii,
+           ({total}) > 0 AS has_pii, text_redacted
+    FROM d
+    """
+
+
+@query("pii_detect_redact", oracle=_pii_oracle())
+def pii_detect_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (datapipe/pii.py): typed per-doc match counts +
+    placeholder redaction, pure JVM regex (RE2-compatible subset so
+    DuckDB replays the identical matches). PII is injected
+    deterministically from doc_id since the synthetic corpus has
+    none."""
+    from ..datapipe.pii import PII_PATTERNS, redact_pii, with_pii_stats
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("pii_text", F.expr(_PII_TEXT_SPARK)))
+    out = redact_pii(with_pii_stats(docs, "pii_text"), "pii_text")
+    return out.select(
+        "doc_id", *[f"n_{n}" for n in PII_PATTERNS],
+        "n_pii", "has_pii", "text_redacted")
+
+
+_PACK_BUDGET, _PACK_SHARDS = 256, 8
+
+
+@query(
+    "pack_sequences",
+    oracle=rf"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('pk-' || CAST(doc_id AS VARCHAR)),
+                              1, 15))::BIGINT % {_PACK_SHARDS}) AS shard,
+             len(string_split(lower(regexp_replace(trim(text),
+                 '\s+', ' ', 'g')), ' '))::BIGINT AS n_tok
+      FROM documents),
+    s AS (SELECT shard, doc_id, n_tok,
+                 row_number() OVER (PARTITION BY shard
+                                    ORDER BY doc_id) AS rn
+          FROM t),
+    packed AS (
+      SELECT shard, doc_id, n_tok, rn,
+             0::BIGINT AS pack_idx, 0::BIGINT AS pack_pos,
+             n_tok AS acc
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.doc_id, s.n_tok, s.rn,
+             CASE WHEN p.acc + s.n_tok <= {_PACK_BUDGET}
+                  THEN p.pack_idx ELSE p.pack_idx + 1 END,
+             CASE WHEN p.acc + s.n_tok <= {_PACK_BUDGET}
+                  THEN p.pack_pos + 1 ELSE 0::BIGINT END,
+             CASE WHEN p.acc + s.n_tok <= {_PACK_BUDGET}
+                  THEN p.acc + s.n_tok ELSE s.n_tok END
+      FROM packed p JOIN s ON s.shard = p.shard AND s.rn = p.rn + 1)
+    SELECT shard::INT AS shard, doc_id, n_tok, pack_idx, pack_pos
+    FROM packed
+    """)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (datapipe/packing.py): shard by pure
+    (salt, id) hash, pack docs into 256-token bins within each shard
+    via the applyInPandas searchsorted operator. The DuckDB oracle
+    replays the greedy scan with a recursive CTE — the packing is a
+    pure function of the input set, so the row-level (shard, pack,
+    pos) assignment hash-matches exactly. md5 hash mode for the
+    oracle; xxhash64 default in production."""
+    from ..datapipe.packing import pack_greedy
+    from ..datapipe.textstats import with_token_stats
+    docs = with_token_stats(_t(spark, sf_dir, "documents"))
+    return pack_greedy(docs, budget=_PACK_BUDGET,
+                       n_shards=_PACK_SHARDS, tok_col="n_tokens",
+                       salt="pk", hash_mode="md5")
