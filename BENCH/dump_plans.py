@@ -126,6 +126,26 @@ def main() -> None:
         formatted(contamination_overlap(docs.filter("doc_id >= 20"),
                                         docs.filter("doc_id < 20")))))
 
+    from textract_demo_spark.datapipe.packing import pack_greedy
+    from textract_demo_spark.datapipe.pii import redact_pii, with_pii_stats
+    from textract_demo_spark.datapipe.textstats import with_token_stats
+    sections.append((
+        "PII detection + redaction",
+        "Pure per-row JVM regex (regexp_extract_all / regexp_replace"
+        " builtins, RE2-compatible subset): ZERO exchanges, zero"
+        " Python — scrubbing costs one scan at any corpus size.",
+        formatted(redact_pii(with_pii_stats(docs)))))
+
+    sections.append((
+        "Greedy sequence packing (hash-sharded applyInPandas)",
+        "Exactly ONE Exchange (the groupBy(shard) hash partitioning"
+        " feeding FlatMapGroupsInPandas); only (id, n_tok) pairs are"
+        " shuffled, never text; shard count is the parallelism and"
+        " memory knob, and the per-shard greedy scan is O(packs log"
+        " rows) via searchsorted on the token cumsum.",
+        formatted(pack_greedy(with_token_stats(docs), budget=256,
+                              tok_col="n_tokens"))))
+
     staged = with_part_key(out, 8).hint("rebalance", F.col(PART_COL))
     sections.append((
         "Commit staging write input (REBALANCE on the table partition"
