@@ -71,6 +71,9 @@ _DIGIT_RE = re.compile(r"\d")
 
 
 def _unescape(s: str) -> str:
+    if "&" not in s:  # hot path: most text nodes carry no entities
+        return s
+
     def repl(m: re.Match) -> str:
         body = m.group(1)
         if body.startswith("#x") or body.startswith("#X"):
@@ -126,6 +129,13 @@ def _tokenize(s: str) -> list[_Seg]:
     cell_depth = 0  # inside a td/th
 
     def classify_attrs(attrs: str) -> tuple[bool, bool]:
+        # fast path: the full attr parse only matters if a class/id/
+        # role attribute can exist at all; a plain substring probe is
+        # a safe gate (false positives like width= just fall through
+        # to the exact name check below)
+        if ("class" not in attrs and "id" not in attrs
+                and "role" not in attrs):
+            return False, False
         neg = pos = False
         for m in _ATTR_RE.finditer(attrs):
             name = m.group(1).lower()
@@ -223,12 +233,13 @@ def _tokenize(s: str) -> list[_Seg]:
         if j == -1:
             j = n
         raw = s[i:j]
-        if raw.strip():
+        stripped = raw.strip()
+        if stripped:
             lead = len(raw) - len(raw.lstrip())
             trail = len(raw) - len(raw.rstrip())
             start = i + lead
             end = j - trail
-            text = _WS_RE.sub(" ", _unescape(raw.strip()))
+            text = _WS_RE.sub(" ", _unescape(stripped))
             raw_len = end - start
             cell = None
             if (cell_depth > 0 and table_stack
