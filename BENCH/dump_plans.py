@@ -128,7 +128,17 @@ def main() -> None:
 
     from textract_demo_spark.datapipe.packing import pack_greedy
     from textract_demo_spark.datapipe.pii import redact_pii, with_pii_stats
-    from textract_demo_spark.datapipe.textstats import with_token_stats
+    from textract_demo_spark.datapipe.textstats import (token_topk,
+                                                        with_token_stats)
+    sections.append((
+        "Per-domain token heavy hitters (top-k)",
+        "Occurrences collapse map-side (partial_count before the"
+        " exchange: the shuffle carries distinct (group, token) pairs,"
+        " not token instances) and the per-group rank runs as"
+        " WindowGroupLimit — partial top-k before the group exchange,"
+        " never a full sort of the count table.",
+        formatted(token_topk(docs, k=10, group_col="source"))))
+
     sections.append((
         "PII detection + redaction",
         "Pure per-row JVM regex (regexp_extract_all / regexp_replace"

@@ -430,3 +430,43 @@ def test_pack_greedy_sharded_total_and_consistent(spark, docs):
         assert sorted(r.pack_pos for r in rows) == list(range(len(rows)))
         tot = sum(r.n_tok for r in rows)
         assert tot <= budget or len(rows) == 1
+
+
+def test_token_topk_heavy_hitters(spark):
+    """Per-group top-k with deterministic count-desc/token-asc ties;
+    counts aggregate occurrences, not docs."""
+    from textract_demo_spark.datapipe.textstats import token_topk
+    docs = spark.createDataFrame(
+        [(0, "a", "x x x y z"), (1, "a", "x y y w"), (2, "b", "q q r")],
+        "doc_id long, source string, text string")
+    got = {(r.source, r.rank): (r.token, r.n)
+           for r in token_topk(docs, k=2).collect()}
+    assert got == {("a", 1): ("x", 4), ("a", 2): ("y", 3),
+                   ("b", 1): ("q", 2), ("b", 2): ("r", 1)}
+    # global mode: one ranking across all groups
+    g = {r.rank: r.token
+         for r in token_topk(docs, k=2, group_col=None).collect()}
+    assert g == {1: "x", 2: "y"}
+
+
+def test_hashed_shingles_kernel_matches_sql(spark, docs):
+    """The Arrow md5-shingle kernel and the SQL HOF form produce the
+    identical (doc, hash) set."""
+    from textract_demo_spark.datapipe.dedup import hashed_shingles
+    a = {(r.doc_id, r.h) for r in hashed_shingles(
+        docs, hash_mode="md5", use_arrow=True).collect()}
+    b = {(r.doc_id, r.h) for r in hashed_shingles(
+        docs, hash_mode="md5", use_arrow=False).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_repetition_kernel_matches_sql(spark, docs):
+    """Arrow repetition kernel is bit-identical to the SQL reference
+    form (floor of the same IEEE division) on the corpus."""
+    from textract_demo_spark.datapipe.textstats import with_repetition_stats
+    cols = ("top_token_frac_bp", "dup_2gram_frac_bp")
+    a = {r.doc_id: tuple(r[c] for c in cols)
+         for r in with_repetition_stats(docs, use_arrow=True).collect()}
+    b = {r.doc_id: tuple(r[c] for c in cols)
+         for r in with_repetition_stats(docs, use_arrow=False).collect()}
+    assert a == b

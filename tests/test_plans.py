@@ -197,3 +197,15 @@ def test_packing_exactly_one_shuffle(spark):
                          tok_col="n_tokens"))
     assert p.count("Exchange hashpartitioning") == 1, p[:2000]
     assert "FlatMapGroupsInPandas" in p, p[:2000]
+
+
+def test_token_topk_partial_agg_and_group_limit(spark):
+    """Heavy-hitter counting must collapse token occurrences map-side
+    (partial_count before the exchange) and the per-group rank must
+    run as WindowGroupLimit (partial top-k, never a full sort of the
+    count table)."""
+    from textract_demo_spark.datapipe.textstats import token_topk
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(token_topk(docs, k=10, group_col="source"))
+    assert "WindowGroupLimit" in p, p[:2000]
+    assert "partial_count" in p, p[:2000]

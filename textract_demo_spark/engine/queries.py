@@ -1938,6 +1938,31 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_overlap", "contaminated")
 
 
+@query(
+    "token_topk_by_source",
+    oracle=r"""
+    WITH tok AS (SELECT source,
+        unnest(string_split(lower(regexp_replace(trim(text), '\s+',
+            ' ', 'g')), ' ')) AS token FROM documents),
+    c AS (SELECT source, token, count(*)::BIGINT AS n
+          FROM tok GROUP BY source, token),
+    r AS (SELECT source, token, n,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY n DESC, token)::BIGINT AS rank
+          FROM c)
+    SELECT source, token, n, rank FROM r WHERE rank <= 10
+    """)
+def token_topk_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token heavy hitters (datapipe/textstats.py
+    token_topk): top-10 tokens per source with deterministic ties —
+    map-side partial aggregation collapses occurrences before the
+    shuffle, WindowGroupLimit bounds the rank stage."""
+    from ..datapipe.textstats import token_topk
+    docs = _t(spark, sf_dir, "documents")
+    return token_topk(docs, k=10, group_col="source").select(
+        "source", "token", "n", "rank")
+
+
 # ---------------------------------------------------------------------------
 # 5. PII scrubbing + sequence packing (datapipe.pii, datapipe.packing)
 
