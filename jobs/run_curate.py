@@ -1,0 +1,145 @@
+"""spark-submit entrypoint: the training-data curation pipeline over
+a documents table — the datapipe/ operators chained the way
+``run_extract.py`` chains the extraction engine.
+
+Usage:
+    python jobs/build_pyfiles.py
+    spark-submit --master local[8] \
+        --py-files build/textract_demo_spark.zip \
+        jobs/run_curate.py --input /root/testdata/sf0.01/documents.parquet \
+        --out /tmp/curated
+
+Stages (each stage's shuffle budget is the design constraint at
+10^12 docs — see the operator docstrings for the full arguments):
+
+1. exact dedup       one window shuffle on the 16-byte content hash
+2. near-dup dedup    MinHash+LSH band join + connected components;
+                     keeps each cluster's min-id representative
+3. quality filter    narrow per-row scores (quality, repetition,
+                     lang-id) — zero shuffles
+4. PII redaction     narrow per-row regex — zero shuffles
+5. decontamination   optional (--eval-input): broadcast shingle probe
+6. split assignment  pure (salt, id) hash — zero shuffles
+7. sequence packing  one shuffle of (id, n_tok) pairs; pack ids join
+                     back onto the curated rows
+
+Output: parquet partitioned by split, plus one JSON stats line on
+stdout (per-stage surviving row counts + wall time) — the lineage
+summary a curation run records next to its output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="documents parquet (doc_id, text, source, ...)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--eval-input", default=None,
+                    help="optional eval/benchmark documents parquet for"
+                         " decontamination")
+    ap.add_argument("--min-quality-bp", type=int, default=300)
+    ap.add_argument("--max-dup-2gram-bp", type=int, default=600000)
+    ap.add_argument("--jaccard", type=float, default=0.7)
+    ap.add_argument("--pack-budget", type=int, default=2048)
+    ap.add_argument("--pack-shards", type=int, default=64)
+    ap.add_argument("--decontam-min-overlap", type=int, default=5)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from textract_demo_spark.datapipe.dedup import (contamination_overlap,
+                                                    minhash_dedup_pairs,
+                                                    neardup_clusters,
+                                                    normalize_text,
+                                                    release_cached)
+    from textract_demo_spark.datapipe.packing import pack_greedy
+    from textract_demo_spark.datapipe.pii import redact_pii
+    from textract_demo_spark.datapipe.splits import (with_hash_sample,
+                                                     with_split_assignment)
+    from textract_demo_spark.datapipe.textstats import (
+        with_langid, with_quality_score, with_repetition_stats,
+        with_token_stats)
+
+    spark = SparkSession.builder.appName("run_curate").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.time()
+    stats: dict[str, int] = {}
+
+    docs = spark.read.parquet(args.input)
+    stats["input"] = docs.count()
+
+    # 1. exact dedup: keep the min doc_id per normalized content
+    w = Window.partitionBy(F.md5(normalize_text("text"))) \
+              .orderBy("doc_id")
+    d = (docs.withColumn("_rn", F.row_number().over(w))
+         .filter(F.col("_rn") == 1).drop("_rn"))
+    stats["after_exact_dedup"] = d.count()
+
+    # 2. near-dup dedup: keep each cluster's min-id representative
+    pairs = minhash_dedup_pairs(d, threshold=args.jaccard)
+    clusters = neardup_clusters(d.select("doc_id"), pairs)
+    d = (d.join(clusters, "doc_id")
+         .filter(F.col("cluster_id") == F.col("doc_id"))
+         .drop("cluster_id")
+         .persist())
+    stats["after_neardup_dedup"] = d.count()
+    release_cached(pairs)
+    release_cached(clusters)
+
+    # 3. quality gate (narrow)
+    d = with_repetition_stats(
+        with_langid(with_quality_score(with_token_stats(d))))
+    d = d.filter(
+        (F.col("quality_score_bp") >= args.min_quality_bp)
+        & (F.col("dup_2gram_frac_bp") <= args.max_dup_2gram_bp))
+
+    # 4. PII redaction: the curated text IS the redacted text
+    d = (redact_pii(d)
+         .withColumn("text", F.col("text_redacted"))
+         .drop("text_redacted"))
+
+    # 5. optional decontamination against an eval set
+    if args.eval_input:
+        eval_docs = spark.read.parquet(args.eval_input)
+        flags = contamination_overlap(
+            d, eval_docs, min_overlap=args.decontam_min_overlap)
+        d = (d.join(flags.filter("contaminated").select("doc_id"),
+                    "doc_id", "left_anti"))
+
+    # 6. deterministic split + 10% sample marker
+    d = with_hash_sample(with_split_assignment(d), fraction=0.1)
+    d = d.persist()
+    stats["curated"] = d.count()
+
+    # 7. pack the training split into context-length bins
+    packs = pack_greedy(d.filter(F.col("split") == "train"),
+                        budget=args.pack_budget,
+                        n_shards=args.pack_shards,
+                        tok_col="n_tokens")
+    d = (d.join(packs.select("doc_id", "shard", "pack_idx", "pack_pos"),
+                "doc_id", "left"))
+    stats["train_packs"] = packs.select("shard", "pack_idx") \
+                                .distinct().count()
+
+    (d.write.mode("overwrite").partitionBy("split")
+     .parquet(f"{args.out}/data"))
+    # explicit schema: an empty result (e.g. everything deduped or
+    # decontaminated away) still reads back as a valid empty table
+    out = spark.read.schema(d.schema).parquet(f"{args.out}/data")
+    stats["written"] = out.count()
+    d.unpersist()
+
+    print(json.dumps({"stats": stats,
+                      "wall_sec": round(time.time() - t0, 2)}))
+
+
+if __name__ == "__main__":
+    main()
