@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     # dataset curation family (splits / decontamination / repetition)
     "split_assign", "decontam_ngram_overlap", "text_repetition_stats",
     "mix_resample", "pii_detect_redact", "pack_sequences",
-    "token_topk_by_source",
+    "token_topk_by_source", "pack_fill_stats",
     # multimodal plumbing
     "multimodal_frame_features",
 ]

@@ -2038,6 +2038,53 @@ _PACK_BUDGET, _PACK_SHARDS = 256, 8
 
 
 @query(
+    "pack_fill_stats",
+    oracle=rf"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('pk-' || CAST(doc_id AS VARCHAR)),
+                              1, 15))::BIGINT % {_PACK_SHARDS}) AS shard,
+             len(string_split(lower(regexp_replace(trim(text),
+                 '\s+', ' ', 'g')), ' '))::BIGINT AS n_tok
+      FROM documents),
+    s AS (SELECT shard, doc_id, n_tok,
+                 row_number() OVER (PARTITION BY shard
+                                    ORDER BY doc_id) AS rn
+          FROM t),
+    packed AS (
+      SELECT shard, doc_id, n_tok, rn,
+             0::BIGINT AS pack_idx, n_tok AS acc
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.doc_id, s.n_tok, s.rn,
+             CASE WHEN p.acc + s.n_tok <= {_PACK_BUDGET}
+                  THEN p.pack_idx ELSE p.pack_idx + 1 END,
+             CASE WHEN p.acc + s.n_tok <= {_PACK_BUDGET}
+                  THEN p.acc + s.n_tok ELSE s.n_tok END
+      FROM packed p JOIN s ON s.shard = p.shard AND s.rn = p.rn + 1)
+    SELECT shard::INT AS shard, pack_idx,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS pack_tokens,
+           CAST(floor(10000 * least(sum(n_tok), {_PACK_BUDGET})
+                / {_PACK_BUDGET}.0) AS BIGINT) AS fill_bp
+    FROM packed GROUP BY shard, pack_idx
+    """)
+def pack_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack utilization rollup over the greedy packing
+    (datapipe/packing.py pack_stats): docs per pack, tokens per pack,
+    fill fraction in basis points — the packing-efficiency audit a
+    batch-construction pipeline reports."""
+    from ..datapipe.packing import pack_greedy, pack_stats
+    from ..datapipe.textstats import with_token_stats
+    docs = with_token_stats(_t(spark, sf_dir, "documents"))
+    packed = pack_greedy(docs, budget=_PACK_BUDGET,
+                         n_shards=_PACK_SHARDS, tok_col="n_tokens",
+                         salt="pk", hash_mode="md5")
+    return pack_stats(packed, budget=_PACK_BUDGET).select(
+        "shard", "pack_idx", "n_docs", "pack_tokens", "fill_bp")
+
+
+@query(
     "pack_sequences",
     oracle=rf"""
     WITH RECURSIVE t AS (
