@@ -42,8 +42,10 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     # similarity / ANN family
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "semantic_dedup",
     # text analysis family
     "text_token_stats", "text_quality_score",
+    "lm_unigram_surprisal",
     # dataset curation family (splits / decontamination / repetition)
     "split_assign", "decontam_ngram_overlap", "text_repetition_stats",
     "mix_resample", "pii_detect_redact", "pack_sequences",

@@ -16,7 +16,8 @@ Stages (each stage's shuffle budget is the design constraint at
 2. near-dup dedup    MinHash+LSH band join + connected components;
                      keeps each cluster's min-id representative
 3. quality filter    narrow per-row scores (quality, repetition,
-                     lang-id) — zero shuffles
+                     lang-id) plus the unigram-surprisal cap (one
+                     broadcast vocab + one per-doc aggregate)
 4. PII redaction     narrow per-row regex — zero shuffles
 5. decontamination   optional (--eval-input): broadcast shingle probe
 6. split assignment  pure (salt, id) hash — zero shuffles
@@ -45,6 +46,9 @@ def main() -> None:
                          " decontamination")
     ap.add_argument("--min-quality-bp", type=int, default=300)
     ap.add_argument("--max-dup-2gram-bp", type=int, default=600000)
+    ap.add_argument("--max-surprisal-milli", type=int, default=30000,
+                    help="drop docs whose mean unigram surprisal"
+                         " exceeds this (x1000 bits): rare-token noise")
     ap.add_argument("--jaccard", type=float, default=0.7)
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--pack-shards", type=int, default=64)
@@ -66,7 +70,7 @@ def main() -> None:
                                                      with_split_assignment)
     from textract_demo_spark.datapipe.textstats import (
         with_langid, with_quality_score, with_repetition_stats,
-        with_token_stats)
+        with_token_stats, with_unigram_surprisal)
 
     spark = SparkSession.builder.appName("run_curate").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -94,12 +98,18 @@ def main() -> None:
     release_cached(pairs)
     release_cached(clusters)
 
-    # 3. quality gate (narrow)
+    # 3. quality gate: narrow per-row scores, plus the unigram-LM
+    # surprisal cap (one broadcast vocab + one per-doc aggregate —
+    # the corpus's own token distribution is the LM, CCNet-style)
     d = with_repetition_stats(
         with_langid(with_quality_score(with_token_stats(d))))
+    surp = with_unigram_surprisal(d).select(
+        "doc_id", "surprisal_milli_bits")
+    d = d.join(surp, "doc_id")
     d = d.filter(
         (F.col("quality_score_bp") >= args.min_quality_bp)
-        & (F.col("dup_2gram_frac_bp") <= args.max_dup_2gram_bp))
+        & (F.col("dup_2gram_frac_bp") <= args.max_dup_2gram_bp)
+        & (F.col("surprisal_milli_bits") <= args.max_surprisal_milli))
 
     # 4. PII redaction: the curated text IS the redacted text
     d = (redact_pii(d)

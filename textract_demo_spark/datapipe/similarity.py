@@ -213,6 +213,55 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     F.col(id_col), F.round("cos", 4).alias("cos")))
 
 
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
+                   n_centroids: int = 16, iters: int = 1,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   hash_mode: str = "xxhash64") -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    bucket the corpus by nearest IVF centroid (``ivf_centroids`` /
+    ``assign_to_centroids`` — deterministic, hash-seeded), generate
+    candidate pairs ONLY within a cluster, and drop every row that has
+    a lower-id neighbor at cosine >= ``threshold`` in its cluster
+    (min-id-wins keeps exactly one representative per within-cluster
+    near-dup group; deterministic, order-free).
+
+    Output: one row per input id — (id_col, cid, kept).
+
+    Scale shape (the SemDeDup point): pairwise cosine never runs
+    corpus x corpus — the self-join is an equi-join on cid, so the
+    only exchange is one cid-keyed shuffle and each task scores
+    |cluster|^2 pairs. n_centroids is the knob that bounds cluster
+    size (at 10^12 rows you run 100k centroids, not 16); a skewed
+    mega-cluster is handled the same way as any skewed join key
+    (AQE skew split, or re-cluster the heavy bucket with a second
+    IVF level). Recall is approximate by design: near-dups split
+    across cluster boundaries are missed — the documented SemDeDup
+    tradeoff vs the exact O(n^2) scan.
+
+    ``hash_mode='md5'`` makes the whole construction (seeds, Lloyd
+    refinement, assignment, pair set) DuckDB-replayable — the driver
+    oracle for ``semantic_dedup`` replays it end to end."""
+    cents = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col,
+                          hash_mode)
+    assigned = assign_to_centroids(corpus, cents, id_col, vec_col)
+    with_vec = assigned.join(corpus.select(id_col, vec_col), id_col)
+    a = with_vec.select(F.col(id_col).alias("id_a"), "cid",
+                        F.col(vec_col).alias("va"))
+    b = with_vec.select(F.col(id_col).alias("id_b"), "cid",
+                        F.col(vec_col).alias("vb"))
+    dropped = (a.join(b, ["cid"])
+               .filter(F.col("id_a") < F.col("id_b"))
+               .withColumn("_cos", F.expr(_COS.format(a="va", b="vb")))
+               .filter(F.col("_cos") >= threshold)
+               .select(F.col("id_b").alias(id_col)).distinct()
+               .withColumn("_dropped", F.lit(True)))
+    return (assigned
+            .join(dropped, id_col, "left")
+            .select(F.col(id_col), F.col("cid").cast("long").alias("cid"),
+                    F.coalesce(~F.col("_dropped"), F.lit(True))
+                     .alias("kept")))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_bits: int = 16, bands: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",

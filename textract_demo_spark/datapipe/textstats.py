@@ -212,6 +212,90 @@ def token_topk(docs: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+def token_bits_vocab(docs: DataFrame, text_col: str = "text",
+                     min_count: int = 2) -> DataFrame:
+    """Corpus unigram vocabulary with EXACT integer log-frequency:
+    one row per token with corpus count >= ``min_count`` and
+    ``bits = floor(log2(count))`` computed as ``length(bin(count)) - 1``
+    — pure integer/string arithmetic, so the value is bit-identical in
+    every engine (no libm log whose last-ulp could flip a floor).
+
+    Scale shape: explode -> ONE groupBy(token) count with map-side
+    partial aggregation (the exchange carries distinct tokens per
+    partition, not occurrences); the ``min_count`` cutoff is what
+    bounds the vocabulary at corpus scale — natural-language token
+    counts are zipfian, so the table that survives the filter is
+    MB-sized even for a 10^12-token corpus and safely broadcastable.
+    """
+    t = _tokens(text_col)
+    return (docs
+            .select(F.explode(F.expr(t)).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").cast("long").alias("n"))
+            .filter(F.col("n") >= min_count)
+            .withColumn("bits",
+                        (F.length(F.expr("bin(n)")) - 1).cast("long")))
+
+
+def with_unigram_surprisal(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", min_count: int = 2,
+                           vocab: DataFrame | None = None) -> DataFrame:
+    """CCNet-style unigram language-model scoring: each document gets
+    its mean token surprisal under the corpus's own unigram
+    distribution — the perplexity-filtering step of corpus curation
+    (low surprisal = repetitive/boilerplate, high = rare-token noise;
+    curation keeps the middle band).
+
+    Surprisal is measured in WHOLE BITS via exact integer arithmetic:
+    ``-log2 p(tok) = log2(total) - log2(count)`` approximated as
+    ``bits(total) - bits(count)`` with ``bits(x) = floor(log2 x)``
+    from ``length(bin(x)) - 1`` — deterministic across engines by
+    construction (the DuckDB oracle recomputes it exactly; no
+    floating-point log anywhere). Tokens below ``min_count`` are OOV
+    and take the rarest bucket (bits = 0, i.e. maximum surprisal) —
+    the standard vocabulary-cutoff convention.
+
+    Output per doc: ``n_tokens``, ``oov_bp`` (OOV fraction in basis
+    points), ``surprisal_milli_bits`` (mean surprisal x1000, floor) —
+    all integer via ``div``.
+
+    Scale shape: the vocab (see ``token_bits_vocab``) is broadcast;
+    the corpus side is explode -> broadcast left join -> ONE
+    groupBy(doc) whose partial aggregation collapses each doc's tokens
+    before the exchange (explode preserves locality, so the shuffle
+    carries ~one partial row per doc per partition, not token
+    occurrences). Pass a precomputed ``vocab`` to score a stream or a
+    second corpus against a frozen LM table.
+    """
+    if vocab is None:
+        vocab = token_bits_vocab(docs, text_col, min_count)
+    total = (docs
+             .select(F.expr(f"size({_tokens(text_col)})").alias("_n"))
+             .agg(F.sum("_n").cast("long").alias("_total"))
+             .withColumn("total_bits",
+                         (F.length(F.expr("bin(_total)")) - 1)
+                         .cast("long"))
+             .select("total_bits"))
+    tok = docs.select(F.col(id_col),
+                      F.explode(F.expr(_tokens(text_col))).alias("token"))
+    return (tok
+            .join(F.broadcast(vocab.select("token", "bits")),
+                  "token", "left")
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("bits").isNull(), 1)
+                        .otherwise(0)).alias("_oov"),
+                 F.sum(F.col("total_bits")
+                       - F.coalesce(F.col("bits"), F.lit(0)))
+                  .alias("_sb"))
+            .select(id_col, "n_tokens",
+                    F.expr("1000000 * _oov div n_tokens").cast("long")
+                     .alias("oov_bp"),
+                    F.expr("1000 * _sb div n_tokens").cast("long")
+                     .alias("surprisal_milli_bits")))
+
+
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit content fingerprint: md5 prefix of normalized text
     (cross-engine deterministic), plus a shingle-based robust

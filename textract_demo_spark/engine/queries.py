@@ -1670,9 +1670,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "rank", "vec_id")
 
 
-@query(
-    "ann_ivf_topk",
-    oracle="""
+# Shared oracle CTE prefix replaying the deterministic IVF
+# construction (md5-seeded centroids -> one grid-snapped Lloyd step ->
+# final assignment) — used by both ann_ivf_topk and semantic_dedup.
+_IVF_ASSIGN_CTES = """
     WITH seeds AS (
       SELECT vec_id, embedding,
              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
@@ -1703,7 +1704,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           row_number() OVER (PARTITION BY e.vec_id
             ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
                      c.cid DESC) AS rn
-        FROM embeddings e, cents1 c) WHERE rn = 1),
+        FROM embeddings e, cents1 c) WHERE rn = 1)"""
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=_IVF_ASSIGN_CTES + """,
     probes AS (
       SELECT qid, qv, cid FROM (
         SELECT e.vec_id AS qid, e.embedding AS qv, c.cid,
@@ -2129,3 +2135,67 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(docs, budget=_PACK_BUDGET,
                        n_shards=_PACK_SHARDS, tok_col="n_tokens",
                        salt="pk", hash_mode="md5")
+
+
+@query(
+    "semantic_dedup",
+    oracle=_IVF_ASSIGN_CTES + """,
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign1 a JOIN assign1 b USING (cid)
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(ea.embedding, eb.embedding) >= 0.47)
+    SELECT s.vec_id, s.cid::BIGINT AS cid, (d.id_b IS NULL) AS kept
+    FROM assign1 s LEFT JOIN (SELECT DISTINCT id_b FROM pairs) d
+      ON s.vec_id = d.id_b
+    """)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication
+    (datapipe/similarity.py semantic_dedup): IVF-cluster the
+    embeddings (md5-seeded, one grid-snapped Lloyd step — the same
+    deterministic construction ann_ivf_topk oracles), score cosine
+    pairs ONLY within clusters, and drop every row with a lower-id
+    neighbor at cos >= 0.47 (min-id-wins representative). The oracle
+    replays clustering, pair set and drop rule end to end; the
+    threshold sits at the corpus's wide score gap (same as
+    embedding_cosine_neardup) so the pair set is cross-engine
+    stable."""
+    from ..datapipe.similarity import semantic_dedup as semdedup
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, threshold=0.47, n_centroids=16, iters=1,
+                    hash_mode="md5")
+
+
+@query(
+    "lm_unigram_surprisal",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    vocab AS (SELECT token, length(bin(count(*)))::BIGINT - 1 AS bits
+              FROM tok GROUP BY token HAVING count(*) >= 2),
+    tot AS (SELECT length(bin(count(*)))::BIGINT - 1 AS total_bits
+            FROM tok)
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           ((1000000 * sum(CASE WHEN v.bits IS NULL THEN 1 ELSE 0 END))
+             // count(*))::BIGINT AS oov_bp,
+           ((1000 * sum(tot.total_bits - coalesce(v.bits, 0)))
+             // count(*))::BIGINT AS surprisal_milli_bits
+    FROM tok LEFT JOIN vocab v USING (token), tot
+    GROUP BY doc_id
+    """)
+def lm_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM scoring
+    (datapipe/textstats.py with_unigram_surprisal): per-doc mean token
+    surprisal under the corpus's own unigram distribution, in EXACT
+    integer bits (floor(log2 count) via length(bin(count)) - 1 — no
+    floating-point log, so the score is bit-identical across engines).
+    The perplexity-filtering step of corpus curation: low = boilerplate,
+    high = rare-token noise. Vocab cutoff min_count=2; OOV takes the
+    rarest bucket (max surprisal)."""
+    from ..datapipe.textstats import with_unigram_surprisal
+    docs = _t(spark, sf_dir, "documents")
+    return with_unigram_surprisal(docs)
