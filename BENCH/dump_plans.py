@@ -103,10 +103,38 @@ def main() -> None:
         " partition-layout determinism.",
         formatted(ivf_centroids(emb, n_centroids=4, iters=1))))
 
+    from textract_demo_spark.datapipe.similarity import semantic_dedup
+    sections.append((
+        "Semantic dedup (SemDeDup-style, within-cluster pairs only)",
+        "Pairwise cosine NEVER runs corpus x corpus: the self-join is"
+        " an equi-join on the IVF cluster id, so each task scores"
+        " |cluster|^2 pairs and the only wide exchange is cid-keyed;"
+        " n_centroids bounds cluster size (100k centroids at 10^12"
+        " rows), a skewed mega-cluster splits under AQE like any"
+        " skewed join key. The drop rule (lower-id neighbor at cos >="
+        " threshold) is a distinct + left join — deterministic,"
+        " order-free.",
+        formatted(semantic_dedup(emb.select("vec_id", "embedding"),
+                                 n_centroids=4))))
+
+    from textract_demo_spark.datapipe.textstats import (
+        with_unigram_surprisal)
     from textract_demo_spark.datapipe.dedup import contamination_overlap
     from textract_demo_spark.datapipe.splits import (with_hash_sample,
                                                      with_split_assignment)
     docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sections.append((
+        "Unigram LM surprisal scoring (CCNet-style perplexity filter)",
+        "The vocab table (zipf-bounded by the min_count cutoff:"
+        " MB-sized even at 10^12 tokens) and the 1-row total both"
+        " BROADCAST, so the exploded token stream joins them with no"
+        " shuffle; the only exchange is the per-doc re-aggregation,"
+        " whose map-side partial sums collapse each doc's tokens"
+        " before the wire (explode preserves locality). Surprisal is"
+        " exact integer bits — length(bin(count)) — so no float log"
+        " enters the plan at all.",
+        formatted(with_unigram_surprisal(docs.select("doc_id", "text")))))
+
     sections.append((
         "Dataset split + hash-sample assignment",
         "Pure per-row hash of (salt, id): ZERO exchanges — membership"
