@@ -209,3 +209,40 @@ def test_token_topk_partial_agg_and_group_limit(spark):
     p = plan(token_topk(docs, k=10, group_col="source"))
     assert "WindowGroupLimit" in p, p[:2000]
     assert "partial_count" in p, p[:2000]
+
+
+def test_semantic_dedup_pairs_stay_equi_join(spark):
+    """Semantic dedup must generate candidate pairs via an EQUI join
+    on the cluster id — never a corpus x corpus cartesian / broadcast
+    nested loop (the brute path exists only inside the 1-centroid
+    degenerate case); the kept-flag attach is a join on the id."""
+    from textract_demo_spark.datapipe.similarity import semantic_dedup
+    emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    p = plan(semantic_dedup(emb, n_centroids=4))
+    assert "CartesianProduct" not in p, p[:2000]
+    # the only nested-loop node allowed is the tiny broadcast of the
+    # centroid set onto the corpus (assign step), never the pair join
+    assert "cid" in p
+
+
+def test_unigram_surprisal_broadcasts_vocab_single_doc_agg(spark):
+    """Surprisal scoring must broadcast the vocab (LeftOuter
+    BroadcastHashJoin onto the exploded token stream — the corpus side
+    is never shuffled for the join) and pay exactly one per-doc
+    re-aggregation exchange with map-side partial sums; no float log
+    anywhere in the plan."""
+    from textract_demo_spark.datapipe.textstats import (
+        with_unigram_surprisal)
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text"))
+    p = plan(with_unigram_surprisal(docs))
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p, p[:2000]
+    assert "SortMergeJoin" not in p, p[:2000]
+    assert "partial_sum" in p, p[:2000]
+    assert "LOG(" not in p.upper(), p[:2000]
+    # exchanges: vocab count (vocab-sized), total (1 row), per-doc agg
+    import re
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", p)
+    doc_side = [s for s in shuffles if s.startswith("doc_id")]
+    assert len(doc_side) == 1, shuffles
