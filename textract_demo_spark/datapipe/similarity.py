@@ -240,11 +240,22 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
 
     ``hash_mode='md5'`` makes the whole construction (seeds, Lloyd
     refinement, assignment, pair set) DuckDB-replayable — the driver
-    oracle for ``semantic_dedup`` replays it end to end."""
+    oracle for ``semantic_dedup`` replays it end to end.
+
+    The (id, cid, vec) assignment frame is PERSISTED: it feeds both
+    sides of the self-join plus the final kept-flag attach, and
+    without the persist Spark recomputes the whole IVF assign
+    pipeline (centroid crossJoin + max_by groupBy) once per consumer
+    — measured ~2.5x on the sf0.1 bench (the same recompute class the
+    banded LSH frames hit). Caller contract as in
+    ``dedup.lsh_candidate_pairs``: the handle is exposed as
+    ``result._cached_banded``; call ``dedup.release_cached(result)``
+    after materializing."""
     cents = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col,
                           hash_mode)
     assigned = assign_to_centroids(corpus, cents, id_col, vec_col)
-    with_vec = assigned.join(corpus.select(id_col, vec_col), id_col)
+    with_vec = (assigned.join(corpus.select(id_col, vec_col), id_col)
+                .persist())
     a = with_vec.select(F.col(id_col).alias("id_a"), "cid",
                         F.col(vec_col).alias("va"))
     b = with_vec.select(F.col(id_col).alias("id_b"), "cid",
@@ -255,11 +266,13 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
                .filter(F.col("_cos") >= threshold)
                .select(F.col("id_b").alias(id_col)).distinct()
                .withColumn("_dropped", F.lit(True)))
-    return (assigned
-            .join(dropped, id_col, "left")
-            .select(F.col(id_col), F.col("cid").cast("long").alias("cid"),
-                    F.coalesce(~F.col("_dropped"), F.lit(True))
-                     .alias("kept")))
+    out = (with_vec.select(id_col, "cid")
+           .join(dropped, id_col, "left")
+           .select(F.col(id_col), F.col("cid").cast("long").alias("cid"),
+                   F.coalesce(~F.col("_dropped"), F.lit(True))
+                    .alias("kept")))
+    out._cached_banded = with_vec
+    return out
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
