@@ -72,6 +72,18 @@ def main() -> None:
         formatted(QUERIES["dedup_minhash_lsh"](spark, SF))))
 
     sections.append((
+        "Incremental snapshot dedup (batch vs frozen signature index)",
+        "The continuous-ingestion shape: the corpus signature index"
+        " (build_minhash_index) is computed once per snapshot; each"
+        " batch pays only its own shingle+signature cost plus"
+        " broadcast probes. The index side NEVER crosses an exchange"
+        " — every join broadcasts a batch-derived frame (band keys,"
+        " then batch-bounded candidates) — and the index's two scans"
+        " each prune to one array column (minhash for the band probe,"
+        " shingle_hashes for the Jaccard verify).",
+        formatted(QUERIES["dedup_incremental"](spark, SF))))
+
+    sections.append((
         "Exact ANN top-k (brute baseline)",
         "Broadcast query vectors x one corpus scan; dot products as"
         " JVM higher-order functions; row_number window takes top-k"

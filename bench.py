@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "extract_pdf_success",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_simhash_pairs",
+    "dedup_simhash_pairs", "dedup_incremental",
     # similarity / ANN family
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "semantic_dedup",

@@ -224,6 +224,80 @@ def test_minhash_release_cached_frees_storage(spark, docs):
     assert jsc.getPersistentRDDs().size() == before
 
 
+def test_incremental_dedup_matches_brute_force(spark, docs):
+    """incremental_dedup_pairs (batch vs frozen index + within batch)
+    returns exactly the brute-force >= threshold relation set:
+    precision is exact by construction (Jaccard verification), and on
+    this corpus banded recall is total."""
+    from textract_demo_spark.datapipe.dedup import (
+        build_minhash_index, incremental_dedup_pairs, release_cached,
+        with_shingles)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = (docs.filter(F.col("doc_id") % 3 == 0)
+             .select("doc_id", "text")
+             .unionByName(
+                 corpus.filter(F.col("doc_id") % 5 == 1)
+                 .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                         F.concat("text", F.lit(" tail noise"))
+                          .alias("text"))))
+    idx = build_minhash_index(corpus, num_hashes=32)
+    out = incremental_dedup_pairs(batch, idx, threshold=0.5,
+                                  num_hashes=32, bands=16)
+    got = {(r["doc_id"], r["match_id"], r["match_src"]): r["jaccard"]
+           for r in out.collect()}
+    release_cached(out)
+
+    def sets(df):
+        return {r["doc_id"]: set(r["shingles"])
+                for r in with_shingles(df).collect()}
+    c_sh, b_sh = sets(corpus), sets(batch)
+    want = {}
+    for bid, bsh in b_sh.items():
+        for cid, csh in c_sh.items():
+            j = len(bsh & csh) / len(bsh | csh)
+            if j >= 0.5 and cid != bid:
+                want[(bid, cid, "corpus")] = j
+        for aid, ash in b_sh.items():
+            if aid < bid:
+                j = len(bsh & ash) / len(bsh | ash)
+                if j >= 0.5:
+                    want[(bid, aid, "batch")] = j
+    assert set(got) == set(want), (
+        f"missing={set(want) - set(got)} extra={set(got) - set(want)}")
+    for k, j in want.items():
+        assert abs(got[k] - j) < 1e-12
+
+
+def test_incremental_dedup_exact_reingest_and_novel(spark, docs):
+    """A batch doc byte-identical to a corpus doc matches at Jaccard
+    1.0 against the frozen index; a doc with no near-dup produces no
+    row; the persisted banded frame is released by the caller
+    contract."""
+    from textract_demo_spark.datapipe.dedup import (
+        build_minhash_index, incremental_dedup_pairs, release_cached)
+    corpus = docs.filter(F.col("doc_id") < 30).select("doc_id", "text")
+    reingest = (corpus.filter(F.col("doc_id") < 5)
+                .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                        "text"))
+    novel = spark.createDataFrame(
+        [(2000000, "completely unrelated zebra quantum fjord text")],
+        "doc_id long, text string")
+    idx = build_minhash_index(corpus)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = incremental_dedup_pairs(reingest.unionByName(novel), idx,
+                                  threshold=0.9)
+    rows = out.collect()
+    release_cached(out)
+    assert jsc.getPersistentRDDs().size() == before
+    by_doc = {r["doc_id"]: r for r in rows}
+    for d in range(5):
+        r = by_doc[d + 1000000]
+        assert (r["match_id"], r["match_src"]) == (d, "corpus")
+        assert r["jaccard"] == 1.0
+    assert 2000000 not in by_doc
+
+
 def test_md5_sign_bits_literal_matches_dynamic(spark):
     """The plan-time literal hyperplane matrix must reproduce the
     dynamic md5 SQL expression bit-for-bit (it is the same

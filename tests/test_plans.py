@@ -211,6 +211,27 @@ def test_token_topk_partial_agg_and_group_limit(spark):
     assert "partial_count" in p, p[:2000]
 
 
+def test_incremental_dedup_corpus_never_shuffles(spark):
+    """Batch-vs-index dedup must keep the corpus index on the
+    streamed (probe) side of BROADCAST joins everywhere — the batch
+    is the small side by definition, so at 100 TB the index never
+    crosses an exchange. The vs-corpus branch has no sort-merge join
+    and no cartesian anywhere."""
+    from textract_demo_spark.datapipe.dedup import (
+        build_minhash_index, incremental_dedup_pairs, release_cached)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    out = incremental_dedup_pairs(batch, build_minhash_index(corpus),
+                                  threshold=0.5)
+    p = plan(out)
+    release_cached(out)
+    assert "SortMergeJoin" not in p, p[:3000]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3, p[:3000]
+
+
 def test_semantic_dedup_pairs_stay_equi_join(spark):
     """Semantic dedup must generate candidate pairs via an EQUI join
     on the cluster id — never a corpus x corpus cartesian / broadcast

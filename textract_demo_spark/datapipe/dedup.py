@@ -113,6 +113,22 @@ def with_minhash(shingled: DataFrame,
             .withColumn("minhash", sig).drop("shingle_hashes"))
 
 
+def _band_keys(bands: int, rows_per_band: int,
+               sig_col: str = "minhash") -> str:
+    """SQL fragment: array of (band, band_hash) structs — the banded
+    LSH bucket keys of a minhash signature column. Shared by the
+    all-pairs self-join (``lsh_candidate_pairs``) and the incremental
+    batch-vs-index probe (``incremental_dedup_pairs``) so both sides
+    of an incremental run derive identical keys."""
+    return f"""
+          transform(sequence(0, {bands - 1}), b ->
+            struct(b AS band,
+                   xxhash64(array_join(transform(
+                     slice({sig_col}, b * {rows_per_band} + 1,
+                           {rows_per_band}), x -> string(x)), ','))
+                   AS band_hash))"""
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, bands: int = DEFAULT_BANDS,
                         num_hashes: int = DEFAULT_NUM_HASHES,
                         id_col: str = "doc_id") -> DataFrame:
@@ -135,13 +151,8 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = DEFAULT_BANDS,
     rows_per_band = num_hashes // bands
     banded = sig_df.select(
         F.col(id_col),
-        F.explode(F.expr(f"""
-          transform(sequence(0, {bands - 1}), b ->
-            struct(b AS band,
-                   xxhash64(array_join(transform(
-                     slice(minhash, b * {rows_per_band} + 1,
-                           {rows_per_band}), x -> string(x)), ','))
-                   AS band_hash))""")).alias("bk")).persist()
+        F.explode(F.expr(_band_keys(bands, rows_per_band)))
+         .alias("bk")).persist()
     a = banded.select(F.col(id_col).alias("id_a"), "bk")
     b = banded.select(F.col(id_col).alias("id_b"), "bk")
     out = (a.join(b, ["bk"])
@@ -179,6 +190,114 @@ def minhash_dedup_pairs(docs: DataFrame, n: int = 3,
            .select("id_a", "id_b", "jaccard"))
     # propagate the cache handle (see lsh_candidate_pairs docstring)
     out._cached_banded = cands._cached_banded
+    return out
+
+
+def build_minhash_index(docs: DataFrame, n: int = 3,
+                        num_hashes: int = DEFAULT_NUM_HASHES,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Snapshot-able MinHash signature index — one row per doc:
+    ``(id, shingle_hashes: array<long>, minhash: array<long>)``.
+
+    This is the frame a continuous-ingestion dedup persists between
+    runs: at scale it is written to a table ONCE per corpus snapshot
+    (~8 bytes per shingle + 8 per signature slot, no text), and every
+    incoming batch probes it via ``incremental_dedup_pairs`` without
+    re-reading or re-shingling the corpus — the part of dedup cost
+    that must not be O(corpus) per batch. Jaccard over the hashed
+    shingle sets equals string-shingle Jaccard (64-bit hashes;
+    collisions within the union of two docs' sets are ~2^-64-scale,
+    and the pipeline is deterministic either way). Signatures are the
+    exact ``with_minhash`` two-level construction, so an index built
+    here bands identically to ``lsh_candidate_pairs``."""
+    sh = with_shingles(docs, n, id_col, text_col)
+    hashed = sh.withColumn(
+        "shingle_hashes",
+        F.expr("array_distinct(transform(shingles, s -> xxhash64(s)))"))
+    sig = F.expr(f"""
+        transform(sequence(0, {num_hashes - 1}), i ->
+          array_min(transform(shingle_hashes, h -> hash(h, i))))""")
+    return (hashed.withColumn("minhash", sig)
+            .select(id_col, "shingle_hashes", "minhash"))
+
+
+def incremental_dedup_pairs(batch: DataFrame, index: DataFrame,
+                            n: int = 3,
+                            num_hashes: int = DEFAULT_NUM_HASHES,
+                            bands: int = DEFAULT_BANDS,
+                            threshold: float = 0.7,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Incremental near-dup detection: an incoming batch of docs vs a
+    FROZEN corpus signature index (``build_minhash_index``) plus
+    within the batch itself — the continuous-ingestion shape of a
+    100 TB dedup, where re-running all-pairs LSH per batch would be
+    O(corpus) every time.
+
+    Output: one row per verified near-dup relation whose subject is a
+    batch doc — ``(id, match_id, jaccard, match_src)`` with
+    ``match_src`` 'corpus' or 'batch' (batch matches only against
+    smaller batch ids, min-id-wins). A batch doc with no row is novel.
+
+    Scale shape: the corpus index NEVER shuffles — the batch is the
+    small side by definition, so both joins broadcast batch-derived
+    frames. The index is scanned twice, each time pruned to one array
+    column (parquet column pruning): once for ``minhash`` (band-key
+    probe: explode to (band, band_hash), broadcast-join the batch's
+    band keys — candidates only where a band agrees), once for
+    ``shingle_hashes`` (exact-Jaccard verification, broadcast-joined
+    to the batch-bounded candidate set). Candidate de-dup
+    (``distinct``) runs on bare (id, match_id) pairs before shingle
+    arrays are attached, so the only exchange in the plan moves
+    batch-bounded data.
+
+    The batch's banded frame is PERSISTED (it feeds the corpus probe
+    and the within-batch self-join); caller contract as in
+    ``lsh_candidate_pairs``: ``release_cached(result)`` after
+    materializing."""
+    bsig = build_minhash_index(batch, n, num_hashes, id_col, text_col)
+    bk = _band_keys(bands, num_hashes // bands)
+    b_banded = (bsig.select(
+        F.col(id_col), "shingle_hashes",
+        F.explode(F.expr(bk)).alias("bk"))).persist()
+    jac = ("size(array_intersect(shingle_hashes, sh_m)) / "
+           "cast(size(array_union(shingle_hashes, sh_m)) AS DOUBLE)")
+
+    # batch vs corpus: band probe (index scan #1, minhash only)
+    i_banded = index.select(F.col(id_col).alias("match_id"),
+                            F.explode(F.expr(bk)).alias("bk"))
+    cand = (i_banded
+            .join(F.broadcast(b_banded.select(F.col(id_col), "bk")), "bk")
+            .filter(F.col("match_id") != F.col(id_col))
+            .select(id_col, "match_id").distinct())
+    # verification (index scan #2, shingle_hashes only): candidates +
+    # batch shingles stay the broadcast side
+    probe = cand.join(
+        F.broadcast(bsig.select(id_col, "shingle_hashes")), id_col)
+    vs_corpus = (index.select(F.col(id_col).alias("match_id"),
+                              F.col("shingle_hashes").alias("sh_m"))
+                 .join(F.broadcast(probe), "match_id")
+                 .withColumn("jaccard", F.expr(jac))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select(id_col, "match_id", "jaccard",
+                         F.lit("corpus").alias("match_src")))
+
+    # within batch: banded self-join, smaller id is the match
+    wb = (b_banded.select(F.col(id_col).alias("_ida"),
+                          F.col("shingle_hashes").alias("sh_m"), "bk")
+          .join(b_banded, "bk")
+          .filter(F.col("_ida") < F.col(id_col))
+          .select(id_col, "shingle_hashes",
+                  F.col("_ida").alias("match_id"), "sh_m")
+          .distinct()
+          .withColumn("jaccard", F.expr(jac))
+          .filter(F.col("jaccard") >= threshold)
+          .select(id_col, "match_id", "jaccard",
+                  F.lit("batch").alias("match_src")))
+
+    out = vs_corpus.unionByName(wb)
+    out._cached_banded = b_banded
     return out
 
 

@@ -1287,6 +1287,86 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("jaccard_bp"))
 
 
+@query(
+    "dedup_incremental",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extra trailing words appended'
+      FROM documents WHERE doc_id % 8 = 1
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 8 = 4),
+    cs AS (SELECT doc_id, list_distinct(list_transform(
+          range(0, greatest(len(toks) - 3, 0) + 1),
+          i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text),
+            '\s+', ' ', 'g')), ' ') AS toks FROM corpus)),
+    bs AS (SELECT doc_id, list_distinct(list_transform(
+          range(0, greatest(len(toks) - 3, 0) + 1),
+          i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text),
+            '\s+', ' ', 'g')), ' ') AS toks FROM batch)),
+    rel AS (
+      SELECT b.doc_id, c.doc_id AS match_id,
+             len(list_intersect(b.sh, c.sh))
+             / CAST(len(list_distinct(list_concat(b.sh, c.sh)))
+                    AS DOUBLE) AS jac,
+             'corpus' AS match_src
+      FROM bs b, cs c WHERE c.doc_id != b.doc_id
+      UNION ALL
+      SELECT b.doc_id, a.doc_id AS match_id,
+             len(list_intersect(b.sh, a.sh))
+             / CAST(len(list_distinct(list_concat(b.sh, a.sh)))
+                    AS DOUBLE) AS jac,
+             'batch' AS match_src
+      FROM bs b, bs a WHERE a.doc_id < b.doc_id)
+    SELECT doc_id, match_id,
+           CAST(floor(1000000 * jac) AS BIGINT) AS jaccard_bp, match_src
+    FROM rel WHERE jac >= 0.5
+    """)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot dedup (datapipe/dedup.py
+    build_minhash_index + incremental_dedup_pairs): 75% of documents
+    form the frozen corpus whose signature index is built once; the
+    batch is the remaining 25% plus planted corpus near-dups
+    (doc k+1000000 = corpus doc k's text + extra words, k % 8 == 1)
+    and planted within-batch exact dups (doc k+2000000 = batch doc
+    k's text, k % 8 == 4). The batch probes the index via banded LSH
+    (batch side broadcast — the corpus never shuffles) and verifies
+    exact Jaccard within candidates, so precision is exact and the
+    oracle question is recall: DuckDB brute-forces 3-gram Jaccard
+    >= 0.5 for batch x corpus and batch x smaller-batch-id; banded
+    recall is total on this corpus (same 16-band x 2-row knee as
+    dedup_minhash_lsh, whose minimum true-pair Jaccard is 0.733)."""
+    from ..datapipe.dedup import (build_minhash_index,
+                                  incremental_dedup_pairs)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text")
+    batch = (docs.filter(F.col("doc_id") % 4 == 0)
+             .select("doc_id", "text")
+             .unionByName(
+                 docs.filter(F.col("doc_id") % 8 == 1)
+                 .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                         F.concat(F.col("text"),
+                                  F.lit(" extra trailing words appended"))
+                          .alias("text")))
+             .unionByName(
+                 docs.filter(F.col("doc_id") % 8 == 4)
+                 .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                         "text")))
+    idx = build_minhash_index(corpus, num_hashes=32)
+    pairs = incremental_dedup_pairs(batch, idx, threshold=0.5,
+                                    num_hashes=32, bands=16)
+    return pairs.select(
+        "doc_id", "match_id",
+        F.floor(F.lit(1000000) * F.col("jaccard")).cast("long")
+         .alias("jaccard_bp"),
+        "match_src")
+
+
 _SIMHASH_MD5_SQL = r"""
     t AS (SELECT doc_id,
         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
