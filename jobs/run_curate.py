@@ -13,6 +13,12 @@ Stages (each stage's shuffle budget is the design constraint at
 10^12 docs — see the operator docstrings for the full arguments):
 
 1. exact dedup       one window shuffle on the 16-byte content hash
+1b. snapshot dedup   optional (--snapshot-index): drop docs that
+                     near-duplicate a FROZEN prior corpus snapshot
+                     (incremental_dedup_pairs — batch side broadcast,
+                     the index never shuffles); this is the
+                     continuous-ingestion mode where re-running
+                     all-pairs LSH per batch would be O(corpus)
 2. near-dup dedup    MinHash+LSH band join + connected components;
                      keeps each cluster's min-id representative
 3. quality filter    narrow per-row scores (quality, repetition,
@@ -26,7 +32,10 @@ Stages (each stage's shuffle budget is the design constraint at
 
 Output: parquet partitioned by split, plus one JSON stats line on
 stdout (per-stage surviving row counts + wall time) — the lineage
-summary a curation run records next to its output.
+summary a curation run records next to its output. With
+--snapshot-index-out the run also writes the updated MinHash
+signature index (prior snapshot, if any, unioned with this run's
+kept docs) for the NEXT incremental run to probe.
 """
 
 from __future__ import annotations
@@ -53,13 +62,28 @@ def main() -> None:
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--pack-shards", type=int, default=64)
     ap.add_argument("--decontam-min-overlap", type=int, default=5)
+    ap.add_argument("--snapshot-index", default=None,
+                    help="MinHash signature index parquet from a prior"
+                         " run's --snapshot-index-out: incoming docs"
+                         " near-duplicating the frozen snapshot are"
+                         " dropped before within-batch dedup")
+    ap.add_argument("--snapshot-index-out", default=None,
+                    help="write the updated signature index (prior"
+                         " snapshot + this run's kept docs) here for"
+                         " the next incremental run")
     args = ap.parse_args()
+    if args.snapshot_index and args.snapshot_index == args.snapshot_index_out:
+        raise SystemExit("--snapshot-index-out must differ from"
+                         " --snapshot-index (cannot overwrite the index"
+                         " being read)")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    from textract_demo_spark.datapipe.dedup import (contamination_overlap,
+    from textract_demo_spark.datapipe.dedup import (build_minhash_index,
+                                                    contamination_overlap,
+                                                    incremental_dedup_pairs,
                                                     minhash_dedup_pairs,
                                                     neardup_clusters,
                                                     normalize_text,
@@ -86,6 +110,19 @@ def main() -> None:
     d = (docs.withColumn("_rn", F.row_number().over(w))
          .filter(F.col("_rn") == 1).drop("_rn"))
     stats["after_exact_dedup"] = d.count()
+
+    # 1b. optional snapshot dedup: drop docs near-duplicating the
+    # frozen prior-corpus index (within-batch dups are left to stage
+    # 2's cluster representative selection)
+    if args.snapshot_index:
+        idx = spark.read.parquet(args.snapshot_index)
+        hits = incremental_dedup_pairs(d.select("doc_id", "text"), idx,
+                                       threshold=args.jaccard)
+        dup_ids = (hits.filter(F.col("match_src") == "corpus")
+                   .select("doc_id").distinct())
+        d = d.join(dup_ids, "doc_id", "left_anti")
+        stats["after_snapshot_dedup"] = d.count()
+        release_cached(hits)
 
     # 2. near-dup dedup: keep each cluster's min-id representative
     pairs = minhash_dedup_pairs(d, threshold=args.jaccard)
@@ -138,6 +175,19 @@ def main() -> None:
                 "doc_id", "left"))
     stats["train_packs"] = packs.select("shard", "pack_idx") \
                                 .distinct().count()
+
+    # optional: write the updated snapshot index for the next run —
+    # the prior snapshot (if any) unioned with this run's kept docs.
+    # Built over the CURATED text (post-redaction): that is the corpus
+    # the next batch actually joins.
+    if args.snapshot_index_out:
+        new_idx = build_minhash_index(d.select("doc_id", "text"))
+        if args.snapshot_index:
+            new_idx = (spark.read.parquet(args.snapshot_index)
+                       .unionByName(new_idx))
+        new_idx.write.mode("overwrite").parquet(args.snapshot_index_out)
+        stats["snapshot_index_docs"] = (
+            spark.read.parquet(args.snapshot_index_out).count())
 
     (d.write.mode("overwrite").partitionBy("split")
      .parquet(f"{args.out}/data"))

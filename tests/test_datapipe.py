@@ -298,6 +298,34 @@ def test_incremental_dedup_exact_reingest_and_novel(spark, docs):
     assert 2000000 not in by_doc
 
 
+def test_incremental_index_survives_parquet_roundtrip(spark, docs, tmp_path):
+    """The signature index is a SNAPSHOT artifact — written once per
+    corpus version, probed by every later batch. Probing a
+    parquet-round-tripped index must give the identical pair set as
+    probing the freshly computed frame (schema + values survive the
+    table hop; at scale this is the only mode that matters)."""
+    from textract_demo_spark.datapipe.dedup import (
+        build_minhash_index, incremental_dedup_pairs, release_cached)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = (corpus.filter(F.col("doc_id") % 5 == 1)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     F.concat("text", F.lit(" tail noise")).alias("text")))
+    fresh = build_minhash_index(corpus, num_hashes=32)
+    path = str(tmp_path / "minhash_index")
+    fresh.write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    def pair_set(idx):
+        out = incremental_dedup_pairs(batch, idx, threshold=0.5,
+                                      num_hashes=32, bands=16)
+        rows = {(r["doc_id"], r["match_id"], r["match_src"], r["jaccard"])
+                for r in out.collect()}
+        release_cached(out)
+        return rows
+    a, b = pair_set(fresh), pair_set(stored)
+    assert a == b and len(a) > 0
+
+
 def test_md5_sign_bits_literal_matches_dynamic(spark):
     """The plan-time literal hyperplane matrix must reproduce the
     dynamic md5 SQL expression bit-for-bit (it is the same

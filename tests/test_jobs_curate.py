@@ -42,3 +42,55 @@ def test_run_curate_end_to_end(spark, tmp_path, capsys, monkeypatch):
     tr = out.filter("split = 'train'")
     if tr.count():
         assert tr.filter("pack_idx IS NULL").count() == 0
+
+
+def test_run_curate_incremental_snapshot(spark, tmp_path, capsys,
+                                         monkeypatch):
+    """Continuous-ingestion mode: run 1 writes a snapshot signature
+    index; run 2 probes it and drops re-ingested docs (same curated
+    text, new ids) at stage 1b while novel docs flow through."""
+    import importlib
+    import jobs.run_curate as rc
+    importlib.reload(rc)
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in1 = str(tmp_path / "in1")
+    raw.filter("doc_id < 250").write.parquet(in1)
+    idx1 = str(tmp_path / "idx1")
+    monkeypatch.setattr(sys, "argv", [
+        "run_curate.py", "--input", in1,
+        "--out", str(tmp_path / "out1"),
+        "--snapshot-index-out", idx1,
+        "--pack-budget", "256", "--pack-shards", "4"])
+    rc.main()
+    st1 = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["stats"]
+    assert st1["snapshot_index_docs"] == st1["curated"]
+
+    # run 2 batch: 20 byte-identical re-ingests of kept docs (new
+    # ids) + 50 genuinely new docs
+    curated1 = spark.read.parquet(str(tmp_path / "out1" / "data"))
+    keep20 = (curated1.select("doc_id").orderBy("doc_id").limit(20)
+              .withColumnRenamed("doc_id", "_k"))
+    reingest = (curated1.join(keep20, curated1.doc_id == keep20._k)
+                .select(*[
+                    (F.col("doc_id") + 5000).alias("doc_id")
+                    if c == "doc_id" else F.col(c) for c in raw.columns]))
+    novel = raw.filter("doc_id >= 250 AND doc_id < 300")
+    in2 = str(tmp_path / "in2")
+    reingest.unionByName(novel).write.parquet(in2)
+    monkeypatch.setattr(sys, "argv", [
+        "run_curate.py", "--input", in2,
+        "--out", str(tmp_path / "out2"),
+        "--snapshot-index", idx1,
+        "--pack-budget", "256", "--pack-shards", "4"])
+    rc.main()
+    st2 = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["stats"]
+    assert st2["input"] == 70
+    # every re-ingest matches the frozen snapshot at Jaccard 1.0
+    assert st2["after_exact_dedup"] - st2["after_snapshot_dedup"] >= 20
+    out2 = spark.read.parquet(str(tmp_path / "out2" / "data"))
+    assert out2.filter("doc_id >= 5000").count() == 0
+    assert out2.filter("doc_id < 300").count() > 0

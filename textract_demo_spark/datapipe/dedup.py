@@ -252,15 +252,23 @@ def incremental_dedup_pairs(batch: DataFrame, index: DataFrame,
     arrays are attached, so the only exchange in the plan moves
     batch-bounded data.
 
-    The batch's banded frame is PERSISTED (it feeds the corpus probe
-    and the within-batch self-join); caller contract as in
+    The batch's signature frame (``build_minhash_index`` output — the
+    expensive tokenize/shingle/hash stage) is PERSISTED: it feeds the
+    corpus band probe, the Jaccard verification probe, and both sides
+    of the within-batch self-join, and without the persist the
+    signature pipeline re-runs once per consumer (measured ~2x on the
+    sf0.1 bench). The banded explode derived from it is cheap and is
+    deliberately NOT persisted. Caller contract as in
     ``lsh_candidate_pairs``: ``release_cached(result)`` after
-    materializing."""
-    bsig = build_minhash_index(batch, n, num_hashes, id_col, text_col)
+    materializing. The ``index`` side is the caller's artifact — at
+    scale a stored table; pass a persisted or parquet-backed frame,
+    since it is consumed twice (band probe + verification)."""
+    bsig = build_minhash_index(batch, n, num_hashes, id_col,
+                               text_col).persist()
     bk = _band_keys(bands, num_hashes // bands)
-    b_banded = (bsig.select(
+    b_banded = bsig.select(
         F.col(id_col), "shingle_hashes",
-        F.explode(F.expr(bk)).alias("bk"))).persist()
+        F.explode(F.expr(bk)).alias("bk"))
     jac = ("size(array_intersect(shingle_hashes, sh_m)) / "
            "cast(size(array_union(shingle_hashes, sh_m)) AS DOUBLE)")
 
@@ -297,7 +305,7 @@ def incremental_dedup_pairs(batch: DataFrame, index: DataFrame,
                   F.lit("batch").alias("match_src")))
 
     out = vs_corpus.unionByName(wb)
-    out._cached_banded = b_banded
+    out._cached_banded = bsig
     return out
 
 

@@ -1357,7 +1357,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                  docs.filter(F.col("doc_id") % 8 == 4)
                  .select((F.col("doc_id") + 2000000).alias("doc_id"),
                          "text")))
-    idx = build_minhash_index(corpus, num_hashes=32)
+    # the index stands in for a STORED snapshot table (at scale it is
+    # parquet written once per corpus version); persist so its two
+    # consumers (band probe + Jaccard verify) don't re-run the corpus
+    # signature pipeline — measured 10.1 s -> ~2 s at sf0.1
+    idx = build_minhash_index(corpus, num_hashes=32).persist()
     pairs = incremental_dedup_pairs(batch, idx, threshold=0.5,
                                     num_hashes=32, bands=16)
     return pairs.select(
