@@ -84,6 +84,17 @@ def main() -> None:
         formatted(QUERIES["dedup_incremental"](spark, SF))))
 
     sections.append((
+        "Incremental semantic dedup (batch vs frozen IVF snapshot)",
+        "The embedding twin of incremental snapshot dedup: batch"
+        " vectors assign to FROZEN broadcast centroids (narrow map),"
+        " then score only against same-cluster kept vectors — the"
+        " kept-vector table streams through one BroadcastHashJoin"
+        " whose build side is the batch's (cid, vec) probe; the"
+        " snapshot build's corpus aggregate is a per-snapshot cost,"
+        " not per batch.",
+        formatted(QUERIES["semantic_dedup_incremental"](spark, SF))))
+
+    sections.append((
         "Exact ANN top-k (brute baseline)",
         "Broadcast query vectors x one corpus scan; dot products as"
         " JVM higher-order functions; row_number window takes top-k"

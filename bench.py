@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs", "dedup_incremental",
     # similarity / ANN family
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "semantic_dedup",
+    "semantic_dedup", "semantic_dedup_incremental",
     # text analysis family
     "text_token_stats", "text_quality_score",
     "lm_unigram_surprisal",

@@ -326,6 +326,75 @@ def test_incremental_index_survives_parquet_roundtrip(spark, docs, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_incremental_semantic_dedup_matches_reference(spark):
+    """incremental_semantic_dedup returns exactly the relation set a
+    per-cluster brute force computes from the same frozen snapshot
+    (assignments collected, cosines in numpy): corpus matches for
+    same-cluster kept vectors, batch matches only against smaller
+    ids."""
+    import numpy as np
+    from textract_demo_spark.datapipe.dedup import release_cached
+    from textract_demo_spark.datapipe.similarity import (
+        assign_to_centroids, incremental_semantic_dedup, ivf_centroids)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    cents = ivf_centroids(corpus, n_centroids=8, iters=1).persist()
+    snap = (assign_to_centroids(corpus, cents)
+            .join(corpus.select("vec_id", "embedding"), "vec_id"))
+    thr = 0.4
+    out = incremental_semantic_dedup(batch, cents, snap, threshold=thr)
+    got = {(r["vec_id"], r["match_id"], r["match_src"])
+           for r in out.collect()}
+    release_cached(out)
+
+    def load(df):
+        return {r["vec_id"]: (r["cid"], np.array(r["embedding"]))
+                for r in (assign_to_centroids(df, cents)
+                          .join(df.select("vec_id", "embedding"),
+                                "vec_id").collect())}
+    c, b = load(corpus), load(batch)
+    cents.unpersist()
+
+    def cos(u, v):
+        return float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+    want = set()
+    for bid, (bc, bv) in b.items():
+        for cid_, (cc, cv) in c.items():
+            if cc == bc and cid_ != bid and cos(cv, bv) >= thr:
+                want.add((bid, cid_, "corpus"))
+        for aid, (ac, av) in b.items():
+            if ac == bc and aid < bid and cos(av, bv) >= thr:
+                want.add((bid, aid, "batch"))
+    assert got == want and len(want) > 0, (
+        f"missing={want - got} extra={got - want}")
+
+
+def test_incremental_semantic_dedup_drops_planted_clones(spark):
+    """Batch vectors byte-identical to snapshot vectors (new ids)
+    match their originals at cos ~1.0 with match_src='corpus'."""
+    from textract_demo_spark.datapipe.dedup import release_cached
+    from textract_demo_spark.datapipe.similarity import (
+        assign_to_centroids, incremental_semantic_dedup, ivf_centroids)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") < 200)
+    clones = (corpus.filter(F.col("vec_id") % 20 == 0)
+              .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                      "embedding"))
+    cents = ivf_centroids(corpus, n_centroids=8, iters=1).persist()
+    snap = (assign_to_centroids(corpus, cents)
+            .join(corpus.select("vec_id", "embedding"), "vec_id"))
+    out = incremental_semantic_dedup(clones, cents, snap, threshold=0.99)
+    rows = out.collect()
+    release_cached(out)
+    cents.unpersist()
+    matched = {r["vec_id"]: r for r in rows
+               if r["match_id"] == r["vec_id"] - 1000000}
+    for v in range(0, 200, 20):
+        r = matched[v + 1000000]
+        assert r["match_src"] == "corpus" and r["cos"] >= 0.999999
+
+
 def test_md5_sign_bits_literal_matches_dynamic(spark):
     """The plan-time literal hyperplane matrix must reproduce the
     dynamic md5 SQL expression bit-for-bit (it is the same

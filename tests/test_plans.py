@@ -232,6 +232,30 @@ def test_incremental_dedup_corpus_never_shuffles(spark):
     assert p.count("BroadcastHashJoin") >= 3, p[:3000]
 
 
+def test_incremental_semantic_dedup_corpus_probe_broadcast(spark):
+    """The batch-vs-frozen-snapshot probe must broadcast the batch's
+    (cid, vec) frame — the kept-vector table streams through one
+    BroadcastHashJoin, never a sort-merge or cartesian. (The snapshot
+    build itself aggregates the corpus once; that cost is per
+    snapshot, not per batch.)"""
+    from textract_demo_spark.datapipe.dedup import release_cached
+    from textract_demo_spark.datapipe.similarity import (
+        assign_to_centroids, incremental_semantic_dedup, ivf_centroids)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    cents = ivf_centroids(corpus, n_centroids=8, iters=1).persist()
+    snap = (assign_to_centroids(corpus, cents)
+            .join(corpus.select("vec_id", "embedding"), "vec_id"))
+    out = incremental_semantic_dedup(batch, cents, snap, threshold=0.4)
+    p = plan(out)
+    release_cached(out)
+    cents.unpersist()
+    assert "SortMergeJoin" not in p, p[:3000]
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2, p[:3000]
+
+
 def test_semantic_dedup_pairs_stay_equi_join(spark):
     """Semantic dedup must generate candidate pairs via an EQUI join
     on the cluster id — never a corpus x corpus cartesian / broadcast

@@ -275,6 +275,61 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.85,
     return out
 
 
+def incremental_semantic_dedup(batch: DataFrame, cents: DataFrame,
+                               corpus_assigned: DataFrame,
+                               threshold: float = 0.85,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Incremental SemDeDup: an incoming batch of embeddings vs a
+    FROZEN semantic snapshot — the embedding twin of
+    ``dedup.incremental_dedup_pairs``. The snapshot is the pair of
+    artifacts a full ``semantic_dedup`` run leaves behind:
+
+    - ``cents`` (cid, cvec): the coarse quantizer (tiny, stored);
+    - ``corpus_assigned`` (id, cid, vec): the kept vectors with their
+      cluster ids (at scale: a table written bucketed by cid, so the
+      per-cid probe join co-locates).
+
+    Each batch vector is assigned to its nearest frozen centroid (a
+    narrow map — centroids broadcast), then scored ONLY against kept
+    corpus vectors and smaller-id batch vectors in the SAME cluster.
+    The corpus side never shuffles: the batch's (cid, vec) probe is
+    the broadcast side of the one corpus join. Output mirrors
+    ``incremental_dedup_pairs``: one row per near-dup relation —
+    ``(id, match_id, cos, match_src 'corpus'|'batch')``; a batch
+    vector with no row is semantically novel.
+
+    The batch assignment frame is PERSISTED (it feeds the corpus
+    probe and both within-batch sides); caller contract as in
+    ``dedup.lsh_candidate_pairs``: ``dedup.release_cached(result)``
+    after materializing."""
+    bass = (assign_to_centroids(batch, cents, id_col, vec_col)
+            .join(batch.select(id_col, vec_col), id_col)
+            .select(F.col(id_col), "cid", F.col(vec_col).alias("vb"))
+            .persist())
+    cos = F.expr(_COS.format(a="va", b="vb"))
+    vs_corpus = (corpus_assigned
+                 .select(F.col(id_col).alias("match_id"), "cid",
+                         F.col(vec_col).alias("va"))
+                 .join(F.broadcast(bass), "cid")
+                 .filter(F.col("match_id") != F.col(id_col))
+                 .withColumn("cos", cos)
+                 .filter(F.col("cos") >= threshold)
+                 .select(id_col, "match_id", "cos",
+                         F.lit("corpus").alias("match_src")))
+    wb = (bass.select(F.col(id_col).alias("match_id"), "cid",
+                      F.col("vb").alias("va"))
+          .join(F.broadcast(bass), "cid")
+          .filter(F.col("match_id") < F.col(id_col))
+          .withColumn("cos", cos)
+          .filter(F.col("cos") >= threshold)
+          .select(id_col, "match_id", "cos",
+                  F.lit("batch").alias("match_src")))
+    out = vs_corpus.unionByName(wb)
+    out._cached_banded = bass
+    return out
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_bits: int = 16, bands: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",

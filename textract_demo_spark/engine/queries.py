@@ -1756,13 +1756,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared oracle CTE prefix replaying the deterministic IVF
 # construction (md5-seeded centroids -> one grid-snapped Lloyd step ->
-# final assignment) — used by both ann_ivf_topk and semantic_dedup.
-_IVF_ASSIGN_CTES = """
-    WITH seeds AS (
+# final assignment) over a parameterizable corpus — used by
+# ann_ivf_topk and semantic_dedup (corpus = the whole embeddings
+# table) and semantic_dedup_incremental (corpus = the frozen subset
+# the snapshot was built from).
+_IVF_ASSIGN_TMPL = """
+    WITH corp AS (SELECT vec_id, embedding FROM {src}),
+    seeds AS (
       SELECT vec_id, embedding,
              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
                   AS BIGINT) AS h
-      FROM embeddings ORDER BY h LIMIT 16),
+      FROM corp ORDER BY h LIMIT 16),
     cents0 AS (
       SELECT row_number() OVER (ORDER BY h) - 1 AS cid, embedding AS cvec
       FROM seeds),
@@ -1772,13 +1776,13 @@ _IVF_ASSIGN_CTES = """
           row_number() OVER (PARTITION BY e.vec_id
             ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
                      c.cid DESC) AS rn
-        FROM embeddings e, cents0 c) WHERE rn = 1),
+        FROM corp e, cents0 c) WHERE rn = 1),
     dims AS (SELECT unnest(range(0, 64)) AS d),
     upd AS (
       SELECT a.cid, dm.d,
              CAST(round(avg(CAST(e.embedding[dm.d + 1] AS DOUBLE))
                         * 65536) / 65536 AS FLOAT) AS m
-      FROM assign0 a JOIN embeddings e USING (vec_id), dims dm
+      FROM assign0 a JOIN corp e USING (vec_id), dims dm
       GROUP BY a.cid, dm.d),
     cents1 AS (SELECT cid, list(m ORDER BY d) AS cvec FROM upd
                GROUP BY cid),
@@ -1788,7 +1792,8 @@ _IVF_ASSIGN_CTES = """
           row_number() OVER (PARTITION BY e.vec_id
             ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
                      c.cid DESC) AS rn
-        FROM embeddings e, cents1 c) WHERE rn = 1)"""
+        FROM corp e, cents1 c) WHERE rn = 1)"""
+_IVF_ASSIGN_CTES = _IVF_ASSIGN_TMPL.format(src="embeddings")
 
 
 @query(
@@ -2250,6 +2255,73 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return semdedup(emb, threshold=0.47, n_centroids=16, iters=1,
                     hash_mode="md5")
+
+
+@query(
+    "semantic_dedup_incremental",
+    oracle=_IVF_ASSIGN_TMPL.format(
+        src="(SELECT vec_id, embedding FROM embeddings"
+            " WHERE vec_id % 4 != 0)") + """,
+    batch AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % 4 = 0),
+    bassign AS (
+      SELECT vec_id, cid FROM (
+        SELECT b.vec_id, c.cid,
+          row_number() OVER (PARTITION BY b.vec_id
+            ORDER BY list_cosine_similarity(b.embedding, c.cvec) DESC,
+                     c.cid DESC) AS rn
+        FROM batch b, cents1 c) WHERE rn = 1),
+    rel AS (
+      SELECT b.vec_id, a.vec_id AS match_id,
+             list_cosine_similarity(be.embedding, ae.embedding) AS cos,
+             'corpus' AS match_src
+      FROM bassign b JOIN assign1 a USING (cid)
+           JOIN embeddings be ON be.vec_id = b.vec_id
+           JOIN embeddings ae ON ae.vec_id = a.vec_id
+      WHERE a.vec_id != b.vec_id
+      UNION ALL
+      SELECT b.vec_id, a.vec_id AS match_id,
+             list_cosine_similarity(be.embedding, ae.embedding) AS cos,
+             'batch' AS match_src
+      FROM bassign b JOIN bassign a USING (cid)
+           JOIN embeddings be ON be.vec_id = b.vec_id
+           JOIN embeddings ae ON ae.vec_id = a.vec_id
+      WHERE a.vec_id < b.vec_id)
+    SELECT vec_id, match_id,
+           CAST(floor(1000 * cos) AS BIGINT) AS cos_milli, match_src
+    FROM rel WHERE cos >= 0.47
+    """)
+def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (datapipe/similarity.py
+    incremental_semantic_dedup): 75% of embeddings form the frozen
+    snapshot — md5-seeded grid-snapped IVF centroids plus the kept
+    vectors with cluster ids; the other 25% arrive as a batch, are
+    assigned to the FROZEN centroids (narrow broadcast map) and
+    scored only against same-cluster kept vectors and smaller-id
+    batch vectors. The oracle replays the snapshot construction over
+    the corpus subset (the parameterized _IVF_ASSIGN_TMPL prefix),
+    the batch assignment and the pair set end to end; threshold 0.47
+    sits at the corpus's wide score gap (same as semantic_dedup)."""
+    from ..datapipe.similarity import (assign_to_centroids,
+                                       incremental_semantic_dedup,
+                                       ivf_centroids)
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    # the snapshot artifacts (at scale: stored tables — centroids
+    # tiny, assignments bucketed by cid). cents is persisted: it
+    # feeds both the snapshot assignment and the batch probe, and
+    # recomputing it re-runs the Lloyd groupBy over the corpus.
+    cents = ivf_centroids(corpus, n_centroids=16, iters=1,
+                          hash_mode="md5").persist()
+    snap = (assign_to_centroids(corpus, cents)
+            .join(corpus.select("vec_id", "embedding"), "vec_id"))
+    out = incremental_semantic_dedup(batch, cents, snap, threshold=0.47)
+    return out.select(
+        "vec_id", "match_id",
+        F.floor(F.lit(1000) * F.col("cos")).cast("long")
+         .alias("cos_milli"),
+        "match_src")
 
 
 @query(
