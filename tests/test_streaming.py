@@ -75,6 +75,50 @@ def test_stream_matches_batch_and_resumes(spark, dirs):
     assert len(out2) == len(exp_all)
 
 
+def test_streaming_incremental_dedup_matches_batch_and_resumes(spark, dirs):
+    """Each micro-batch probes the frozen index like one batch-mode
+    incremental_dedup_pairs call; the vs-corpus relation set over all
+    waves equals the batch form's, and a re-drain with the same
+    checkpoint and no new files reprocesses nothing (idempotent
+    per-batch-id output)."""
+    from textract_demo_spark.datapipe.dedup import (
+        build_minhash_index, incremental_dedup_pairs, release_cached)
+    from textract_demo_spark.streaming.stream import start_incremental_dedup
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = (docs.filter(F.col("doc_id") % 3 == 0)
+             .unionByName(
+                 corpus.filter(F.col("doc_id") % 5 == 1)
+                 .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                         F.concat("text", F.lit(" tail noise"))
+                          .alias("text"))))
+    idx = build_minhash_index(corpus, num_hashes=32).persist()
+    _write_chunk(batch.filter(F.col("doc_id") % 2 == 0), dirs["in"], "a")
+    _write_chunk(batch.filter(F.col("doc_id") % 2 == 1), dirs["in"], "b")
+
+    def drain():
+        stream = (spark.readStream.schema(batch.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(dirs["in"]))
+        q = start_incremental_dedup(stream, idx, dirs["out"],
+                                    dirs["ckpt"], num_hashes=32,
+                                    bands=16, threshold=0.5)
+        assert q.awaitTermination(300)
+        return spark.read.parquet(dirs["out"])
+    out1 = drain()
+    got = {(r["doc_id"], r["match_id"])
+           for r in out1.filter("match_src = 'corpus'").collect()}
+    ref = incremental_dedup_pairs(batch, idx, threshold=0.5,
+                                  num_hashes=32, bands=16)
+    want = {(r["doc_id"], r["match_id"])
+            for r in ref.filter("match_src = 'corpus'").collect()}
+    release_cached(ref)
+    assert got == want and len(want) > 0
+    n1 = out1.count()
+    assert drain().count() == n1  # no reprocessing on resume
+    idx.unpersist()
+
+
 def test_stream_drops_late_duplicate_turns(spark, dirs):
     dfs = fixtures_to_dfs(spark, n_convs=6)
     t = dfs["transcripts"]

@@ -1371,6 +1371,119 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match_src")
 
 
+@query(
+    "streaming_dedup_incremental",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extra trailing words appended'
+      FROM documents WHERE doc_id % 8 = 1
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 8 = 4),
+    cs AS (SELECT doc_id, list_distinct(list_transform(
+          range(0, greatest(len(toks) - 3, 0) + 1),
+          i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text),
+            '\s+', ' ', 'g')), ' ') AS toks FROM corpus)),
+    bs AS (SELECT doc_id, list_distinct(list_transform(
+          range(0, greatest(len(toks) - 3, 0) + 1),
+          i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text),
+            '\s+', ' ', 'g')), ' ') AS toks FROM batch)),
+    rel AS (
+      SELECT b.doc_id, c.doc_id AS match_id,
+             len(list_intersect(b.sh, c.sh))
+             / CAST(len(list_distinct(list_concat(b.sh, c.sh)))
+                    AS DOUBLE) AS jac,
+             'corpus' AS match_src
+      FROM bs b, cs c WHERE c.doc_id != b.doc_id
+      UNION ALL
+      SELECT b.doc_id, a.doc_id AS match_id,
+             len(list_intersect(b.sh, a.sh))
+             / CAST(len(list_distinct(list_concat(b.sh, a.sh)))
+                    AS DOUBLE) AS jac,
+             'batch' AS match_src
+      FROM bs b, bs a
+      WHERE a.doc_id < b.doc_id AND a.doc_id % 2 = b.doc_id % 2)
+    SELECT doc_id, match_id,
+           CAST(floor(1000000 * jac) AS BIGINT) AS jaccard_bp, match_src
+    FROM rel WHERE jac >= 0.5
+    """)
+def streaming_dedup_incremental(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Incremental snapshot dedup as a STREAM
+    (streaming/stream.py start_incremental_dedup): the same corpus /
+    batch construction as ``dedup_incremental``, but the batch
+    arrives as a file-source stream in two single-file waves split by
+    doc_id parity (maxFilesPerTrigger=1 => one micro-batch per wave),
+    drained with trigger(availableNow) through a foreachBatch probe
+    of the frozen signature index into idempotent per-batch-id
+    parquet. vs-corpus relations are wave-independent (every
+    micro-batch probes the same frozen index); within-batch relations
+    are scoped to a micro-batch, so the oracle adds the parity
+    condition — the only semantic difference between the batch and
+    streaming forms, stated exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..datapipe.dedup import build_minhash_index
+    from ..streaming.stream import start_incremental_dedup
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text")
+    batch = (docs.filter(F.col("doc_id") % 4 == 0)
+             .select("doc_id", "text")
+             .unionByName(
+                 docs.filter(F.col("doc_id") % 8 == 1)
+                 .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                         F.concat(F.col("text"),
+                                  F.lit(" extra trailing words appended"))
+                          .alias("text")))
+             .unionByName(
+                 docs.filter(F.col("doc_id") % 8 == 4)
+                 .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                         "text")))
+    idx = build_minhash_index(corpus, num_hashes=32).persist()
+    base = tempfile.mkdtemp(prefix="stream_dedup_q_")
+    try:
+        in_dir = os.path.join(base, "in")
+        os.makedirs(in_dir)
+        for name, parity in (("a", 0), ("b", 1)):
+            stage = os.path.join(base, f"stage_{name}")
+            (batch.filter(F.col("doc_id") % 2 == parity)
+             .coalesce(1).write.mode("overwrite").parquet(stage))
+            for i, f in enumerate(sorted(os.listdir(stage))):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(stage, f),
+                                os.path.join(in_dir,
+                                             f"{name}-{i}.parquet"))
+        stream = (spark.readStream.schema(batch.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        q = start_incremental_dedup(
+            stream, idx, os.path.join(base, "out"),
+            os.path.join(base, "ckpt"),
+            num_hashes=32, bands=16, threshold=0.5)
+        drained = q.awaitTermination(600)
+        if not drained:
+            q.stop()
+            raise RuntimeError("dedup stream drain did not finish in"
+                               " 600 s")
+        rows = (spark.read.parquet(os.path.join(base, "out"))
+                .select("doc_id", "match_id",
+                        F.floor(F.lit(1000000) * F.col("jaccard"))
+                         .cast("long").alias("jaccard_bp"),
+                        "match_src").collect())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        idx.unpersist()
+    return spark.createDataFrame(
+        rows, schema="doc_id long, match_id long, jaccard_bp long,"
+                     " match_src string")
+
+
 _SIMHASH_MD5_SQL = r"""
     t AS (SELECT doc_id,
         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),

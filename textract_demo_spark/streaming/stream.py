@@ -93,6 +93,42 @@ def start_to_parquet(results: DataFrame, out_dir: str,
     return writer.start()
 
 
+def start_incremental_dedup(docs_stream: DataFrame, index: DataFrame,
+                            out_dir: str, checkpoint_dir: str,
+                            n: int = 3, num_hashes: int = 64,
+                            bands: int = 16, threshold: float = 0.7,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            available_now: bool = True):
+    """Continuous-ingestion near-dup detection: each micro-batch of
+    arriving docs probes the FROZEN corpus signature index
+    (``datapipe.dedup.build_minhash_index`` — a stored per-snapshot
+    artifact; pass a parquet-backed or persisted frame) and writes its
+    verified near-dup relations to ``out_dir/batch_id=N``, overwritten
+    per batch id so a replayed micro-batch is idempotent
+    (effectively-once on top of foreachBatch's at-least-once).
+
+    foreachBatch because the probe needs a batch-side self-join and a
+    distinct — both restricted on streaming frames; semantically each
+    micro-batch is one batch-mode ``incremental_dedup_pairs`` call, so
+    the scale shape carries over unchanged: the index never shuffles
+    and each micro-batch costs O(batch). Within-batch pairs are scoped
+    to one micro-batch; cross-batch near-dups are caught against the
+    index only — the snapshot refresh cadence defines the dedup
+    horizon, which is the production contract of snapshot dedup."""
+    from ..datapipe.dedup import incremental_dedup_pairs, release_cached
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        out = incremental_dedup_pairs(batch_df, index, n, num_hashes,
+                                      bands, threshold, id_col, text_col)
+        (out.write.mode("overwrite")
+         .parquet(f"{out_dir}/batch_id={batch_id}"))
+        release_cached(out)
+
+    return start_foreach_batch(docs_stream, checkpoint_dir, _probe,
+                               available_now)
+
+
 def start_foreach_batch(results: DataFrame, checkpoint_dir: str,
                         batch_fn, available_now: bool = True):
     """foreachBatch sink for custom commit layers (e.g. IcebergLike
