@@ -2422,13 +2422,17 @@ def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") % 4 != 0)
     batch = emb.filter(F.col("vec_id") % 4 == 0)
     # the snapshot artifacts (at scale: stored tables — centroids
-    # tiny, assignments bucketed by cid). cents is persisted: it
-    # feeds both the snapshot assignment and the batch probe, and
-    # recomputing it re-runs the Lloyd groupBy over the corpus.
+    # tiny, assignments bucketed by cid). BOTH are persisted to stand
+    # in for their stored form: cents feeds the snapshot assignment
+    # and the batch probe, and an unpersisted snap re-runs the whole
+    # corpus assignment (crossJoin + max_by over interpreted cosines)
+    # on every execution — the per-snapshot cost, not the per-batch
+    # cost this query measures.
     cents = ivf_centroids(corpus, n_centroids=16, iters=1,
                           hash_mode="md5").persist()
     snap = (assign_to_centroids(corpus, cents)
-            .join(corpus.select("vec_id", "embedding"), "vec_id"))
+            .join(corpus.select("vec_id", "embedding"), "vec_id")
+            .persist())
     out = incremental_semantic_dedup(batch, cents, snap, threshold=0.47)
     return out.select(
         "vec_id", "match_id",
