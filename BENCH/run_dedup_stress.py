@@ -68,12 +68,17 @@ def main() -> None:
                             concat(wd, ' nz-', {tag}, '-', i), wd)),
               ' ')"""))
 
+    # repartition after synthesis: the sf0.1 table is one parquet
+    # file (1-2 scan tasks), while the object under test is the
+    # operator over a properly-partitioned table — at scale the
+    # corpus arrives as many files/partitions
+    width = int(args.cpus) * 4
     reps = spark.range(args.replicas).select(F.col("id").alias("rep"))
     corpus = with_noise(
         docs.crossJoin(reps)
         .select((F.col("doc_id") + F.col("rep") * 1000000)
                 .alias("doc_id"), "text", "rep"),
-        "rep").drop("rep")
+        "rep").drop("rep").repartition(width)
 
     t0 = time.time()
     idx_path = "/tmp/dedup_stress_index"
@@ -104,7 +109,8 @@ def main() -> None:
                              F.concat_ws(" ", "text",
                                          F.lit("tail noise words"))
                               .alias("text")))
-    batch = batch_fresh.unionByName(batch_planted).persist()
+    batch = (batch_fresh.unionByName(batch_planted)
+             .repartition(width).persist())
     n_batch = batch.count()
 
     t0 = time.time()
