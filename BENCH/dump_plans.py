@@ -103,6 +103,21 @@ def main() -> None:
         formatted(QUERIES["ann_cosine_topk"](spark, SF))))
 
     sections.append((
+        "Exact-substring span dedup (Lee et al. 2021, windowed keys)",
+        "No suffix array: every window-token run becomes a 120-bit"
+        " (h0, h1) key built INSIDE the row (the Generate emits bare"
+        " (id, pos, h0, h1) — token strings never enter an exchange)."
+        " Occurrence counting is a window count(*) over ONE exchange"
+        " on the key — the groupBy+self-join form would shuffle the"
+        " window frame twice. Only surviving (duplicated, i.e. rare)"
+        " windows reach the doc_id exchange, where both island window"
+        " functions and the span aggregate share the single sort; the"
+        " join back to docs recovers char offsets + text for matched"
+        " docs only, so offset math is O(doc_len) per matched doc"
+        " instead of a cumulative-sum column carried corpus-wide.",
+        formatted(QUERIES["dedup_substring_spans"](spark, SF))))
+
+    sections.append((
         "SimHash banded pair generation (Hamming near-dup scale path)",
         "Fingerprints are per-row (JVM token hashes + Arrow bit-pack);"
         " pairs come from an EQUI hash join on the exact (band, key)"

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_incremental",
+    "dedup_substring_spans",
     # similarity / ANN family
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "semantic_dedup", "semantic_dedup_incremental",

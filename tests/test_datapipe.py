@@ -732,3 +732,97 @@ def test_unigram_surprisal_frozen_vocab_reuse(spark):
     # meant for vocab from the same or larger corpus, so just assert
     # the OOV accounting here.
     assert row.n_tokens == 2 and row.oov_bp == 500000
+
+
+def test_duplicated_spans_merges_and_offsets(spark):
+    """Exact-substring spans: cross-doc run detected in both docs with
+    correct token/char offsets; a within-doc verbatim repeat merges
+    into one maximal span (contiguous coverage); short and unique docs
+    emit nothing."""
+    from textract_demo_spark.datapipe.dedup import duplicated_spans
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k1 l1 m1 n1"),
+         (2, "x1 y1 a b c d e f g h i j z1 w1"),
+         (3, "p q r s t u v w p q r s t u v w"),
+         (4, "short doc"),
+         (5, "all unique tokens here nothing repeats at all ever once")],
+        "doc_id INT, text STRING")
+    got = {r.doc_id: r for r in
+           duplicated_spans(docs, window=8).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].tok_start, got[1].tok_end,
+            got[1].char_start, got[1].char_end) == (0, 9, 0, 19)
+    assert got[1].span_text == "a b c d e f g h i j"
+    assert (got[2].tok_start, got[2].char_start) == (2, 6)
+    assert got[2].span_text == "a b c d e f g h i j"
+    # windows at pos 0 and 8 are identical; gap == window merges
+    assert (got[3].tok_start, got[3].tok_end, got[3].n_windows) \
+        == (0, 15, 2)
+
+
+def test_duplicated_spans_hash_modes_agree(spark, docs):
+    """xxhash64 (fast default) and md5 (oracle mode) must produce the
+    identical span set — the hash family only names windows."""
+    from textract_demo_spark.datapipe.dedup import duplicated_spans
+    fast = sorted(map(tuple, duplicated_spans(
+        docs, window=12, hash_mode="xxhash64").collect()))
+    slow = sorted(map(tuple, duplicated_spans(
+        docs, window=12, hash_mode="md5").collect()))
+    assert fast == slow and len(fast) > 0
+
+
+def test_duplicated_spans_disjoint_and_substring_valid(spark, docs):
+    """Per-doc spans are disjoint (island merge is maximal) and every
+    char range substrings the normalized text to exactly span_text."""
+    from textract_demo_spark.datapipe.dedup import (duplicated_spans,
+                                                    normalize_text)
+    sp = duplicated_spans(docs, window=12)
+    rows = sp.collect()
+    assert rows, "sf0.001 corpus should contain duplicated 12-grams"
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r.tok_start)
+        for a, b in zip(doc_rows, doc_rows[1:]):
+            assert a.tok_end < b.tok_start  # disjoint
+    checked = (sp.join(docs.select("doc_id",
+                                   normalize_text("text").alias("nt")),
+                       "doc_id")
+               .withColumn("cut", F.expr(
+                   "substring(nt, cast(char_start AS INT) + 1,"
+                   " cast(char_end - char_start AS INT))"))
+               .filter(F.col("cut") != F.col("span_text")).count())
+    assert checked == 0
+
+
+def test_duplicated_spans_max_count_drops_boilerplate(spark):
+    """max_count removes degenerate ultra-frequent windows (the
+    stop-shingle mitigation) while keeping rare duplicates."""
+    from textract_demo_spark.datapipe.dedup import duplicated_spans
+    boiler = "subscribe to our newsletter now"
+    rows = [(i, f"u{i} v{i} {boiler} w{i} z{i}") for i in range(10)]
+    rows += [(100, "rare pair one two three four five six seven"),
+             (101, "rare pair one two three four five six eight")]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    all_spans = duplicated_spans(docs, window=5, include_text=False)
+    capped = duplicated_spans(docs, window=5, max_count=5,
+                              include_text=False)
+    assert all_spans.filter("doc_id < 100").count() == 10
+    got = capped.collect()
+    assert all(r.doc_id >= 100 for r in got) and len(got) == 2
+
+
+def test_duplication_stats_covers_all_docs(spark, docs):
+    """Every doc appears exactly once; fractions are exact integer
+    milli and bounded; span-free and sub-window docs report zero."""
+    from textract_demo_spark.datapipe.dedup import duplication_stats
+    st = duplication_stats(docs, window=12)
+    n_docs = docs.count()
+    rows = st.collect()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0 <= r.dup_tokens <= r.n_tokens
+        assert r.dup_frac_milli == (1000 * r.dup_tokens) // r.n_tokens
+    assert any(r.dup_tokens > 0 for r in rows)
+    assert any(r.dup_tokens == 0 for r in rows)

@@ -291,3 +291,24 @@ def test_unigram_surprisal_broadcasts_vocab_single_doc_agg(spark):
     shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", p)
     doc_side = [s for s in shuffles if s.startswith("doc_id")]
     assert len(doc_side) == 1, shuffles
+
+
+def test_duplicated_spans_two_shuffles_narrow_exchange(spark):
+    """duplicated_spans: the window-count form shuffles the window
+    frame ONCE on the (h0, h1) key — not the groupBy+join form, which
+    pays that exchange twice — and the island merge shuffles only
+    surviving windows on doc_id. Shingle/token strings are projected
+    away before the first exchange (the Generate emits bare
+    (id, pos, h0, h1)); no cartesian anywhere; the join back to docs
+    for offsets/text is an equi join."""
+    import re
+    from textract_demo_spark.datapipe.dedup import duplicated_spans
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(duplicated_spans(docs, window=12))
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    assert len(shuffles) == 2, p[:3000]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    for args in shuffles:
+        assert "tokens" not in args and "text" not in args, args
+    assert p.count("Generate") == 1, p[:3000]

@@ -19,6 +19,10 @@ Scale notes (the design constraints at 10^12 docs):
   table is the small side by definition — hashed, deduped, broadcast;
   corpus rows only shuffle AFTER the inner probe join has dropped
   every non-matching shingle.
+- exact-substring spans (``duplicated_spans``, Lee et al. 2021): no
+  suffix array — sliding-window 120-bit keys built in-row, ONE
+  exchange on the key with a window count(*), island merge over
+  surviving (rare) windows only; the token strings never shuffle.
 - hash family is parameterized (``hash64``): xxhash64 (cheaper,
   seedable, JVM intrinsic) is the default; 'md5' mode derives the
   same-width value from md5 so DuckDB can recompute identical
@@ -34,7 +38,7 @@ DEFAULT_NUM_HASHES = 64
 DEFAULT_BANDS = 16  # 16 bands x 4 rows: ~0.5 Jaccard threshold knee
 
 
-def hash64(inner: str, mode: str = "xxhash64") -> str:
+def hash64(inner: str, mode: str = "xxhash64", variant: int = 0) -> str:
     """SQL fragment hashing the expression ``inner`` to a 64-bit-class
     integer.
 
@@ -46,11 +50,21 @@ def hash64(inner: str, mode: str = "xxhash64") -> str:
       ``('0x' || substr(md5(x), 1, 15))::BIGINT``, which is what makes
       the simhash / sign-LSH / IVF driver queries DuckDB-oracleable.
       ``inner`` must be a string-typed expression in this mode.
+
+    ``variant=1`` yields a second hash independent of variant 0 over
+    the same value, so callers needing a 120-bit-class key (e.g.
+    ``duplicated_spans``, where 10^12-window corpora make single-64-bit
+    birthday collisions real) can pair (h0, h1). xxhash64 mixes in an
+    extra literal argument; md5 takes hex chars 17-31 of the same
+    digest (DuckDB: ``('0x' || substr(md5(x), 17, 15))::BIGINT``).
     """
     if mode == "xxhash64":
-        return f"xxhash64({inner})"
+        return (f"xxhash64({inner})" if variant == 0
+                else f"xxhash64({inner}, {variant})")
     if mode == "md5":
-        return f"cast(conv(substr(md5({inner}), 1, 15), 16, 10) AS BIGINT)"
+        off = 1 if variant == 0 else 17
+        return (f"cast(conv(substr(md5({inner}), {off}, 15), 16, 10)"
+                " AS BIGINT)")
     raise ValueError(f"unknown hash mode: {mode!r}")
 
 
@@ -646,3 +660,140 @@ def contamination_overlap(corpus: DataFrame, eval_docs: DataFrame,
                      .alias("n_overlap"))
             .withColumn("contaminated",
                         F.col("n_overlap") >= min_overlap))
+
+
+def duplicated_spans(docs: DataFrame, window: int = 20,
+                     min_count: int = 2, max_count: int | None = None,
+                     hash_mode: str = "xxhash64",
+                     id_col: str = "doc_id", text_col: str = "text",
+                     include_text: bool = True) -> DataFrame:
+    """Exact-substring span dedup (the token-level complement of the
+    whole-doc operators above, after Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal
+    run of tokens that appears verbatim >= ``min_count`` times across
+    the corpus at ``window``-token granularity, per document, with
+    token and character offsets into the normalized text.
+
+    Semantics: a ``window``-token sliding window is duplicated when
+    its exact token sequence occurs >= min_count times corpus-wide
+    (including repeats within one doc — same convention as the suffix
+    -array original, where any repeated 50-token span counts no matter
+    where the other copy lives). Per doc, duplicated windows whose
+    coverage is contiguous (start gap <= window) merge into one
+    maximal span, so output spans are disjoint. ``max_count`` drops
+    degenerate ultra-frequent windows (boilerplate that would mark
+    entire corpora as duplicated) *after* counting.
+
+    Spark-first plan — no suffix array, three bounded shuffles:
+      1. narrow per-row shingling: ``transform(sequence(...))`` builds
+         the (h0, h1) 120-bit window keys inside codegen'd SQL, then
+         ``posexplode`` emits (id, pos, h0, h1) — 20 bytes/window, the
+         shingle STRING never leaves the row it was built in;
+      2. one exchange on (h0, h1) with a window ``count(*)`` — a
+         single pass replacing the groupBy+self-join form, which
+         would shuffle the window frame twice. Hot keys land on one
+         partition; at 10^12 windows a pre-sampled stop-shingle
+         blacklist (or ``max_count``) is the standard mitigation;
+      3. survivors (rare by definition) exchange on id for the
+         gaps-and-islands merge, then one join back to ``docs``
+         (inner — only docs WITH spans pay it) recovers char offsets
+         and span text from token coordinates, so offsets cost
+         O(doc_len) per *matched* doc instead of a cumulative-sum
+         column carried by every window corpus-wide.
+
+    The 120-bit key (``hash64`` variant pair) stands in for string
+    verification: at 10^12 windows the 64-bit birthday bound is
+    saturated but 2^120 is not, which is the same exactness-by-hash
+    contract ``build_minhash_index`` documents. md5 ``hash_mode``
+    makes every key DuckDB-replayable for the oracle.
+
+    Output: (id, tok_start, tok_end, char_start, char_end, n_windows
+    [, span_text]) — token bounds inclusive, char bounds
+    [start, end) into the normalized (lowercased, whitespace-
+    collapsed) text; ``include_text=False`` skips the join back and
+    returns token coordinates only.
+    """
+    w = int(window)
+    toks = docs.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ")
+        .alias("tokens"))
+    sh = f"array_join(slice(tokens, i + 1, {w}), ' ')"
+    wins = toks.select(
+        F.col(id_col),
+        F.posexplode(F.expr(f"""
+            CASE WHEN size(tokens) >= {w} THEN
+              transform(sequence(0, size(tokens) - {w}), i ->
+                struct({hash64(sh, hash_mode, 0)} AS h0,
+                       {hash64(sh, hash_mode, 1)} AS h1))
+            ELSE array() END""")).alias("pos", "hk"))
+    from pyspark.sql import Window as W
+    occ = wins.withColumn(
+        "n_occ", F.count("*").over(W.partitionBy("hk.h0", "hk.h1")))
+    dup = occ.filter(F.col("n_occ") >= min_count)
+    if max_count is not None:
+        dup = dup.filter(F.col("n_occ") <= max_count)
+    by_doc = W.partitionBy(id_col).orderBy("pos")
+    isl = (dup
+           .withColumn("brk", F.when(
+               F.col("pos") - F.lag("pos").over(by_doc) > w, 1)
+               .otherwise(0))
+           .withColumn("island", F.sum("brk").over(
+               by_doc.rowsBetween(W.unboundedPreceding, 0))))
+    spans = (isl.groupBy(id_col, "island")
+             .agg(F.min("pos").cast("long").alias("tok_start"),
+                  (F.max("pos") + w - 1).cast("long").alias("tok_end"),
+                  F.count("*").cast("long").alias("n_windows"))
+             .drop("island"))
+    if not include_text:
+        return spans
+    joined = spans.join(toks, id_col)
+    span_text = F.expr(
+        "array_join(slice(tokens, cast(tok_start AS INT) + 1,"
+        " cast(tok_end - tok_start AS INT) + 1), ' ')")
+    char_start = F.when(F.col("tok_start") == 0, F.lit(0).cast("long")) \
+        .otherwise(F.expr(
+            "length(array_join(slice(tokens, 1,"
+            " cast(tok_start AS INT)), ' ')) + 1").cast("long"))
+    return (joined
+            .withColumn("span_text", span_text)
+            .withColumn("char_start", char_start)
+            .withColumn("char_end",
+                        (F.col("char_start")
+                         + F.length("span_text")).cast("long"))
+            .select(id_col, "tok_start", "tok_end", "char_start",
+                    "char_end", "n_windows", "span_text"))
+
+
+def duplication_stats(docs: DataFrame, window: int = 20,
+                      min_count: int = 2,
+                      max_count: int | None = None,
+                      hash_mode: str = "xxhash64",
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document duplicated-token coverage from
+    ``duplicated_spans`` — the curation signal ("drop or trim docs
+    that are mostly duplicated text") a training pipeline thresholds
+    on. Spans are disjoint by construction, so covered tokens =
+    sum of span lengths; the fraction is exact integer milli
+    (``div`` — no float), and every doc appears (0 for span-free
+    docs, including docs shorter than one window).
+    """
+    spans = duplicated_spans(docs, window, min_count, max_count,
+                             hash_mode, id_col, text_col,
+                             include_text=False)
+    cov = (spans.groupBy(id_col)
+           .agg(F.sum(F.col("tok_end") - F.col("tok_start") + 1)
+                .alias("dup_tokens"),
+                F.count("*").cast("long").alias("n_spans")))
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(normalize_text(text_col), " "))
+        .cast("long").alias("n_tokens"))
+    return (base.join(cov, id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                     .alias("dup_tokens"),
+                    F.coalesce("n_spans", F.lit(0)).cast("long")
+                     .alias("n_spans"))
+            .withColumn("dup_frac_milli", F.expr(
+                "(1000 * dup_tokens) div n_tokens")))

@@ -1650,6 +1650,139 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_substring_spans",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             'planted prefix ' || doc_id || ' ' ||
+             array_to_string((string_split(lower(regexp_replace(
+               trim(text), '\s+', ' ', 'g')), ' '))[3:38], ' ')
+             || ' planted suffix ' || doc_id
+      FROM documents
+      WHERE doc_id % 5 = 0
+        AND len(string_split(lower(regexp_replace(trim(text), '\s+',
+              ' ', 'g')), ' ')) >= 38),
+    t AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text),
+            '\s+', ' ', 'g')), ' ') AS toks FROM corpus),
+    ti AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 16 + 1)) AS i
+           FROM t WHERE len(toks) >= 16),
+    w AS (SELECT doc_id, i AS pos,
+            ('0x' || substr(md5(array_to_string(toks[i+1:i+16], ' ')),
+                            1, 15))::BIGINT AS h0,
+            ('0x' || substr(md5(array_to_string(toks[i+1:i+16], ' ')),
+                            17, 15))::BIGINT AS h1
+          FROM ti),
+    d AS (SELECT doc_id, pos FROM
+            (SELECT doc_id, pos,
+                    count(*) OVER (PARTITION BY h0, h1) AS n_occ FROM w)
+          WHERE n_occ >= 2),
+    fl AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) > 16
+                  THEN 1 ELSE 0 END AS brk FROM d),
+    isl AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM fl),
+    sp AS (SELECT doc_id, min(pos)::BIGINT AS tok_start,
+             (max(pos) + 15)::BIGINT AS tok_end,
+             count(*)::BIGINT AS n_windows
+           FROM isl GROUP BY doc_id, island)
+    SELECT sp.doc_id, tok_start, tok_end,
+           (CASE WHEN tok_start = 0 THEN 0
+                 ELSE length(array_to_string(toks[1:tok_start], ' ')) + 1
+            END)::BIGINT AS char_start,
+           (CASE WHEN tok_start = 0 THEN 0
+                 ELSE length(array_to_string(toks[1:tok_start], ' ')) + 1
+            END
+            + length(array_to_string(toks[tok_start+1:tok_end+1], ' ')))
+           ::BIGINT AS char_end,
+           n_windows,
+           array_to_string(toks[tok_start+1:tok_end+1], ' ') AS span_text
+    FROM sp JOIN t USING (doc_id)
+    """)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (datapipe/dedup.py duplicated_spans,
+    after Lee et al. 2021): maximal duplicated 16-token runs per doc
+    with token + char offsets into the normalized text. The corpus is
+    ``documents`` plus planted cross-doc spans (doc k+1000000 embeds
+    tokens 3..38 of doc k between unique sentinels, k % 5 == 0 with
+    >= 38 tokens), and the generator's natural chunk reuse contributes
+    real duplicated runs too. md5 hash mode so DuckDB replays the
+    identical (h0, h1) window keys; the oracle re-derives windows,
+    occurrence counts, island merge and offsets in pure SQL — every
+    span, boundary and char offset must agree."""
+    from ..datapipe.dedup import duplicated_spans, normalize_text
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(normalize_text("text"), " ")
+    planted = (docs
+               .withColumn("_toks", toks)
+               .filter((F.col("doc_id") % 5 == 0)
+                       & (F.size("_toks") >= 38))
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat(F.lit("planted prefix "),
+                                F.col("doc_id").cast("string"),
+                                F.lit(" "),
+                                F.array_join(F.slice("_toks", 3, 36),
+                                             " "),
+                                F.lit(" planted suffix "),
+                                F.col("doc_id").cast("string"))
+                        .alias("text")))
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return duplicated_spans(corpus, window=16, hash_mode="md5")
+
+
+@query(
+    "dedup_substring_stats",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split(lower(regexp_replace(
+            trim(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+    ti AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 12 + 1)) AS i
+           FROM t WHERE len(toks) >= 12),
+    w AS (SELECT doc_id, i AS pos,
+            ('0x' || substr(md5(array_to_string(toks[i+1:i+12], ' ')),
+                            1, 15))::BIGINT AS h0,
+            ('0x' || substr(md5(array_to_string(toks[i+1:i+12], ' ')),
+                            17, 15))::BIGINT AS h1
+          FROM ti),
+    d AS (SELECT doc_id, pos FROM
+            (SELECT doc_id, pos,
+                    count(*) OVER (PARTITION BY h0, h1) AS n_occ FROM w)
+          WHERE n_occ >= 2),
+    fl AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) > 12
+                  THEN 1 ELSE 0 END AS brk FROM d),
+    isl AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM fl),
+    sp AS (SELECT doc_id, min(pos) AS tok_start, max(pos) + 11 AS tok_end
+           FROM isl GROUP BY doc_id, island),
+    cov AS (SELECT doc_id,
+              sum(tok_end - tok_start + 1)::BIGINT AS dup_tokens,
+              count(*)::BIGINT AS n_spans
+            FROM sp GROUP BY doc_id)
+    SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+           coalesce(dup_tokens, 0)::BIGINT AS dup_tokens,
+           coalesce(n_spans, 0)::BIGINT AS n_spans,
+           ((1000 * coalesce(dup_tokens, 0)) // len(t.toks))::BIGINT
+             AS dup_frac_milli
+    FROM t LEFT JOIN cov USING (doc_id)
+    """)
+def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-token coverage (datapipe/dedup.py
+    duplication_stats) at 12-token granularity over the raw
+    ``documents`` table — the generator's natural chunk reuse makes
+    coverage nonzero without planting. Exact integer milli fraction
+    (``div``) so the value hash is engine-stable; every doc appears,
+    zero-covered docs included."""
+    from ..datapipe.dedup import duplication_stats
+    docs = _t(spark, sf_dir, "documents")
+    return duplication_stats(docs, window=12, hash_mode="md5")
+
+
+@query(
     "embedding_cosine_neardup",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
