@@ -21,6 +21,11 @@ Stages (each stage's shuffle budget is the design constraint at
                      all-pairs LSH per batch would be O(corpus)
 2. near-dup dedup    MinHash+LSH band join + connected components;
                      keeps each cluster's min-id representative
+2b. substring cap    corpus-wide duplicated k-token coverage per doc
+                     (duplicated_spans / Lee et al.): docs that are
+                     mostly text duplicated elsewhere are dropped —
+                     one shuffle on the window key, then only
+                     duplicated windows shuffle on doc_id
 3. quality filter    narrow per-row scores (quality, repetition,
                      lang-id) plus the unigram-surprisal cap (one
                      broadcast vocab + one per-doc aggregate)
@@ -58,6 +63,13 @@ def main() -> None:
     ap.add_argument("--max-surprisal-milli", type=int, default=30000,
                     help="drop docs whose mean unigram surprisal"
                          " exceeds this (x1000 bits): rare-token noise")
+    ap.add_argument("--max-dup-frac-milli", type=int, default=900,
+                    help="drop docs whose corpus-wide duplicated-span"
+                         " token coverage exceeds this (x1000);"
+                         " >= 1000 disables the stage")
+    ap.add_argument("--dup-span-window", type=int, default=20,
+                    help="token window for exact-substring duplicate"
+                         " detection (Lee et al. granularity)")
     ap.add_argument("--jaccard", type=float, default=0.7)
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--pack-shards", type=int, default=64)
@@ -83,6 +95,7 @@ def main() -> None:
 
     from textract_demo_spark.datapipe.dedup import (build_minhash_index,
                                                     contamination_overlap,
+                                                    duplication_stats,
                                                     incremental_dedup_pairs,
                                                     minhash_dedup_pairs,
                                                     neardup_clusters,
@@ -134,6 +147,19 @@ def main() -> None:
     stats["after_neardup_dedup"] = d.count()
     release_cached(pairs)
     release_cached(clusters)
+
+    # 2b. substring-duplication cap: whole-doc dedup above misses docs
+    # assembled from text duplicated across MANY distinct sources
+    # (never pairwise-similar to any one of them); duplicated-span
+    # coverage (Lee et al. granularity) catches exactly those
+    if args.max_dup_frac_milli < 1000:
+        heavy = (duplication_stats(d.select("doc_id", "text"),
+                                   window=args.dup_span_window)
+                 .filter(F.col("dup_frac_milli")
+                         > args.max_dup_frac_milli)
+                 .select("doc_id"))
+        d = d.join(heavy, "doc_id", "left_anti")
+        stats["after_substring_cap"] = d.count()
 
     # 3. quality gate: narrow per-row scores, plus the unigram-LM
     # surprisal cap (one broadcast vocab + one per-doc aggregate —

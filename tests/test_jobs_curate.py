@@ -94,3 +94,59 @@ def test_run_curate_incremental_snapshot(spark, tmp_path, capsys,
     out2 = spark.read.parquet(str(tmp_path / "out2" / "data"))
     assert out2.filter("doc_id >= 5000").count() == 0
     assert out2.filter("doc_id < 300").count() > 0
+
+
+def test_run_curate_substring_cap_drops_frankendoc(spark, tmp_path,
+                                                   capsys, monkeypatch):
+    """Stage 2b catches what whole-doc dedup cannot: a doc assembled
+    from 25-token chunks of six different donors is never pairwise-
+    similar to any ONE of them (MinHash Jaccard ~1/6), but its
+    duplicated-span coverage is total — the substring cap drops it,
+    while the donors (only ~half their text duplicated) survive.
+    With the stage disabled (>= 1000) the frankendoc flows through."""
+    from pyspark.sql import functions as F
+
+    raw = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+           .filter("doc_id < 120"))
+    donors = [r.text for r in
+              raw.filter(F.size(F.split("text", " ")) >= 25)
+              .orderBy("doc_id").limit(6).collect()]
+    assert len(donors) == 6
+    frank = " ".join(" ".join(t.split()[:25]) for t in donors)
+    extra = spark.createDataFrame(
+        [(9999, frank, "en", "frank", len(frank))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING,"
+        " n_chars BIGINT")
+    in_path = str(tmp_path / "in")
+    raw.unionByName(extra).write.parquet(in_path)
+
+    import importlib
+    import jobs.run_curate as rc
+    importlib.reload(rc)
+
+    def run(max_milli: int, out: str) -> dict:
+        monkeypatch.setattr(sys, "argv", [
+            "run_curate.py", "--input", in_path,
+            "--out", str(tmp_path / out),
+            "--max-dup-frac-milli", str(max_milli),
+            "--pack-budget", "256", "--pack-shards", "4",
+        ])
+        rc.main()
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        return json.loads(line)["stats"]
+
+    st = run(900, "capped")
+    assert st["after_substring_cap"] < st["after_neardup_dedup"]
+    out = spark.read.parquet(str(tmp_path / "capped" / "data"))
+    assert out.filter("doc_id = 9999").count() == 0
+    # the donors are only partially duplicated => they survive 2b
+    donor_ids = [r.doc_id for r in
+                 raw.filter(F.size(F.split("text", " ")) >= 25)
+                 .orderBy("doc_id").limit(6).collect()]
+    surviving = out.filter(F.col("doc_id").isin(donor_ids)).count()
+    assert surviving >= 4  # later stages may drop some on quality
+
+    st2 = run(1000, "uncapped")
+    assert "after_substring_cap" not in st2
+    out2 = spark.read.parquet(str(tmp_path / "uncapped" / "data"))
+    assert out2.filter("doc_id = 9999").count() == 1
