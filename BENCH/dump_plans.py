@@ -181,6 +181,22 @@ def main() -> None:
         formatted(with_hash_sample(
             with_split_assignment(docs.select("doc_id")), 0.1))))
 
+    from textract_demo_spark.datapipe.splits import shuffle_shards
+    sections.append((
+        "Deterministic corpus shuffle + shard layout",
+        "The global pre-training shuffle without a global sort: shard"
+        " placement and in-shard order come from two independent"
+        " keyed hashes, so the ONLY exchange is hashpartitioning on"
+        " shard and both window functions (position + exclusive token"
+        " prefix sum) share one per-shard local sort. The naive"
+        " row_number() OVER (ORDER BY hash) would show here as"
+        " Exchange SinglePartition — the plan gate asserts it never"
+        " appears.",
+        formatted(shuffle_shards(
+            docs.select("doc_id", F.size(F.split("text", " "))
+                        .alias("n_tokens")),
+            n_shards=16, tok_col="n_tokens"))))
+
     sections.append((
         "Eval-set decontamination (hashed-shingle broadcast probe)",
         "The eval shingle set (small by definition) is hashed, deduped"

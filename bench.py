@@ -48,7 +48,8 @@ BENCH_QUERIES = [
     "text_token_stats", "text_quality_score",
     "lm_unigram_surprisal",
     # dataset curation family (splits / decontamination / repetition)
-    "split_assign", "decontam_ngram_overlap", "text_repetition_stats",
+    "split_assign", "shard_shuffle",
+    "decontam_ngram_overlap", "text_repetition_stats",
     "mix_resample", "pii_detect_redact", "pack_sequences",
     "token_topk_by_source", "pack_fill_stats",
     # multimodal plumbing

@@ -826,3 +826,51 @@ def test_duplication_stats_covers_all_docs(spark, docs):
         assert r.dup_frac_milli == (1000 * r.dup_tokens) // r.n_tokens
     assert any(r.dup_tokens > 0 for r in rows)
     assert any(r.dup_tokens == 0 for r in rows)
+
+
+def test_shuffle_shards_permutation_and_determinism(spark, docs):
+    """Shard layout is a permutation (every doc exactly once,
+    contiguous 0..n_i-1 positions per shard), deterministic across
+    runs AND input partitionings, and uncorrelated with doc_id order
+    (the layout is a real shuffle, not identity)."""
+    from textract_demo_spark.datapipe.splits import shuffle_shards
+    a = shuffle_shards(docs, n_shards=8, salt="t1").collect()
+    b = shuffle_shards(docs.repartition(7), n_shards=8,
+                       salt="t1").collect()
+    key = lambda rows: sorted((r.doc_id, r.shard, r.shard_pos)
+                              for r in rows)
+    assert key(a) == key(b)
+    assert len({r.doc_id for r in a}) == len(a) == docs.count()
+    by_shard: dict = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # not identity order: within some shard, ascending pos must not
+    # mean ascending doc_id
+    shuffled = any(
+        [r.doc_id for r in sorted(rows, key=lambda r: r.shard_pos)]
+        != sorted(r.doc_id for r in rows)
+        for rows in [[x for x in a if x.shard == s] for s in by_shard]
+        if len(rows) > 3)
+    assert shuffled
+
+
+def test_shuffle_shards_token_offsets_are_prefix_sums(spark, docs):
+    """tok_offset is the exclusive in-shard prefix sum of tok_col in
+    (shard_pos) order — the head-to-tail layout offsets."""
+    from pyspark.sql import functions as F
+    from textract_demo_spark.datapipe.splits import shuffle_shards
+    d = docs.withColumn("n_tokens",
+                        F.size(F.split("text", " ")).cast("long"))
+    rows = shuffle_shards(d, n_shards=4, salt="t2",
+                          tok_col="n_tokens").collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for sr in by_shard.values():
+        sr.sort(key=lambda r: r.shard_pos)
+        acc = 0
+        for r in sr:
+            assert r.tok_offset == acc
+            acc += r.n_tokens

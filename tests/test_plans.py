@@ -312,3 +312,21 @@ def test_duplicated_spans_two_shuffles_narrow_exchange(spark):
     for args in shuffles:
         assert "tokens" not in args and "text" not in args, args
     assert p.count("Generate") == 1, p[:3000]
+
+
+def test_shuffle_shards_single_exchange_no_global_sort(spark):
+    """shuffle_shards: ONE exchange (hashpartitioning on shard), both
+    window functions share the in-shard sort, and nothing funnels
+    through a single partition — the global-row_number anti-pattern
+    would show as Exchange SinglePartition."""
+    import re
+    from pyspark.sql import functions as F
+    from textract_demo_spark.datapipe.splits import shuffle_shards
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .withColumn("n_tokens", F.size(F.split("text", " ")))
+    p = plan(shuffle_shards(docs, n_shards=16, tok_col="n_tokens"))
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    assert len(shuffles) == 1, p[:3000]
+    assert "shard" in shuffles[0]
+    assert "SinglePartition" not in p, p[:3000]
+    assert p.count("Sort ") <= 1 or p.count("Window") == 1, p[:3000]

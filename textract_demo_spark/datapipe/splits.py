@@ -21,6 +21,9 @@ Scale notes (the design constraints at 10^12 docs):
 - the hash family is parameterized like the dedup family
   (``dedup.hash64``): xxhash64 default, ``md5`` mode for cross-engine
   (DuckDB-oracleable) determinism.
+- corpus shuffle (``shuffle_shards``): the global pre-training shuffle
+  is ONE exchange on the shard key + per-shard local sorts — never a
+  global row_number, which funnels the corpus through one partition.
 """
 
 from __future__ import annotations
@@ -128,3 +131,51 @@ def with_hash_sample(docs: DataFrame, fraction: float,
     return docs.withColumn(
         flag_col,
         F.expr(f"{_bucket_expr(id_col, salt, hash_mode)} < {thr}"))
+
+
+def shuffle_shards(docs: DataFrame, n_shards: int = 1024,
+                   salt: str = "sh1", id_col: str = "doc_id",
+                   tok_col: str | None = None,
+                   hash_mode: str = "xxhash64") -> DataFrame:
+    """Deterministic corpus-wide shuffle + shard layout — the "global
+    shuffle before training" step, WITHOUT a global sort: reading the
+    output (shard ASC, shard_pos ASC) yields a pseudo-random
+    permutation of the corpus that is a pure function of (salt, id).
+
+    Two independent keyed hashes decouple placement from order: shard
+    = hash_s(id) mod n_shards; within-shard position = rank by
+    (hash_o(id), id). A naive global ``row_number() OVER (ORDER BY
+    hash)`` funnels 10^12 rows through ONE partition; here the only
+    exchange is hashpartitioning on ``shard`` and each shard sorts
+    locally (ExternalSort spills if a shard outgrows memory), so the
+    plan scales with shard count, not corpus size. Same determinism
+    contract as the split/sample family: re-runs, engines and input
+    partitionings all agree, and growing the corpus never moves an
+    existing doc to another shard (its position only shifts by
+    insertions hashing into the same shard).
+
+    With ``tok_col``, ``tok_offset`` is the exclusive prefix sum of
+    tokens within the shard — the byte/token offset a shard writer
+    needs to lay docs head-to-tail — computed by the same in-shard
+    sort (no extra shuffle).
+    """
+    from pyspark.sql import Window as W
+    h_s = hash64(f"concat('{salt}', '-s-', cast({id_col} AS STRING))",
+                 hash_mode)
+    h_o = hash64(f"concat('{salt}', '-o-', cast({id_col} AS STRING))",
+                 hash_mode)
+    out = (docs
+           .withColumn("shard",
+                       F.expr(f"pmod({h_s}, {int(n_shards)})")
+                        .cast("long"))
+           .withColumn("_ho", F.expr(h_o)))
+    in_shard = W.partitionBy("shard").orderBy("_ho", id_col)
+    out = out.withColumn(
+        "shard_pos", (F.row_number().over(in_shard) - 1).cast("long"))
+    if tok_col is not None:
+        out = out.withColumn(
+            "tok_offset",
+            F.coalesce(F.sum(tok_col).over(
+                in_shard.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0)).cast("long"))
+    return out.drop("_ho")

@@ -2204,6 +2204,44 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split_bucket", "split", "sampled")
 
 
+@query(
+    "shard_shuffle",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+        len(string_split(lower(regexp_replace(trim(text), '\s+', ' ',
+            'g')), ' '))::BIGINT AS n_tokens,
+        ('0x' || substr(md5('sh1-s-' || CAST(doc_id AS VARCHAR)), 1, 15))
+          ::BIGINT % 8 AS shard,
+        ('0x' || substr(md5('sh1-o-' || CAST(doc_id AS VARCHAR)), 1, 15))
+          ::BIGINT AS ho
+      FROM documents)
+    SELECT doc_id, n_tokens, shard,
+           (row_number() OVER (PARTITION BY shard ORDER BY ho, doc_id)
+            - 1)::BIGINT AS shard_pos,
+           coalesce(sum(n_tokens) OVER (PARTITION BY shard
+              ORDER BY ho, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+              1 PRECEDING), 0)::BIGINT AS tok_offset
+    FROM t
+    """)
+def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + shard layout (datapipe/splits.py
+    shuffle_shards): every doc gets (shard, shard_pos, tok_offset) as
+    a pure function of (salt, doc_id) — reading shard ASC, pos ASC is
+    a pseudo-random permutation, with the in-shard token prefix sums a
+    shard writer lays docs out by. One exchange on shard, local sorts,
+    NO global ordering. md5 hash mode so DuckDB replays placement,
+    order and offsets exactly."""
+    from ..datapipe.dedup import normalize_text
+    from ..datapipe.splits import shuffle_shards
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens",
+        F.size(F.split(normalize_text("text"), " ")).cast("long"))
+    out = shuffle_shards(docs, n_shards=8, salt="sh1",
+                         tok_col="n_tokens", hash_mode="md5")
+    return out.select("doc_id", "n_tokens", "shard", "shard_pos",
+                      "tok_offset")
+
+
 _MIX_TARGETS = {f"src{i}": (3 if i % 2 else 1) for i in range(20)}
 _MIX_W_SQL = ("CASE " + " ".join(
     f"WHEN source = '{s}' THEN {w}" for s, w in _MIX_TARGETS.items())
