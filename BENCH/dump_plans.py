@@ -118,6 +118,31 @@ def main() -> None:
         formatted(QUERIES["dedup_substring_spans"](spark, SF))))
 
     sections.append((
+        "Exact-substring REMOVE step (keep-first corpus rewrite)",
+        "The remove half of Lee et al. dedup: occurrence count(*) AND"
+        " the global-first row_number run over ONE (h0, h1) exchange"
+        " — the key columns are hoisted out of the hk struct because"
+        " windowing on struct fields makes each window spec project"
+        " its own _w0/_w1 attributes and buy its own Exchange"
+        " (observed before the fix; plan-gated now). Removable"
+        " survivors (count >= min AND rank > 1) exchange once on"
+        " doc_id for the island merge; the excision join back to the"
+        " tokenized docs is a broadcast equi join paid only by docs"
+        " with removals, and pass-through docs take the normalized"
+        " text without touching the rebuild path.",
+        formatted(QUERIES["dedup_substring_rewrite"](spark, SF))))
+
+    sections.append((
+        "Gopher named quality rules (zero-shuffle map)",
+        "Rule-per-column quality gate: every statistic is a narrow"
+        " JVM expression over the pruned (doc_id, text) scan —"
+        " integer cross-multiplied comparisons (1000*x <= r*n), no"
+        " division, no UDF, no exchange anywhere; the operator is"
+        " partition-count-preserving so it composes into any pipeline"
+        " stage for free.",
+        formatted(QUERIES["gopher_quality_rules"](spark, SF))))
+
+    sections.append((
         "SimHash banded pair generation (Hamming near-dup scale path)",
         "Fingerprints are per-row (JVM token hashes + Arrow bit-pack);"
         " pairs come from an EQUI hash join on the exact (band, key)"

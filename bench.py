@@ -40,13 +40,13 @@ BENCH_QUERIES = [
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_incremental",
-    "dedup_substring_spans",
+    "dedup_substring_spans", "dedup_substring_rewrite",
     # similarity / ANN family
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "semantic_dedup", "semantic_dedup_incremental",
     # text analysis family
     "text_token_stats", "text_quality_score",
-    "lm_unigram_surprisal",
+    "gopher_quality_rules", "lm_unigram_surprisal",
     # dataset curation family (splits / decontamination / repetition)
     "split_assign", "shard_shuffle",
     "decontam_ngram_overlap", "text_repetition_stats",

@@ -874,3 +874,93 @@ def test_shuffle_shards_token_offsets_are_prefix_sums(spark, docs):
         for r in sr:
             assert r.tok_offset == acc
             acc += r.n_tokens
+
+
+def test_remove_duplicated_spans_keep_first(spark):
+    """Keep-first rewrite: the globally-first occurrence (min (id,
+    pos)) of a duplicated run survives untouched; every later
+    occurrence — cross-doc or within-doc — is excised; pass-through
+    docs keep their normalized text."""
+    from textract_demo_spark.datapipe.dedup import remove_duplicated_spans
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k1 l1 m1 n1"),
+         (2, "x1 y1 a b c d e f g h i j z1 w1"),
+         (3, "p q r s t u v w p q r s t u v w"),
+         (4, "short doc")],
+        "doc_id INT, text STRING")
+    got = {r.doc_id: r for r in
+           remove_duplicated_spans(docs, window=8).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # doc 1 holds the first occurrence -> unchanged
+    assert got[1].clean_text == "a b c d e f g h i j k1 l1 m1 n1"
+    assert got[1].n_removed_tokens == 0 and got[1].n_spans_removed == 0
+    # doc 2's copy of the run (tokens 2..11) is excised
+    assert got[2].clean_text == "x1 y1 z1 w1"
+    assert (got[2].n_removed_tokens, got[2].n_spans_removed) == (10, 1)
+    assert got[2].n_tokens == 14
+    # within-doc verbatim repeat: second half removed
+    assert got[3].clean_text == "p q r s t u v w"
+    assert (got[3].n_removed_tokens, got[3].n_spans_removed) == (8, 1)
+    # sub-window doc passes through
+    assert got[4].clean_text == "short doc"
+    assert got[4].n_removed_tokens == 0
+
+
+def test_remove_duplicated_spans_conservation_and_modes(spark, docs):
+    """On the sf0.001 corpus: one output row per doc, clean token
+    count == n_tokens - n_removed_tokens, something is actually
+    removed, and xxhash64 (fast) vs md5 (oracle) modes agree."""
+    from textract_demo_spark.datapipe.dedup import remove_duplicated_spans
+    out = remove_duplicated_spans(docs, window=12)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        kept = len(r.clean_text.split(" ")) if r.clean_text else 0
+        assert kept == r.n_tokens - r.n_removed_tokens
+    assert any(r.n_removed_tokens > 0 for r in rows)
+    assert any(r.n_removed_tokens == 0 for r in rows)
+    slow = sorted(map(tuple, remove_duplicated_spans(
+        docs, window=12, hash_mode="md5").collect()))
+    assert sorted(map(tuple, rows)) == slow
+
+
+def test_gopher_rules_flags(spark):
+    """Each named Gopher rule trips on its own violation and the keep
+    conjunction requires all of them."""
+    from textract_demo_spark.datapipe.textstats import with_gopher_rules
+    good = ("the quick brown fox jumps with energy and grace over "
+            * 6 + "that lazy dog").strip()  # 62 words, stopwords present
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, "the short doc with that"),                # word count
+         (3, " ".join(["hypertrophication"] * 60)),     # mean word len
+         (4, good + " " + "#" * 1 + " ##### ### ## #"), # symbols
+         (5, " ".join(["123"] * 60)),                   # alpha + stopwords
+         ],
+        "doc_id INT, text STRING")
+    got = {r.doc_id: r for r in with_gopher_rules(docs).collect()}
+    assert got[1].gopher_keep
+    assert all([got[1].word_count_ok, got[1].mean_wl_ok,
+                got[1].symbol_ok, got[1].alpha_ok, got[1].stopword_ok])
+    assert not got[2].word_count_ok and not got[2].gopher_keep
+    assert not got[3].mean_wl_ok and not got[3].stopword_ok
+    assert not got[4].symbol_ok
+    assert got[4].word_count_ok  # the symbol run only trips its rule
+    assert not got[5].alpha_ok and not got[5].stopword_ok
+    assert got[5].n_alpha_words == 0 and got[5].n_stopword_hits == 0
+
+
+def test_gopher_rules_stats_are_exact(spark, docs):
+    """Raw statistics are exact integers: mean_wl_milli is the integer
+    milli of sum(len)/n and symbol counting is non-overlapping greedy
+    ('......' = two ellipses)."""
+    from textract_demo_spark.datapipe.textstats import with_gopher_rules
+    row = with_gopher_rules(spark.createDataFrame(
+        [(1, "ab cde f ...... #")], "doc_id INT, text STRING")
+    ).collect()[0]
+    # tokens: ab cde f ...... '#' -> 5 words, sum len 2+3+1+6+1 = 13
+    assert row.n_words == 5 and row.mean_wl_milli == (1000 * 13) // 5
+    assert row.n_symbols == 3  # one '#' + two '...' in '......'
+    out = with_gopher_rules(docs)
+    assert out.count() == docs.count()
+    assert out.filter("n_words <= 0").count() == 0

@@ -330,3 +330,38 @@ def test_shuffle_shards_single_exchange_no_global_sort(spark):
     assert "shard" in shuffles[0]
     assert "SinglePartition" not in p, p[:3000]
     assert p.count("Sort ") <= 1 or p.count("Window") == 1, p[:3000]
+
+
+def test_remove_duplicated_spans_shared_key_exchange(spark):
+    """remove_duplicated_spans: the occurrence count and the
+    global-first row_number run over ONE (h0, h1) exchange (hoisted
+    top-level key columns — windowing on struct fields hk.h0/hk.h1
+    would give each window spec its own projected _w0/_w1 keys and
+    its own Exchange), the island merge adds the doc_id exchange, and
+    the excision joins stay broadcast-equi: two hash exchanges total,
+    none carrying tokens/text."""
+    import re
+    from textract_demo_spark.datapipe.dedup import remove_duplicated_spans
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(remove_duplicated_spans(docs, window=12))
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    assert len(shuffles) == 2, p[:3000]
+    assert any("h0" in s and "h1" in s for s in shuffles), shuffles
+    for args in shuffles:
+        assert "tokens" not in args and "text" not in args, args
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p, p[:3000]
+
+
+def test_gopher_rules_zero_shuffle_pruned_scan(spark):
+    """with_gopher_rules is a pure map: no exchange, no join, and the
+    parquet scan reads only (doc_id, text)."""
+    import re
+    from textract_demo_spark.datapipe.textstats import with_gopher_rules
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(with_gopher_rules(docs.select("doc_id", "text")))
+    assert "Exchange" not in p, p[:3000]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p[:2000]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}, cols

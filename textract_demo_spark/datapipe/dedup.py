@@ -662,6 +662,39 @@ def contamination_overlap(corpus: DataFrame, eval_docs: DataFrame,
                         F.col("n_overlap") >= min_overlap))
 
 
+def _window_key_rows(toks: DataFrame, w: int, hash_mode: str,
+                     id_col: str) -> DataFrame:
+    """(id, pos, hk{h0,h1}) rows — one per ``w``-token sliding window
+    of a tokenized frame. The shared staging of ``duplicated_spans``
+    and ``remove_duplicated_spans``.
+
+    The expensive per-window work is staged ONCE: lambdas defeat
+    Catalyst CSE, so a single transform computing both hash variants
+    from the shingle string would build the string (and in md5 mode
+    the digest) twice per window — measured ~1.4x on the sf0.1
+    corpus. Instead transform #1 emits one string/digest per window
+    and transform #2 derives the (h0, h1) pair from that bound value
+    (cheap intrinsics / substr)."""
+    if hash_mode == "md5":
+        stage = f"md5(array_join(slice(tokens, i + 1, {w}), ' '))"
+        pair = ("struct(cast(conv(substr(m, 1, 15), 16, 10) AS BIGINT)"
+                " AS h0, cast(conv(substr(m, 17, 15), 16, 10) AS"
+                " BIGINT) AS h1)")
+    else:
+        stage = f"array_join(slice(tokens, i + 1, {w}), ' ')"
+        pair = (f"struct({hash64('m', hash_mode, 0)} AS h0,"
+                f" {hash64('m', hash_mode, 1)} AS h1)")
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(F.expr(f"""
+            CASE WHEN size(tokens) >= {w} THEN
+              transform(
+                transform(sequence(0, size(tokens) - {w}),
+                          i -> {stage}),
+                m -> {pair})
+            ELSE array() END""")).alias("pos", "hk"))
+
+
 def duplicated_spans(docs: DataFrame, window: int = 20,
                      min_count: int = 2, max_count: int | None = None,
                      hash_mode: str = "xxhash64",
@@ -717,31 +750,7 @@ def duplicated_spans(docs: DataFrame, window: int = 20,
     toks = docs.select(
         F.col(id_col), F.split(normalize_text(text_col), " ")
         .alias("tokens"))
-    # stage the expensive per-window work ONCE: lambdas defeat
-    # Catalyst CSE, so a single transform computing both hash variants
-    # from the shingle string would build the string (and in md5 mode
-    # the digest) twice per window — measured ~1.4x on the sf0.1
-    # corpus. Instead transform #1 emits one string/digest per window
-    # and transform #2 derives the (h0, h1) pair from that bound value
-    # (cheap intrinsics / substr).
-    if hash_mode == "md5":
-        stage = f"md5(array_join(slice(tokens, i + 1, {w}), ' '))"
-        pair = ("struct(cast(conv(substr(m, 1, 15), 16, 10) AS BIGINT)"
-                " AS h0, cast(conv(substr(m, 17, 15), 16, 10) AS"
-                " BIGINT) AS h1)")
-    else:
-        stage = f"array_join(slice(tokens, i + 1, {w}), ' ')"
-        pair = (f"struct({hash64('m', hash_mode, 0)} AS h0,"
-                f" {hash64('m', hash_mode, 1)} AS h1)")
-    wins = toks.select(
-        F.col(id_col),
-        F.posexplode(F.expr(f"""
-            CASE WHEN size(tokens) >= {w} THEN
-              transform(
-                transform(sequence(0, size(tokens) - {w}),
-                          i -> {stage}),
-                m -> {pair})
-            ELSE array() END""")).alias("pos", "hk"))
+    wins = _window_key_rows(toks, w, hash_mode, id_col)
     from pyspark.sql import Window as W
     occ = wins.withColumn(
         "n_occ", F.count("*").over(W.partitionBy("hk.h0", "hk.h1")))
@@ -813,3 +822,103 @@ def duplication_stats(docs: DataFrame, window: int = 20,
                      .alias("n_spans"))
             .withColumn("dup_frac_milli", F.expr(
                 "(1000 * dup_tokens) div n_tokens")))
+
+
+def remove_duplicated_spans(docs: DataFrame, window: int = 20,
+                            min_count: int = 2,
+                            hash_mode: str = "xxhash64",
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """The REMOVE step of exact-substring dedup (Lee et al. 2021):
+    rewrite the corpus keeping, for every duplicated ``window``-token
+    sequence, only its globally-FIRST occurrence (min (id, pos)
+    lexicographic — deterministic), excising every other occurrence
+    from the text. ``duplicated_spans`` only annotates; this operator
+    produces the cleaned corpus a training pipeline actually trains
+    on.
+
+    Semantics: a window occurrence is removable when its exact token
+    sequence occurs >= ``min_count`` times corpus-wide AND it is not
+    the first occurrence. Per doc, removable windows merge into
+    maximal islands (start gap <= window, the ``duplicated_spans``
+    convention), and the islands' token ranges are cut out; the
+    surviving tokens re-join with single spaces. Docs with nothing to
+    remove pass through with their normalized text.
+
+    Spark-first plan — same three bounded shuffles as
+    ``duplicated_spans`` plus one join back:
+      1. narrow per-row window keys (``_window_key_rows`` — 20-byte
+         (id, pos, h0, h1) rows; token strings never shuffle);
+      2. ONE exchange on (h0, h1) carrying BOTH an unordered
+         count(*) and a row_number ordered by (id, pos) — occurrence
+         count and global-first rank in a single partitioning (two
+         WindowExecs, one Exchange; (id, pos) is unique so the rank
+         is total);
+      3. removable survivors exchange on id for the island merge;
+      4. one inner join back to the tokenized docs for excision —
+         only docs WITH removals pay the rebuild
+         (``filter(tokens, (t, i) -> ...)`` over the collected island
+         list, O(n_tokens x n_islands) per matched doc), then a left
+         join attaches clean text to the full corpus (pass-through
+         docs take the normalized text directly).
+
+    Output: (id, clean_text, n_tokens, n_removed_tokens,
+    n_spans_removed) — one row per input doc; ``n_tokens`` counts the
+    normalized ORIGINAL tokens. md5 ``hash_mode`` makes the whole
+    decision DuckDB-replayable (the driver oracle replays count,
+    first-rank, islands and excision in pure SQL)."""
+    from pyspark.sql import Window as W
+    w = int(window)
+    toks = docs.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ")
+        .alias("tokens"))
+    # hoist the struct fields to top-level columns: windowing on
+    # hk.h0/hk.h1 directly makes Spark project fresh _w0/_w1 key
+    # attributes PER window spec, so the two window ops over the same
+    # key would each get their own Exchange; on named columns the
+    # second window reuses the first's partitioning (one Exchange,
+    # plan-gated in tests/test_plans.py)
+    wins = _window_key_rows(toks, w, hash_mode, id_col).select(
+        F.col(id_col), F.col("pos"),
+        F.col("hk.h0").alias("h0"), F.col("hk.h1").alias("h1"))
+    by_key = W.partitionBy("h0", "h1")
+    ranked = (wins
+              .withColumn("rn", F.row_number().over(
+                  by_key.orderBy(id_col, "pos")))
+              .withColumn("n_occ", F.count("*").over(by_key)))
+    removable = ranked.filter(
+        (F.col("n_occ") >= min_count) & (F.col("rn") > 1))
+    by_doc = W.partitionBy(id_col).orderBy("pos")
+    isl = (removable
+           .withColumn("brk", F.when(
+               F.col("pos") - F.lag("pos").over(by_doc) > w, 1)
+               .otherwise(0))
+           .withColumn("island", F.sum("brk").over(
+               by_doc.rowsBetween(W.unboundedPreceding, 0))))
+    spans = (isl.groupBy(id_col, "island")
+             .agg(F.min("pos").alias("s"),
+                  (F.max("pos") + w - 1).alias("e")))
+    rm = (spans.groupBy(id_col)
+          .agg(F.collect_list(F.struct("s", "e")).alias("rm"),
+               F.sum(F.col("e") - F.col("s") + 1).cast("long")
+                .alias("n_removed_tokens"),
+               F.count("*").cast("long").alias("n_spans_removed")))
+    rebuilt = (toks.join(rm, id_col)
+               .withColumn("clean_text", F.expr("""
+                   array_join(filter(tokens, (t, i) ->
+                     NOT exists(rm, r -> i >= r.s AND i <= r.e)), ' ')"""))
+               .select(id_col, "clean_text", "n_removed_tokens",
+                       "n_spans_removed"))
+    return (toks
+            .select(F.col(id_col),
+                    F.col("tokens"),
+                    F.array_join("tokens", " ").alias("_norm"))
+            .join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.col("_norm"))
+                     .alias("clean_text"),
+                    F.size("tokens").cast("long").alias("n_tokens"),
+                    F.coalesce("n_removed_tokens", F.lit(0))
+                     .cast("long").alias("n_removed_tokens"),
+                    F.coalesce("n_spans_removed", F.lit(0))
+                     .cast("long").alias("n_spans_removed")))

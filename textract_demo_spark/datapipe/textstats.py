@@ -72,6 +72,81 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
                   + 0.3d * (alpha_ratio_bp / 1000000.0d))) AS BIGINT)""")))
 
 
+# the Gopher rules' stop-word set (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Table A1): a doc must contain >= 2 of these
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                    "with"]
+
+
+def with_gopher_rules(docs: DataFrame, text_col: str = "text",
+                      min_words: int = 50, max_words: int = 100_000,
+                      min_mean_wl_milli: int = 3000,
+                      max_mean_wl_milli: int = 10_000,
+                      max_symbol_ratio_milli: int = 100,
+                      min_alpha_frac_milli: int = 800,
+                      min_stopword_hits: int = 2) -> DataFrame:
+    """Gopher-style named quality rules (Rae et al. 2021, Table A1) —
+    the rule-per-column complement of the blended
+    ``with_quality_score``: each document gets the raw statistic, the
+    per-rule boolean, and the overall ``gopher_keep`` conjunction, so
+    a curation pipeline can threshold, audit or ablate rules
+    individually.
+
+    Rules (defaults = the published bounds):
+      - word count in [min_words, max_words];
+      - mean word length in [3, 10] chars (integer milli — div, no
+        float, so the value is engine-bit-stable);
+      - symbol-to-word ratio <= 0.1, symbols = '#' and '...'
+        occurrences (non-overlapping greedy count via replace());
+      - >= 80% of words contain an alphabetic character;
+      - >= min_stopword_hits DISTINCT Gopher stop words present
+        (counted as 8 array_contains terms — identical semantics in
+        Spark and DuckDB, no list-dedup ambiguity).
+
+    All-native narrow SQL: zero shuffle, no UDF, whole-stage codegen
+    except the two small lambda filters; comparisons are
+    integer-cross-multiplied (1000*x <= r*n) so no division happens
+    at all. Scale shape: a pure map — partition-count-preserving,
+    pushdown-friendly (reads only ``text``)."""
+    t = _tokens(text_col)
+    sw_terms = " + ".join(
+        f"if(array_contains({t}, '{w}'), 1, 0)" for w in GOPHER_STOPWORDS)
+    return (docs
+            .withColumn("n_words", F.expr(f"size({t})").cast("long"))
+            .withColumn("sum_word_len", F.expr(
+                f"aggregate({t}, 0L, (acc, w) -> acc + length(w))"))
+            .withColumn("mean_wl_milli", F.expr(
+                "(1000 * sum_word_len) div greatest(n_words, 1)"))
+            .withColumn("n_symbols", F.expr(f"""
+                cast(length({text_col}) -
+                     length(replace({text_col}, '#', '')) +
+                     (length({text_col}) -
+                      length(replace({text_col}, '...', ''))) div 3
+                     AS BIGINT)"""))
+            .withColumn("n_alpha_words", F.expr(
+                f"cast(size(filter({t}, w -> w rlike '[a-z]'))"
+                " AS BIGINT)"))
+            .withColumn("n_stopword_hits",
+                        F.expr(f"cast({sw_terms} AS BIGINT)"))
+            .withColumn("word_count_ok",
+                        F.col("n_words").between(min_words, max_words))
+            .withColumn("mean_wl_ok",
+                        F.col("mean_wl_milli").between(
+                            min_mean_wl_milli, max_mean_wl_milli))
+            .withColumn("symbol_ok", F.expr(
+                f"1000 * n_symbols <="
+                f" {max_symbol_ratio_milli} * n_words"))
+            .withColumn("alpha_ok", F.expr(
+                f"1000 * n_alpha_words >="
+                f" {min_alpha_frac_milli} * n_words"))
+            .withColumn("stopword_ok",
+                        F.col("n_stopword_hits") >= min_stopword_hits)
+            .withColumn("gopher_keep", F.expr(
+                "word_count_ok AND mean_wl_ok AND symbol_ok"
+                " AND alpha_ok AND stopword_ok"))
+            .drop("sum_word_len"))
+
+
 def with_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-marker language ID: argmax over language marker-set
     hit counts; 'und' when nothing matches. Ties resolve in fixed

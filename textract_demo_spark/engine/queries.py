@@ -1783,6 +1783,70 @@ def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_substring_rewrite",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split(lower(regexp_replace(
+            trim(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+    ti AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 12 + 1)) AS i
+           FROM t WHERE len(toks) >= 12),
+    w AS (SELECT doc_id, i AS pos,
+            ('0x' || substr(md5(array_to_string(toks[i+1:i+12], ' ')),
+                            1, 15))::BIGINT AS h0,
+            ('0x' || substr(md5(array_to_string(toks[i+1:i+12], ' ')),
+                            17, 15))::BIGINT AS h1
+          FROM ti),
+    r AS (SELECT doc_id, pos,
+            count(*) OVER (PARTITION BY h0, h1) AS n_occ,
+            row_number() OVER (PARTITION BY h0, h1
+                               ORDER BY doc_id, pos) AS rn FROM w),
+    d AS (SELECT doc_id, pos FROM r WHERE n_occ >= 2 AND rn > 1),
+    fl AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) > 12
+                  THEN 1 ELSE 0 END AS brk FROM d),
+    isl AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM fl),
+    sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 11 AS e
+           FROM isl GROUP BY doc_id, island),
+    agg AS (SELECT doc_id, sum(e - s + 1)::BIGINT AS n_removed,
+                   count(*)::BIGINT AS n_spans FROM sp GROUP BY doc_id),
+    tok_rows AS (SELECT doc_id, toks,
+                        unnest(range(0, len(toks))) AS i FROM t
+                 WHERE doc_id IN (SELECT doc_id FROM sp)),
+    kept AS (SELECT tr.doc_id, tr.i, tr.toks[tr.i + 1] AS tok
+             FROM tok_rows tr
+             WHERE NOT EXISTS (SELECT 1 FROM sp
+                               WHERE sp.doc_id = tr.doc_id
+                                 AND tr.i BETWEEN sp.s AND sp.e)),
+    rebuilt AS (SELECT doc_id,
+                       coalesce(string_agg(tok, ' ' ORDER BY i), '')
+                         AS clean_text
+                FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CASE WHEN a.doc_id IS NOT NULL
+                THEN coalesce(rb.clean_text, '')
+                ELSE array_to_string(t.toks, ' ') END AS clean_text,
+           len(t.toks)::BIGINT AS n_tokens,
+           coalesce(a.n_removed, 0)::BIGINT AS n_removed_tokens,
+           coalesce(a.n_spans, 0)::BIGINT AS n_spans_removed
+    FROM t LEFT JOIN agg a USING (doc_id)
+           LEFT JOIN rebuilt rb USING (doc_id)
+    """)
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVE step of exact-substring dedup (datapipe/dedup.py
+    remove_duplicated_spans, after Lee et al. 2021): keep only the
+    globally-first occurrence of every duplicated 12-token sequence
+    and excise the rest, returning the cleaned corpus text per doc
+    plus removal stats. md5 hash mode; the oracle replays occurrence
+    counts, first-occurrence ranking, island merge and token excision
+    in pure SQL — clean text must agree byte-for-byte."""
+    from ..datapipe.dedup import remove_duplicated_spans
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, window=12, hash_mode="md5")
+
+
+@query(
     "embedding_cosine_neardup",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1866,6 +1930,62 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_quality_score(with_token_stats(docs)).select(
         "doc_id", "n_tokens", "stopword_ratio_bp", "alpha_ratio_bp",
         "quality_score_bp")
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, text,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks FROM documents),
+    s AS (SELECT doc_id,
+        len(toks)::BIGINT AS n_words,
+        list_sum(list_transform(toks, w -> length(w)))::BIGINT AS sum_wl,
+        (length(text) - length(replace(text, '#', ''))
+         + (length(text) - length(replace(text, '...', ''))) // 3
+        )::BIGINT AS n_symbols,
+        len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))::BIGINT
+          AS n_alpha_words,
+        (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END
+        )::BIGINT AS n_stopword_hits
+      FROM t),
+    m AS (SELECT *, ((1000 * sum_wl) // greatest(n_words, 1))::BIGINT
+                      AS mean_wl_milli FROM s),
+    r AS (SELECT *,
+        (n_words BETWEEN 50 AND 100000) AS word_count_ok,
+        (mean_wl_milli BETWEEN 3000 AND 10000) AS mean_wl_ok,
+        (1000 * n_symbols <= 100 * n_words) AS symbol_ok,
+        (1000 * n_alpha_words >= 800 * n_words) AS alpha_ok,
+        (n_stopword_hits >= 2) AS stopword_ok
+      FROM m)
+    SELECT doc_id, n_words, mean_wl_milli, n_symbols, n_alpha_words,
+           n_stopword_hits, word_count_ok, mean_wl_ok, symbol_ok,
+           alpha_ok, stopword_ok,
+           (word_count_ok AND mean_wl_ok AND symbol_ok AND alpha_ok
+            AND stopword_ok) AS gopher_keep
+    FROM r
+    """)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style named quality rules (datapipe/textstats.py
+    with_gopher_rules, after Rae et al. 2021 Table A1): per-rule raw
+    statistic + boolean + the overall keep conjunction, one row per
+    document. All-integer statistics (milli fractions via div, counts
+    as BIGINT) so the value hash is engine-stable; the oracle
+    recomputes every rule in pure SQL."""
+    from ..datapipe.textstats import with_gopher_rules
+    docs = _t(spark, sf_dir, "documents")
+    return with_gopher_rules(docs).select(
+        "doc_id", "n_words", "mean_wl_milli", "n_symbols",
+        "n_alpha_words", "n_stopword_hits", "word_count_ok",
+        "mean_wl_ok", "symbol_ok", "alpha_ok", "stopword_ok",
+        "gopher_keep")
 
 
 @query(
