@@ -130,6 +130,50 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # -- fast-family companions ------------------------------------------
+    # dedup_simhash / ann_lsh_topk / ann_ivf_topk run the md5
+    # cross-engine hash family so their VALUES are DuckDB-oracled; a
+    # production run uses the xxhash64 default (one JVM intrinsic per
+    # value vs an md5 digest + hex conv). These rows record the fast
+    # family's time next to the oracle mode's so a round-over-round
+    # ratio on the md5 rows is read as mode cost, not regression.
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from textract_demo_spark.datapipe.dedup import (with_shingles,
+                                                    with_simhash)
+    from textract_demo_spark.datapipe.similarity import ivf_topk, lsh_topk
+
+    def _emb_q(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return emb, (emb.filter(F.col("vec_id") < 5)
+                     .select(F.col("vec_id").alias("qid"),
+                             F.col("embedding").alias("qv")))
+
+    def _fast_simhash(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (with_simhash(with_shingles(docs), hash_mode="xxhash64")
+                .select("doc_id", "simhash"))
+
+    def _fast_lsh(spark, sf_dir):
+        emb, q = _emb_q(spark, sf_dir)
+        return lsh_topk(emb, q, k=10, hash_mode="xxhash64", dim=64) \
+            .select("qid", "rank", "vec_id")
+
+    def _fast_ivf(spark, sf_dir):
+        emb, q = _emb_q(spark, sf_dir)
+        return ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4,
+                        iters=1, hash_mode="xxhash64") \
+            .select("qid", "rank", "vec_id")
+
+    for name, fn in [("dedup_simhash_fast", _fast_simhash),
+                     ("ann_lsh_topk_fast", _fast_lsh),
+                     ("ann_ivf_topk_fast", _fast_ivf)]:
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
     # -- round-over-round delta vs the newest BENCH_r*.json --------------
     prev_name, prev = _load_prev()
     delta = {}

@@ -26,9 +26,18 @@ Stages (each stage's shuffle budget is the design constraint at
                      mostly text duplicated elsewhere are dropped —
                      one shuffle on the window key, then only
                      duplicated windows shuffle on doc_id
+2c. substring rewrite optional (--rewrite-dup-spans): the surviving
+                     docs are REWRITTEN — every duplicated window run
+                     keeps only its globally-first occurrence, later
+                     occurrences are excised from the text
+                     (remove_duplicated_spans; same shuffle budget as
+                     2b plus one rebuild join paid only by docs with
+                     removals)
 3. quality filter    narrow per-row scores (quality, repetition,
                      lang-id) plus the unigram-surprisal cap (one
-                     broadcast vocab + one per-doc aggregate)
+                     broadcast vocab + one per-doc aggregate); with
+                     --gopher also the named Gopher rule conjunction
+                     (Rae et al. Table A1, zero extra shuffles)
 4. PII redaction     narrow per-row regex — zero shuffles
 5. decontamination   optional (--eval-input): broadcast shingle probe
 6. split assignment  pure (salt, id) hash — zero shuffles
@@ -70,6 +79,19 @@ def main() -> None:
     ap.add_argument("--dup-span-window", type=int, default=20,
                     help="token window for exact-substring duplicate"
                          " detection (Lee et al. granularity)")
+    ap.add_argument("--rewrite-dup-spans", action="store_true",
+                    help="after the coverage cap, excise every"
+                         " non-first duplicated span from the"
+                         " surviving docs (keep-first corpus rewrite)")
+    ap.add_argument("--gopher", action="store_true",
+                    help="also require the Gopher named-rule"
+                         " conjunction (word count / mean word length"
+                         " / symbols / alpha words / stop words)")
+    ap.add_argument("--gopher-min-words", type=int, default=50)
+    ap.add_argument("--gopher-min-stopwords", type=int, default=2,
+                    help="distinct Gopher stop words required; corpora"
+                         " whose register lacks function words (logs,"
+                         " code, tables) should pass 0-1")
     ap.add_argument("--jaccard", type=float, default=0.7)
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--pack-shards", type=int, default=64)
@@ -109,7 +131,15 @@ def main() -> None:
         with_langid, with_quality_score, with_repetition_stats,
         with_token_stats, with_unigram_surprisal)
 
-    spark = SparkSession.builder.appName("run_curate").getOrCreate()
+    # maxPlanStringLength: every stage below re-derives a frame from
+    # `d` and joins it back, so the logical plan TREE doubles per
+    # stage; the plan string rendered for the execution-start event on
+    # each action grows with it and OOMed a default 1g spark-submit
+    # driver. Bounding the string costs nothing (it is display-only);
+    # the localCheckpoint() below bounds the tree itself.
+    spark = (SparkSession.builder.appName("run_curate")
+             .config("spark.sql.maxPlanStringLength", str(1024 * 1024))
+             .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     t0 = time.time()
     stats: dict[str, int] = {}
@@ -140,10 +170,17 @@ def main() -> None:
     # 2. near-dup dedup: keep each cluster's min-id representative
     pairs = minhash_dedup_pairs(d, threshold=args.jaccard)
     clusters = neardup_clusters(d.select("doc_id"), pairs)
+    # localCheckpoint: materialize the dedup survivors AND truncate
+    # lineage — stages 2b-7 each self-join a derived frame back onto
+    # `d`, which doubles the plan tree per stage (exponential without
+    # a cut; Catalyst re-optimizes the whole tree on every action).
+    # At cluster scale this boundary is a checkpoint to reliable
+    # storage / an intermediate table; local mode keeps it on
+    # executor-local blocks.
     d = (d.join(clusters, "doc_id")
          .filter(F.col("cluster_id") == F.col("doc_id"))
          .drop("cluster_id")
-         .persist())
+         .localCheckpoint())
     stats["after_neardup_dedup"] = d.count()
     release_cached(pairs)
     release_cached(clusters)
@@ -161,6 +198,24 @@ def main() -> None:
         d = d.join(heavy, "doc_id", "left_anti")
         stats["after_substring_cap"] = d.count()
 
+    # 2c. optional keep-first rewrite: the cap drops mostly-duplicated
+    # docs; the rewrite cleans the rest — later occurrences of any
+    # duplicated run are excised so the training set carries each
+    # duplicated sequence once (Lee et al.'s remove step). Docs with
+    # removals take the cleaned (normalized) text; untouched docs keep
+    # their original text.
+    if args.rewrite_dup_spans:
+        from textract_demo_spark.datapipe.dedup import \
+            remove_duplicated_spans
+        rewritten = (remove_duplicated_spans(
+            d.select("doc_id", "text"), window=args.dup_span_window)
+            .filter(F.col("n_removed_tokens") > 0)
+            .select("doc_id", "clean_text"))
+        d = (d.join(rewritten, "doc_id", "left")
+             .withColumn("text", F.coalesce("clean_text", "text"))
+             .drop("clean_text"))
+        stats["rewritten_docs"] = rewritten.count()
+
     # 3. quality gate: narrow per-row scores, plus the unigram-LM
     # surprisal cap (one broadcast vocab + one per-doc aggregate —
     # the corpus's own token distribution is the LM, CCNet-style)
@@ -173,6 +228,16 @@ def main() -> None:
         (F.col("quality_score_bp") >= args.min_quality_bp)
         & (F.col("dup_2gram_frac_bp") <= args.max_dup_2gram_bp)
         & (F.col("surprisal_milli_bits") <= args.max_surprisal_milli))
+    if args.gopher:
+        from textract_demo_spark.datapipe.textstats import \
+            with_gopher_rules
+        keep = (with_gopher_rules(
+                    d.select("doc_id", "text"),
+                    min_words=args.gopher_min_words,
+                    min_stopword_hits=args.gopher_min_stopwords)
+                .filter("gopher_keep").select("doc_id"))
+        d = d.join(keep, "doc_id")
+        stats["after_gopher"] = d.count()
 
     # 4. PII redaction: the curated text IS the redacted text
     d = (redact_pii(d)

@@ -150,3 +150,57 @@ def test_run_curate_substring_cap_drops_frankendoc(spark, tmp_path,
     assert "after_substring_cap" not in st2
     out2 = spark.read.parquet(str(tmp_path / "uncapped" / "data"))
     assert out2.filter("doc_id = 9999").count() == 1
+
+
+def test_run_curate_rewrite_and_gopher(spark, tmp_path, capsys,
+                                       monkeypatch):
+    """Stage 2c (--rewrite-dup-spans) excises the non-first copy of a
+    shared 25-token run while the first-occurrence doc keeps it; the
+    --gopher gate drops a doc violating the word-count rule. Built on
+    a fully-controlled corpus: filler tokens are unique per doc, so
+    the planted run is the only duplicated sequence."""
+    from pyspark.sql import functions as F
+
+    run = ("alpha bravo charlie delta echo foxtrot golf hotel india"
+           " juliet kilo lima mike november oscar papa quebec romeo"
+           " sierra tango uniform victor whiskey xray yankee")
+    def filler(d, n, k):
+        return " ".join(f"w{d}x{k}n{j}" for j in range(n))
+    rows = []
+    for d in range(10):
+        rows.append((d, f"the filler doc with calm words {filler(d, 40, 0)}"))
+    rows.append((20, f"the first keeper with {filler(20, 10, 0)} {run}"
+                     f" {filler(20, 10, 1)}"))
+    rows.append((30, f"the later copy with {filler(30, 20, 0)} {run}"
+                     f" {filler(30, 15, 1)}"))
+    rows.append((40, "the tiny doc with few"))  # gopher word-count fail
+    docs = spark.createDataFrame(
+        [(i, t, "en", "synth", len(t)) for i, t in rows],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING,"
+        " n_chars BIGINT")
+    in_path = str(tmp_path / "in")
+    docs.write.parquet(in_path)
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_curate.py", "--input", in_path,
+        "--out", str(tmp_path / "curated"),
+        "--rewrite-dup-spans", "--gopher", "--gopher-min-words", "20",
+        "--min-quality-bp", "0", "--max-surprisal-milli", "999999",
+        "--pack-budget", "256", "--pack-shards", "2",
+    ])
+    import importlib
+    import jobs.run_curate as rc
+    importlib.reload(rc)
+    rc.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    st = json.loads(line)["stats"]
+    assert st["rewritten_docs"] == 1
+    assert st["after_gopher"] == st["after_substring_cap"] - 1
+
+    out = spark.read.parquet(str(tmp_path / "curated" / "data"))
+    texts = {r.doc_id: r.text for r in
+             out.select("doc_id", "text").collect()}
+    assert 40 not in texts            # gopher word-count gate
+    assert run in texts[20]           # first occurrence kept verbatim
+    assert run not in texts[30]       # later copy excised
+    assert "w30x0n0" in texts[30]     # the copy's own text survives

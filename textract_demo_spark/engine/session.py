@@ -34,6 +34,12 @@ def get_spark(master: str | None = None, app: str = "textract_demo_spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_BATCH))
         .config("spark.ui.enabled", "false")
+        # bound plan-string rendering: multi-stage jobs whose stages
+        # self-join derived frames back (curation) grow plan TREES
+        # exponentially, and the execution-start event renders the
+        # plan to a string on every action — unbounded, that string
+        # alone OOMed a 1g driver (StringConcat in explainString)
+        .config("spark.sql.maxPlanStringLength", str(1024 * 1024))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
