@@ -1932,12 +1932,29 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score_bp")
 
 
+# deterministic per-doc perturbation for the Gopher-rules query: the
+# synthetic corpus has no symbols, digit-words or long words, so
+# without it the symbol/alpha/mean-word-length rules would be
+# uniformly true and the oracle would never exercise their false
+# branches. Valid Spark SQL AND DuckDB SQL (CASE + || concat).
+_GOPHER_PERTURB = """
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN text || ' ##### #### ... ... #'
+      WHEN 1 THEN text || ' 0 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15'
+      WHEN 2 THEN 'incomprehensibilities interdenominational'
+                  || ' electroencephalographically characteristically'
+      ELSE text || ' the words be of and that have with'
+    END"""
+
+
 @query(
     "gopher_quality_rules",
     oracle=r"""
-    WITH t AS (SELECT doc_id, text,
+    WITH src AS (SELECT doc_id, """ + _GOPHER_PERTURB + r""" AS text
+                 FROM documents),
+    t AS (SELECT doc_id, text,
         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
-                     ' ') AS toks FROM documents),
+                     ' ') AS toks FROM src),
     s AS (SELECT doc_id,
         len(toks)::BIGINT AS n_words,
         list_sum(list_transform(toks, w -> length(w)))::BIGINT AS sum_wl,
@@ -1976,11 +1993,15 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style named quality rules (datapipe/textstats.py
     with_gopher_rules, after Rae et al. 2021 Table A1): per-rule raw
     statistic + boolean + the overall keep conjunction, one row per
-    document. All-integer statistics (milli fractions via div, counts
-    as BIGINT) so the value hash is engine-stable; the oracle
-    recomputes every rule in pure SQL."""
+    document. The corpus is deterministically perturbed in SQL
+    (``_GOPHER_PERTURB``, identical text on both engines) so every
+    rule — symbols, alpha words, mean word length, stop words, word
+    count — takes BOTH truth values under the oracle. All-integer
+    statistics (milli fractions via div, counts as BIGINT) so the
+    value hash is engine-stable."""
     from ..datapipe.textstats import with_gopher_rules
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_GOPHER_PERTURB).alias("text"))
     return with_gopher_rules(docs).select(
         "doc_id", "n_words", "mean_wl_milli", "n_symbols",
         "n_alpha_words", "n_stopword_hits", "word_count_ok",
