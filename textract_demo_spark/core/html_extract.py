@@ -68,6 +68,10 @@ _NAMED_ENTITIES = {
 }
 _WS_RE = re.compile(r"\s+")
 _DIGIT_RE = re.compile(r"\d")
+# raw-content close tags, precompiled (only two names exist; compiling
+# per <script>/<style> occurrence showed up in the kernel profile)
+_RAW_CLOSE_RE = {name: re.compile(r"</" + name + r"\s*>", re.I)
+                 for name in ("script", "style")}
 
 
 def _unescape(s: str) -> str:
@@ -196,8 +200,7 @@ def _tokenize(s: str) -> list[_Seg]:
             attrs = s[name_m.end():j]
             self_closing = attrs.rstrip().endswith("/") or name in VOID_TAGS
             if name in ("script", "style"):
-                close = re.compile(r"</" + name + r"\s*>", re.I)
-                m2 = close.search(s, j + 1)
+                m2 = _RAW_CLOSE_RE[name].search(s, j + 1)
                 i = n if m2 is None else m2.end()
                 continue
             if name == "br":
