@@ -1,5 +1,6 @@
-"""Exact-substring span dedup volume stress: duplicated_spans at
-~40x the per-round bench corpus (fast xxhash64 path).
+"""Exact-substring span dedup volume stress: duplicated_spans +
+the keep-first rewrite (remove_duplicated_spans) at ~40x the
+per-round bench corpus (fast xxhash64 path).
 
 Synthesizes ~200k docs by replicating the sf0.1 documents table with
 a per-replica token perturbation every 8th position (no 16-token
@@ -50,7 +51,8 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from textract_demo_spark.datapipe.dedup import (duplicated_spans,
-                                                    duplication_stats)
+                                                    duplication_stats,
+                                                    remove_duplicated_spans)
     from textract_demo_spark.engine.session import get_spark
 
     spark = get_spark(master=f"local[{args.cpus}]",
@@ -105,6 +107,19 @@ def main() -> None:
     n_heavy = stats.filter("dup_frac_milli > 900").count()
     stats_sec = round(time.time() - t0, 2)
 
+    # keep-first rewrite pass (the REMOVE step) over the same corpus:
+    # adds the global-first row_number to the key exchange and the
+    # excision join paid only by docs with removals; token
+    # conservation asserted on the full output
+    t0 = time.time()
+    rw = remove_duplicated_spans(corpus, window=args.window)
+    conserve = rw.select(
+        F.sum("n_removed_tokens").alias("removed"),
+        F.sum("n_tokens").alias("total"),
+        F.sum(F.when(F.col("n_removed_tokens") > 0, 1).otherwise(0))
+        .alias("docs_rewritten")).collect()[0]
+    rewrite_sec = round(time.time() - t0, 2)
+
     rec = {
         "n_docs": n_docs,
         "n_windows": int(n_windows),
@@ -116,6 +131,11 @@ def main() -> None:
         "n_docs_with_spans": n_docs_with_spans,
         "stats_sec": stats_sec,
         "n_heavy_docs": n_heavy,
+        "rewrite_sec": rewrite_sec,
+        "rewrite_windows_per_sec": round(n_windows / rewrite_sec, 1),
+        "docs_rewritten": int(conserve.docs_rewritten),
+        "tokens_removed": int(conserve.removed),
+        "tokens_total": int(conserve.total),
     }
     out = os.path.join(ROOT, "BENCH", "SUBSTRING_STRESS.json")
     with open(out, "w") as f:
