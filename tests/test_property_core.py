@@ -1,0 +1,101 @@
+"""Property-based (hypothesis) guarantees of the pure extraction core
+— the invariants the Spark engine relies on for EVERY payload, not
+just fixture goldens:
+
+- extract_payload is TOTAL and DETERMINISTIC over arbitrary unicode
+  (the Arrow kernel feeds it whatever the corpus contains; a raise
+  would fail the whole task, nondeterminism would break exactly-once
+  resume and the driver's value-hash comparison);
+- results are well-formed: status in the typed taxonomy, spans inside
+  the span domain, ordered and non-overlapping, one span per
+  main_text line for html, identity for plain;
+- on structured HTML (block tags, entity-free single-space text)
+  every span slices the ORIGINAL payload back to exactly its line —
+  the north-rule char-span contract;
+- line_confidence is bounded, 2dp, and the lru_cache returns
+  bit-identical values to the uncached function.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from textract_demo_spark.core.confidence import line_confidence
+from textract_demo_spark.core.extract import extract_payload
+
+STATUSES = {"ok", "rejected", "malformed", "model_error"}
+
+_any_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400)
+
+
+@given(_any_text)
+@settings(max_examples=250, deadline=None)
+def test_extract_total_deterministic_wellformed(s):
+    r1 = extract_payload(s)
+    r2 = extract_payload(s)
+    assert r1.status in STATUSES
+    assert (r1.status, r1.kind, r1.main_text, r1.spans) == \
+        (r2.status, r2.kind, r2.main_text, r2.spans)
+    assert [b["text"] for b in r1.blocks] == [b["text"] for b in r2.blocks]
+    dom = s if r1.span_domain == "payload" else r1.main_text
+    prev_end = None
+    for a, b in r1.spans:
+        assert 0 <= a <= b <= len(dom)
+        if prev_end is not None:
+            assert a >= prev_end  # ordered, non-overlapping
+        prev_end = b
+    if r1.status == "ok" and r1.kind == "html" and r1.main_text:
+        assert len(r1.main_text.split("\n")) == len(r1.spans)
+    if r1.status == "ok" and r1.kind == "plain":
+        assert r1.main_text == s and r1.spans == [(0, len(s))]
+
+
+_word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz",
+                min_size=1, max_size=8)
+_textnode = st.lists(_word, min_size=1, max_size=5).map(" ".join)
+_BLOCK_TAGS = ("p", "div", "li", "td")
+
+
+def _wrap(children):
+    def build(pair):
+        tag, kids = pair
+        return "<" + tag + ">" + "".join(kids) + "</" + tag + ">"
+    return st.tuples(st.sampled_from(_BLOCK_TAGS),
+                     st.lists(children, min_size=1, max_size=3)).map(build)
+
+
+_htmlish = st.recursive(_textnode, _wrap, max_leaves=12).map(
+    lambda body: "<html><body>" + body + "</body></html>")
+
+
+@given(_htmlish)
+@settings(max_examples=250, deadline=None)
+def test_htmlish_spans_slice_payload_back_to_lines(payload):
+    """Block-tag-only HTML with entity-free single-space text: every
+    text node is a single segment, so each content line's span must
+    slice the ORIGINAL payload to exactly the line text (the
+    north-rule contract the fixture goldens assert pointwise)."""
+    r = extract_payload(payload)
+    assert r.status == "ok" and r.kind == "html"
+    assert r.span_domain == "payload"
+    lines = r.main_text.split("\n") if r.main_text else []
+    assert len(lines) == len(r.spans)
+    for line, (a, b) in zip(lines, r.spans):
+        assert payload[a:b] == line
+    # LINE blocks carry the same contract whether or not content
+    for blk in r.blocks:
+        if blk["block_type"] == "LINE":
+            assert payload[blk["char_start"]:blk["char_end"]] == blk["text"]
+
+
+@given(_any_text)
+@settings(max_examples=250, deadline=None)
+def test_line_confidence_bounded_2dp_and_cache_consistent(t):
+    c = line_confidence(t)
+    if not t.strip():
+        assert c == 0.0
+    else:
+        assert 1.0 <= c <= 99.5
+    assert round(c, 2) == c
+    assert line_confidence.__wrapped__(t) == c
