@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "decontam_ngram_overlap", "text_repetition_stats",
     "mix_resample", "pii_detect_redact", "pack_sequences",
     "token_topk_by_source", "pack_fill_stats",
+    "length_percentiles_by_source",
     # multimodal plumbing
     "multimodal_frame_features",
 ]

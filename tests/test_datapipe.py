@@ -964,3 +964,19 @@ def test_gopher_rules_stats_are_exact(spark, docs):
     out = with_gopher_rules(docs)
     assert out.count() == docs.count()
     assert out.filter("n_words <= 0").count() == 0
+
+
+def test_length_percentiles_exact_ranks(spark):
+    """Discrete integer percentiles: rank (q*n+99) div 100 over the
+    sorted group — hand-computed on tiny groups incl. n=1."""
+    from textract_demo_spark.datapipe.textstats import length_percentiles
+    rows = [("a", " ".join(["w"] * k)) for k in range(1, 11)]
+    rows.append(("b", "one two three four five six seven"))
+    docs = spark.createDataFrame(rows, "source STRING, text STRING")
+    got = {(r.source, r.q): (r.p_tokens, r.n_docs) for r in
+           length_percentiles(docs, qs=(50, 90, 99)).collect()}
+    assert got[("a", 50)] == (5, 10)   # rank ceil(0.5*10)=5 -> value 5
+    assert got[("a", 90)] == (9, 10)
+    assert got[("a", 99)] == (10, 10)  # rank ceil(9.9)=10
+    assert got[("b", 50)] == (7, 1) and got[("b", 99)] == (7, 1)
+    assert len(got) == 6

@@ -365,3 +365,15 @@ def test_gopher_rules_zero_shuffle_pruned_scan(spark):
     assert m, p[:2000]
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"doc_id", "text"}, cols
+
+
+def test_length_percentiles_single_group_exchange(spark):
+    """length_percentiles: rank and count share ONE exchange on the
+    group key; nothing funnels through a single partition."""
+    import re
+    from textract_demo_spark.datapipe.textstats import length_percentiles
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(length_percentiles(docs))
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    assert len(shuffles) == 1 and "source" in shuffles[0], shuffles
+    assert "SinglePartition" not in p, p[:2000]

@@ -257,6 +257,45 @@ def with_repetition_stats(docs: DataFrame, text_col: str = "text",
     return out.drop("_toks")
 
 
+def length_percentiles(docs: DataFrame, qs=(50, 90, 99),
+                       by: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """Exact per-group token-length percentiles — the curation
+    report's distribution summary ("what does p99 doc length look
+    like per source before/after filtering").
+
+    Discrete (lower) percentile, all-integer: the q-th percentile is
+    the value at 1-indexed rank ceil(q*n/100) of the group's sorted
+    lengths, computed as ``(q*n + 99) div 100`` — no floats anywhere,
+    so Spark and DuckDB agree bit-for-bit (ties in length don't
+    matter: any tie order puts the same VALUE at a given rank).
+
+    Plan shape: ONE exchange on the group key; rank and group count
+    share the partitioning (row_number's sort + an unordered
+    count(*)); the qs explode multiplies rows only after ranking.
+    Exact percentiles need the per-group sort by definition — at
+    10^12 rows use this on sampled or already-filtered corpora, or
+    reach for approx_percentile when the contract allows error.
+
+    Output: (by, q, n_docs, p_tokens) — one row per group per q.
+    """
+    from pyspark.sql import Window as W
+    base = docs.select(
+        F.col(by),
+        F.expr(f"size({_tokens(text_col)})").cast("long").alias("v"))
+    by_grp = W.partitionBy(by)
+    ranked = (base
+              .withColumn("rn", F.row_number().over(by_grp.orderBy("v")))
+              .withColumn("n", F.count("*").over(by_grp)))
+    qarr = F.array([F.lit(int(q)) for q in qs])
+    return (ranked
+            .withColumn("q", F.explode(qarr))
+            .filter(F.expr("rn = (q * n + 99) div 100"))
+            .select(by, F.col("q").cast("long").alias("q"),
+                    F.col("n").cast("long").alias("n_docs"),
+                    F.col("v").alias("p_tokens")))
+
+
 def token_topk(docs: DataFrame, k: int = 10,
                group_col: str | None = "source",
                text_col: str = "text") -> DataFrame:

@@ -2483,6 +2483,32 @@ def token_topk_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "token", "n", "rank")
 
 
+@query(
+    "length_percentiles_by_source",
+    oracle=r"""
+    WITH t AS (SELECT source,
+        len(string_split(lower(regexp_replace(trim(text), '\s+', ' ',
+                                              'g')), ' '))::BIGINT AS v
+      FROM documents),
+    r AS (SELECT source, v,
+            row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+            count(*) OVER (PARTITION BY source) AS n FROM t),
+    q AS (SELECT unnest([50, 90, 99]) AS q)
+    SELECT source, q::BIGINT AS q, n::BIGINT AS n_docs,
+           v AS p_tokens
+    FROM r, q WHERE rn = (q * n + 99) // 100
+    """)
+def length_percentiles_by_source(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Exact per-source token-length percentiles (datapipe/textstats
+    length_percentiles): discrete all-integer rank ``(q*n+99) div
+    100`` so the p50/p90/p99 values are cross-engine bit-exact; one
+    group-key exchange shared by rank and count."""
+    from ..datapipe.textstats import length_percentiles
+    docs = _t(spark, sf_dir, "documents")
+    return length_percentiles(docs, qs=(50, 90, 99), by="source")
+
+
 # ---------------------------------------------------------------------------
 # 5. PII scrubbing + sequence packing (datapipe.pii, datapipe.packing)
 
