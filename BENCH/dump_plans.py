@@ -133,6 +133,17 @@ def main() -> None:
         formatted(QUERIES["dedup_substring_rewrite"](spark, SF))))
 
     sections.append((
+        "Exact per-source length percentiles (shared group exchange)",
+        "Discrete integer-rank percentile: row_number and the group"
+        " count share ONE exchange on the source key (the ordered and"
+        " unordered window specs reuse the same partitioning), the"
+        " q-explode multiplies rows only after ranking, and the rank"
+        " filter (q*n+99) div 100 is all-integer so the values are"
+        " engine-bit-exact. No SinglePartition anywhere — the global"
+        " -sort percentile anti-pattern would show one.",
+        formatted(QUERIES["length_percentiles_by_source"](spark, SF))))
+
+    sections.append((
         "Gopher named quality rules (zero-shuffle map)",
         "Rule-per-column quality gate: every statistic is a narrow"
         " JVM expression over the pruned (doc_id, text) scan —"
