@@ -98,6 +98,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # host-phase context: this VM drifts up to 2x between identical
+    # runs (BENCH/BASELINE.md error-bar protocol), so every bench
+    # record carries (a) the 1-min load average and (b) a fixed
+    # single-core md5 probe — compare probe times across rounds to
+    # tell a slow HOST phase from a slow CODE change before reading
+    # any per-query ratio.
+    import hashlib
+    t0 = time.time()
+    acc = 0
+    for i in range(400_000):
+        acc ^= hashlib.md5(str(i).encode()).digest()[0]
+    extras["host_probe_sec"] = round(time.time() - t0, 3)
+    extras["loadavg_1m"] = round(os.getloadavg()[0], 2)
+
     # -- headline: extraction throughput (turns/sec) --------------------
     # materialize the input once (not timed) so the timed section is
     # the pipeline alone, as if reading a pre-existing table
@@ -199,7 +213,11 @@ def main() -> None:
                  f"sf={sf}, turns/sec={extras['turns_per_sec']:,},"
                  f" n_turns={extras['n_turns']:,}"
                  + (f" (prev {prev_name}: {prev_tps:,} turns/sec)"
-                    if prev_tps is not None else ""), "",
+                    if prev_tps is not None else ""),
+                 f"host phase: probe={extras['host_probe_sec']}s,"
+                 f" load_1m={extras['loadavg_1m']}"
+                 " (compare probes across rounds before reading"
+                 " ratios)", "",
                  "| query | sec | prev | ratio |", "|---|---|---|---|"]
         dq = delta.get("queries", {}) if delta else {}
         for n, v in timings.items():
