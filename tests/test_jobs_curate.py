@@ -204,3 +204,34 @@ def test_run_curate_rewrite_and_gopher(spark, tmp_path, capsys,
     assert run in texts[20]           # first occurrence kept verbatim
     assert run not in texts[30]       # later copy excised
     assert "w30x0n0" in texts[30]     # the copy's own text survives
+
+
+def test_run_report_per_source_rollup(spark, tmp_path, capsys,
+                                      monkeypatch):
+    """run_report: one row per source; percentiles ordered; exact-dup
+    and gopher counts bounded by n_docs; corpus rollup consistent."""
+    monkeypatch.setattr(sys, "argv", [
+        "run_report.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(tmp_path / "report"),
+        "--gopher-min-words", "20", "--gopher-min-stopwords", "1",
+    ])
+    import importlib
+    import jobs.run_report as rr
+    importlib.reload(rr)
+    rr.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    out = spark.read.parquet(str(tmp_path / "report" / "per_source"))
+    rows = out.collect()
+    n_sources = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("source").distinct().count())
+    assert len(rows) == n_sources == rec["per_source_rows"]
+    for r in rows:
+        assert r.p50_tokens <= r.p90_tokens <= r.p99_tokens
+        assert 0 <= r.n_exact_dup_docs <= r.n_docs
+        assert 0 <= r.n_gopher_pass <= r.n_docs
+        assert 0 <= r.mean_quality_bp <= 1000
+    assert rec["corpus"]["n_docs"] == sum(r.n_docs for r in rows) == 500
+    assert rec["corpus"]["n_gopher_pass"] > 0
