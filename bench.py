@@ -50,7 +50,8 @@ BENCH_QUERIES = [
     # dataset curation family (splits / decontamination / repetition)
     "split_assign", "shard_shuffle",
     "decontam_ngram_overlap", "text_repetition_stats",
-    "mix_resample", "pii_detect_redact", "pack_sequences",
+    "mix_resample", "temperature_mix_targets",
+    "pii_detect_redact", "pack_sequences",
     "token_topk_by_source", "pack_fill_stats",
     "length_percentiles_by_source",
     # multimodal plumbing

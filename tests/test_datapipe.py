@@ -980,3 +980,30 @@ def test_length_percentiles_exact_ranks(spark):
     assert got[("a", 99)] == (10, 10)  # rank ceil(9.9)=10
     assert got[("b", 50)] == (7, 1) and got[("b", 99)] == (7, 1)
     assert len(got) == 6
+
+
+def test_temperature_mix_targets_and_apply(spark):
+    """T=2 mixing: weights are floor(sqrt(n)); a 100:4 corpus gets
+    10:2 weights, so the small domain's share of the target mix rises
+    from ~3.8% to ~16%; apply_temperature_mix keeps everything in the
+    most under-represented domain and down-samples the big one."""
+    from pyspark.sql import functions as F
+    from textract_demo_spark.datapipe.splits import (
+        apply_temperature_mix, temperature_mix_targets)
+    rows = [(i, f"doc {i} text", "big") for i in range(100)]
+    rows += [(1000 + i, f"doc {1000+i} text", "small") for i in range(4)]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id LONG, text STRING, source STRING")
+    t = {r.source: r for r in temperature_mix_targets(docs).collect()}
+    assert (t["big"].weight, t["small"].weight) == (10, 2)
+    assert t["big"].target == (104 * 10) // 12
+    assert t["small"].target == (104 * 2) // 12
+    out = apply_temperature_mix(docs).collect()
+    kept = {s: sum(1 for r in out if r.source == s and r.kept)
+            for s in ("big", "small")}
+    assert kept["small"] == 4          # most under-represented: all kept
+    assert kept["big"] < 100           # big domain down-samples
+    # determinism
+    out2 = apply_temperature_mix(docs).collect()
+    assert sorted((r.doc_id, r.kept) for r in out) == \
+        sorted((r.doc_id, r.kept) for r in out2)

@@ -118,6 +118,53 @@ def with_mix_resample(docs: DataFrame, targets: dict[str, int],
                 f"{_bucket_expr(id_col, salt, hash_mode)} < keep_thr")))
 
 
+def temperature_mix_targets(docs: DataFrame,
+                            source_col: str = "source") -> DataFrame:
+    """Temperature-based domain mixing targets at T = 2 (exponent
+    alpha = 1/2, the common up-sample-the-tail temperature: weight
+    w_s = sqrt(n_s), so large domains are dampened and small ones
+    up-weighted relative to natural proportions). The output feeds
+    ``with_mix_resample`` as its integer ``targets``.
+
+    target_s = (N * w_s) div sum(w) where N is the corpus size —
+    all-integer apart from sqrt itself, which is IEEE
+    correctly-rounded in every engine (unlike pow, which is why the
+    exponent is fixed at 1/2 rather than a free temperature knob:
+    n^alpha via pow would not be cross-engine bit-stable).
+
+    Scale shape: one groupBy(source) whose output is
+    domain-count-sized, then a broadcast of the 1-row total — corpus
+    rows shuffle once into domain counts and never again.
+
+    Output: (source, n_docs, weight, target), one row per domain.
+    """
+    counts = (docs.groupBy(source_col)
+              .agg(F.count("*").cast("long").alias("n_docs"))
+              .withColumn("weight", F.expr(
+                  "cast(floor(sqrt(cast(n_docs AS DOUBLE))) AS BIGINT)")))
+    totals = counts.agg(F.sum("n_docs").alias("_n"),
+                        F.sum("weight").alias("_tw"))
+    return (counts.crossJoin(F.broadcast(totals))
+            .select(source_col, "n_docs", "weight",
+                    F.expr("(_n * weight) div _tw").cast("long")
+                     .alias("target")))
+
+
+def apply_temperature_mix(docs: DataFrame, salt: str = "tmx",
+                          id_col: str = "doc_id",
+                          source_col: str = "source",
+                          hash_mode: str = "xxhash64") -> DataFrame:
+    """Compose ``temperature_mix_targets`` with ``with_mix_resample``:
+    collect the per-domain targets (bounded by domain cardinality —
+    a deliberate, tiny driver-side step, same as any threshold dim)
+    and mark the kept rows."""
+    targets = {r[source_col]: int(r["target"])
+               for r in temperature_mix_targets(docs, source_col)
+               .collect() if r["target"] > 0}
+    return with_mix_resample(docs, targets, salt=salt, id_col=id_col,
+                             source_col=source_col, hash_mode=hash_mode)
+
+
 def with_hash_sample(docs: DataFrame, fraction: float,
                      salt: str = "s1", id_col: str = "doc_id",
                      flag_col: str = "sampled",

@@ -2420,6 +2420,31 @@ def mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temperature_mix_targets",
+    oracle="""
+    WITH c AS (SELECT source, count(*)::BIGINT AS n_docs
+               FROM documents GROUP BY source),
+    s AS (SELECT source, n_docs,
+                 floor(sqrt(n_docs))::BIGINT AS weight FROM c),
+    t AS (SELECT sum(n_docs)::BIGINT AS n, sum(weight)::BIGINT AS tw
+          FROM s)
+    SELECT source, n_docs, weight,
+           ((SELECT n FROM t) * weight) // (SELECT tw FROM t) AS target
+    FROM s
+    """)
+def temperature_mix_targets_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Temperature-based mixing targets (datapipe/splits.py
+    temperature_mix_targets): w_s = floor(sqrt(n_s)) — IEEE sqrt is
+    correctly rounded in both engines, everything else is integer —
+    and target_s = (N * w_s) div sum(w). The downstream keep/drop
+    machinery these targets feed is oracled by ``mix_resample``."""
+    from ..datapipe.splits import temperature_mix_targets
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix_targets(docs)
+
+
+@query(
     "decontam_ngram_overlap",
     oracle=r"""
     WITH tok AS (SELECT doc_id,
