@@ -38,6 +38,11 @@ Stages (each stage's shuffle budget is the design constraint at
                      broadcast vocab + one per-doc aggregate); with
                      --gopher also the named Gopher rule conjunction
                      (Rae et al. Table A1, zero extra shuffles)
+3b. temperature mix  optional (--temperature-mix): down-sample
+                     domains toward the T=2 mix (w = sqrt(count);
+                     one domain-count aggregate + broadcast
+                     thresholds + per-row hash — corpus rows never
+                     shuffle)
 4. PII redaction     narrow per-row regex — zero shuffles
 5. decontamination   optional (--eval-input): broadcast shingle probe
 6. split assignment  pure (salt, id) hash — zero shuffles
@@ -93,6 +98,10 @@ def main() -> None:
                          " whose register lacks function words (logs,"
                          " code, tables) should pass 0-1")
     ap.add_argument("--jaccard", type=float, default=0.7)
+    ap.add_argument("--temperature-mix", action="store_true",
+                    help="after the quality gate, down-sample domains"
+                         " toward the T=2 temperature mix"
+                         " (w = sqrt(count) per source)")
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--pack-shards", type=int, default=64)
     ap.add_argument("--decontam-min-overlap", type=int, default=5)
@@ -238,6 +247,17 @@ def main() -> None:
                 .filter("gopher_keep").select("doc_id"))
         d = d.join(keep, "doc_id")
         stats["after_gopher"] = d.count()
+
+    # 3b. optional temperature mixing: reshape the post-quality corpus
+    # toward the T=2 domain mix (sqrt-dampened counts) — the most
+    # under-represented domain keeps everything, the rest down-sample
+    # deterministically (integer thresholds, per-row hash)
+    if args.temperature_mix:
+        from textract_demo_spark.datapipe.splits import \
+            apply_temperature_mix
+        d = (apply_temperature_mix(d)
+             .filter("kept").drop("kept", "keep_thr"))
+        stats["after_temperature_mix"] = d.count()
 
     # 4. PII redaction: the curated text IS the redacted text
     d = (redact_pii(d)

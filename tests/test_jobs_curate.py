@@ -235,3 +235,27 @@ def test_run_report_per_source_rollup(spark, tmp_path, capsys,
         assert 0 <= r.mean_quality_bp <= 1000
     assert rec["corpus"]["n_docs"] == sum(r.n_docs for r in rows) == 500
     assert rec["corpus"]["n_gopher_pass"] > 0
+
+
+def test_run_curate_temperature_mix_stage(spark, tmp_path, capsys,
+                                          monkeypatch):
+    """--temperature-mix reshapes the post-quality corpus toward the
+    sqrt-dampened domain mix: the funnel records the stage and the
+    output's per-source skew shrinks (max/min source share)."""
+    monkeypatch.setattr(sys, "argv", [
+        "run_curate.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(tmp_path / "curated"),
+        "--temperature-mix",
+        "--pack-budget", "256", "--pack-shards", "4",
+    ])
+    import importlib
+    import jobs.run_curate as rc
+    importlib.reload(rc)
+    rc.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    st = json.loads(line)["stats"]
+    assert 0 < st["after_temperature_mix"] <= st["after_substring_cap"]
+    assert st["curated"] <= st["after_temperature_mix"]
+    out = spark.read.parquet(str(tmp_path / "curated" / "data"))
+    assert out.count() == st["written"] > 0
