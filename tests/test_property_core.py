@@ -99,3 +99,30 @@ def test_line_confidence_bounded_2dp_and_cache_consistent(t):
         assert 1.0 <= c <= 99.5
     assert round(c, 2) == c
     assert line_confidence.__wrapped__(t) == c
+
+
+_pdf_char = "abcdefghijklmnopqrstuvwxyz0123456789 $./:-"
+_pdf_line = (st.text(alphabet=_pdf_char, min_size=1, max_size=40)
+             .map(lambda s: " ".join(s.split()))
+             .filter(lambda s: s))
+_pdf_lines = st.lists(_pdf_line, min_size=1, max_size=6)
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1), _pdf_lines)
+@settings(max_examples=150, deadline=None)
+def test_pdf_roundtrip_lines_and_spans(seed, lines):
+    """Random content through the from-scratch PDF builder must come
+    back from the from-scratch PDF analyzer byte-exact: main_text is
+    the rendered lines joined, spans index main_text to exactly each
+    line — across both the FlateDecode and raw-stream variants and
+    both KV layouts (colon run / two-column geometry), which the
+    builder picks per (seed, line) hash."""
+    from textract_demo_spark.fixtures.generator import _build_pdf
+    payload, rendered, spans, _kvs = _build_pdf(seed, "prop", 0, lines)
+    res = extract_payload(payload)
+    assert res.status == "ok" and res.kind == "pdf"
+    assert res.span_domain == "main_text"
+    assert res.main_text == "\n".join(rendered)
+    assert [tuple(s) for s in res.spans] == spans
+    for (a, b), line in zip(res.spans, rendered):
+        assert res.main_text[a:b] == line

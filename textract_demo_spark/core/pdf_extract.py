@@ -28,8 +28,15 @@ from .confidence import line_confidence
 from .html_extract import split_key_value
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)\bendobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\s*endstream", re.S)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+# delimiter fallback: per spec the stream data is followed by ONE EOL
+# then 'endstream' — strip at most that EOL, never \s* (binary data
+# legitimately ends in whitespace-class bytes; hypothesis found a
+# Flate stream ending in 0x09 that \s* truncated)
+_STREAM_END_RE = re.compile(rb"(.*?)\r?\n?endstream", re.S)
+_ENDSTREAM_NEAR_RE = re.compile(rb"\s{0,4}endstream")
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
 
 Y_TOLERANCE = 2.0
 COLUMN_GAP = 30.0  # gap (pts) between estimated run end and next run => column split
@@ -51,11 +58,30 @@ def _content_streams(data: bytes) -> list[bytes]:
     streams: list[bytes] = []
     for m in _OBJ_RE.finditer(data):
         body = m.group(3)
-        sm = _STREAM_RE.search(body)
+        sm = _STREAM_START_RE.search(body)
         if sm is None:
             continue
-        raw = sm.group(1)
         header = body[: sm.start()]
+        raw = None
+        lm = _LENGTH_RE.search(header)
+        if lm:
+            # spec path: /Length is authoritative — slice from the
+            # FULL buffer (binary-safe: immune both to whitespace
+            # trailing bytes and to 'endobj'/'endstream' appearing
+            # inside compressed data, which would truncate any
+            # delimiter scan); trust it only if 'endstream' actually
+            # follows the slice
+            n = int(lm.group(1))
+            abs_start = m.start(3) + sm.end()
+            cand = data[abs_start:abs_start + n]
+            if (len(cand) == n and
+                    _ENDSTREAM_NEAR_RE.match(data, abs_start + n)):
+                raw = cand
+        if raw is None:
+            em = _STREAM_END_RE.match(body, sm.end())
+            if em is None:
+                continue
+            raw = em.group(1)
         if _FLATE_RE.search(header):
             try:
                 raw = zlib.decompress(raw)
