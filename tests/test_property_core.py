@@ -126,3 +126,32 @@ def test_pdf_roundtrip_lines_and_spans(seed, lines):
     assert [tuple(s) for s in res.spans] == spans
     for (a, b), line in zip(res.spans, rendered):
         assert res.main_text[a:b] == line
+
+
+_html_line = (st.text(alphabet=_pdf_char + ",#!?", min_size=1,
+                      max_size=40)
+              .map(lambda s: " ".join(s.split()))
+              .filter(lambda s: s))
+_items = st.lists(st.tuples(_html_line, _html_line), max_size=3)
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1),
+       st.lists(_html_line, min_size=1, max_size=5), _items)
+@settings(max_examples=150, deadline=None)
+def test_html_roundtrip_spans_by_construction(seed, lines, items):
+    """Random content through the fixture HTML builder must extract
+    with EXACTLY the spans the builder recorded by construction:
+    every content line (in the pos-hinted div, incl. table cells)
+    classifies as content, every nav/sidebar/footer line as
+    boilerplate, and each span slices the payload to its line."""
+    from textract_demo_spark.fixtures.generator import _build_html
+    flat = lines[:1] + [c for it in items for c in it] + lines[1:]
+    payload, spans = _build_html(seed, "prop", 0, flat,
+                                 table_items=items or None)
+    res = extract_payload(payload)
+    assert res.status == "ok" and res.kind == "html"
+    assert [tuple(s) for s in res.spans] == spans
+    got_lines = res.main_text.split("\n") if res.main_text else []
+    assert got_lines == flat
+    for (a, b), line in zip(res.spans, flat):
+        assert payload[a:b] == line
