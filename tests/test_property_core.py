@@ -18,7 +18,13 @@ just fixture goldens:
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import given, settings, strategies as st
+
+# default sized for CI time; deep one-off fuzz via
+#   SPARK_GRAFT_PROP_EXAMPLES=2000 pytest tests/test_property_core.py
+_EX = int(os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "0")) or None
 
 from textract_demo_spark.core.confidence import line_confidence
 from textract_demo_spark.core.extract import extract_payload
@@ -30,7 +36,7 @@ _any_text = st.text(
 
 
 @given(_any_text)
-@settings(max_examples=250, deadline=None)
+@settings(max_examples=_EX or 250, deadline=None)
 def test_extract_total_deterministic_wellformed(s):
     r1 = extract_payload(s)
     r2 = extract_payload(s)
@@ -70,7 +76,7 @@ _htmlish = st.recursive(_textnode, _wrap, max_leaves=12).map(
 
 
 @given(_htmlish)
-@settings(max_examples=250, deadline=None)
+@settings(max_examples=_EX or 250, deadline=None)
 def test_htmlish_spans_slice_payload_back_to_lines(payload):
     """Block-tag-only HTML with entity-free single-space text: every
     text node is a single segment, so each content line's span must
@@ -90,7 +96,7 @@ def test_htmlish_spans_slice_payload_back_to_lines(payload):
 
 
 @given(_any_text)
-@settings(max_examples=250, deadline=None)
+@settings(max_examples=_EX or 250, deadline=None)
 def test_line_confidence_bounded_2dp_and_cache_consistent(t):
     c = line_confidence(t)
     if not t.strip():
@@ -109,7 +115,7 @@ _pdf_lines = st.lists(_pdf_line, min_size=1, max_size=6)
 
 
 @given(st.integers(min_value=0, max_value=2**31 - 1), _pdf_lines)
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=_EX or 150, deadline=None)
 def test_pdf_roundtrip_lines_and_spans(seed, lines):
     """Random content through the from-scratch PDF builder must come
     back from the from-scratch PDF analyzer byte-exact: main_text is
@@ -137,7 +143,7 @@ _items = st.lists(st.tuples(_html_line, _html_line), max_size=3)
 
 @given(st.integers(min_value=0, max_value=2**31 - 1),
        st.lists(_html_line, min_size=1, max_size=5), _items)
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=_EX or 150, deadline=None)
 def test_html_roundtrip_spans_by_construction(seed, lines, items):
     """Random content through the fixture HTML builder must extract
     with EXACTLY the spans the builder recorded by construction:
