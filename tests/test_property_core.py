@@ -161,3 +161,37 @@ def test_html_roundtrip_spans_by_construction(seed, lines, items):
     assert got_lines == flat
     for (a, b), line in zip(res.spans, flat):
         assert payload[a:b] == line
+
+
+_pdf_frag = st.sampled_from([
+    b"1 0 obj ", b"4 0 obj ", b"<< /Filter /FlateDecode ",
+    b"/Length 10 ", b"/Length 999999 ", b">> ", b"stream\n",
+    b"\nendstream ", b"endobj\n", b"BT ", b"ET\n", b"(text) Tj ",
+    b"(a\\)b) Tj ", b"(\\101\\102) Tj ", b"72 740 Td ",
+    b"/F1 12 Tf ", b"[(a) -120 (b)] TJ ", b"1 0 0 1 10 20 Tm ",
+    b"xref\n", b"trailer ", b"%%EOF", b"\x00\x01\xff\x9c",
+    b"(unclosed ", b"3 0 R ", b"x\x9c", b"12.5 -3 Td ",
+])
+_pdf_soup = st.lists(_pdf_frag, min_size=0, max_size=30).map(b"".join)
+
+
+@given(_pdf_soup)
+@settings(max_examples=_EX or 300, deadline=None)
+def test_pdf_parser_total_on_garbage(soup):
+    """Adversarial PDF token soup (valid envelope, arbitrary object/
+    stream/operator fragments incl. truncated strings, bogus /Length,
+    raw zlib headers, binary bytes) must come back as a RESULT —
+    ok / rejected / model_error — never an uncaught exception, and
+    deterministically; any ok result still honors the span contract."""
+    import base64
+    data = b"%PDF-1.4\n" + soup + b"\nendobj"
+    payload = ("data:application/pdf;base64,"
+               + base64.b64encode(data).decode())
+    r1 = extract_payload(payload)
+    r2 = extract_payload(payload)
+    assert r1.status in STATUSES
+    assert (r1.status, r1.main_text, r1.spans) == \
+        (r2.status, r2.main_text, r2.spans)
+    if r1.status == "ok":
+        for a, b in r1.spans:
+            assert 0 <= a <= b <= len(r1.main_text)
