@@ -195,3 +195,40 @@ def test_pdf_parser_total_on_garbage(soup):
     if r1.status == "ok":
         for a, b in r1.spans:
             assert 0 <= a <= b <= len(r1.main_text)
+
+
+_html_frag = st.sampled_from([
+    "<div>", "</div>", "<p class='nav'>", "</p>", "<table>", "<tr>",
+    "<td>", "</td>", "</tr>", "</table>", "<a href=\"/x\">", "</a>",
+    "<br>", "<img src=x/>", "<!-- c -->", "<!-- unclosed",
+    "<script>var x=1;</script>", "<script>open",
+    "<style>.a{}</style>", "<span id=\"main content\">", "</span>",
+    "<b>", "</b>", "</nothing>", "<", "<>", "< p>", "text words here ",
+    "a&amp;b ", "&#65; ", "&#x41; ", "&bogus; ", "[x] [ ] ",
+    "key: value ", "<td", "<div class=footer>", "42.5 $9 ",
+])
+_tag_soup = (st.lists(_html_frag, min_size=1, max_size=40)
+             .map("".join)
+             .map(lambda b: "<html><body>" + b + "</body></html>"))
+
+
+@given(_tag_soup)
+@settings(max_examples=_EX or 300, deadline=None)
+def test_html_tokenizer_total_on_tag_soup(payload):
+    """Adversarial tag soup (misnesting, unclosed comments/scripts,
+    bare '<', bogus entities, checkbox markers, attr quote variants)
+    must extract deterministically with the span contract intact:
+    every LINE block's char range lies inside the payload and spans
+    stay ordered and non-overlapping."""
+    r1 = extract_payload(payload)
+    r2 = extract_payload(payload)
+    assert r1.status in STATUSES
+    assert (r1.status, r1.main_text, r1.spans) == \
+        (r2.status, r2.main_text, r2.spans)
+    if r1.status == "ok":
+        prev = None
+        for a, b in r1.spans:
+            assert 0 <= a <= b <= len(payload)
+            if prev is not None:
+                assert a >= prev
+            prev = b
