@@ -2,10 +2,16 @@
 
 Runs the headline queries on local[$SPARK_GRAFT_CPUS] against
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE
-JSON line:
+compact JSON line LAST on stdout:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec}, "sf": ..., "turns_per_sec": ...,
-   "delta_vs_prev": {...}}
+   "queries": {name: sec}, "sf": ..., "turns_per_sec": ...}
+The driver records only a bounded tail of stdout (BENCH_r03.json
+came back ``parsed: null`` because the full per-query + delta map
+outgrew that buffer), so the stdout line carries the contract
+fields plus the per-query seconds only; the complete record —
+delta table vs the previous round, host-phase probe, fast-family
+companions — is written to BENCH/LAST_RUN.json (machine) and
+BENCH/LAST_RUN.md (human).
 
 Headline = the extraction pipeline (the BASELINE.json metric is
 turns/sec) over a distributed-generated synthetic transcript table,
@@ -77,9 +83,21 @@ def _load_prev() -> tuple[str | None, dict]:
     except (OSError, ValueError):
         return None, {}
     # driver records either the parsed JSON line or a wrapper with
-    # "parsed"
+    # "parsed"; when the driver's tail buffer truncated the line
+    # (parsed: null, r03), fall back to the committed sidecar from
+    # that round's local run
     parsed = data.get("parsed", data)
-    return name, parsed if isinstance(parsed, dict) else {}
+    if isinstance(parsed, dict) and parsed.get("queries"):
+        return name, parsed
+    sidecar = os.path.join(root, "BENCH", "LAST_RUN.json")
+    try:
+        with open(sidecar) as fh:
+            side = json.load(fh)
+        if isinstance(side, dict) and side.get("queries"):
+            return f"{name} (via BENCH/LAST_RUN.json)", side
+    except (OSError, ValueError):
+        pass
+    return None, {}
 
 
 def main() -> None:
@@ -137,6 +155,7 @@ def main() -> None:
     # -- operator queries over the sf tables -----------------------------
     # steady-state timing: first run warms codegen/JIT + file index,
     # the recorded number is the second run
+    from textract_demo_spark.datapipe.dedup import release_cached
     for name in BENCH_QUERIES:
         if name not in QUERIES:
             continue
@@ -145,6 +164,9 @@ def main() -> None:
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # pair/cluster/semdedup frames carry persisted handles; the
+        # suite runs ~45 queries in one session — release per query
+        release_cached(df)
 
     # -- fast-family companions ------------------------------------------
     # dedup_simhash / ann_lsh_topk / ann_ivf_topk run the md5
@@ -230,7 +252,10 @@ def main() -> None:
     except Exception:
         pass  # sidecar is best-effort: stdout JSON is the contract
 
-    print(json.dumps({
+    # full record -> sidecar (machine-readable, used for next round's
+    # delta); compact contract line LAST on stdout so the driver's
+    # bounded tail buffer always captures a parseable JSON line
+    full = {
         "metric": "extraction+operator suite wall time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -238,7 +263,15 @@ def main() -> None:
         "sf": sf,
         **extras,
         "delta_vs_prev": delta,
-    }))
+    }
+    try:
+        root = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(root, "BENCH", "LAST_RUN.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass  # sidecar is best-effort: stdout JSON is the contract
+    compact = {k: v for k, v in full.items() if k != "delta_vs_prev"}
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -263,6 +263,12 @@ def main() -> None:
     d = (redact_pii(d)
          .withColumn("text", F.col("text_redacted"))
          .drop("text_redacted"))
+    # redaction is the last text mutation — recompute token counts so
+    # stage 7 packs against budgets measured on the text it actually
+    # emits (stage-3 counts are pre-redaction); narrow per-row
+    # expressions, zero shuffle
+    d = with_token_stats(d.drop("n_chars_calc", "n_tokens",
+                                "n_distinct_tokens", "n_subword_est"))
 
     # 5. optional decontamination against an eval set
     if args.eval_input:

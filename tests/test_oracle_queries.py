@@ -50,7 +50,13 @@ ORACLES = entrymod.oracle_sql()
 
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))
 def test_query_matches_oracle(spark, name):
-    got = _normalize(QUERIES[name](spark, SF_DIR).toPandas())
+    from textract_demo_spark.datapipe.dedup import release_cached
+    df = QUERIES[name](spark, SF_DIR)
+    got = _normalize(df.toPandas())
+    # pair/cluster/semdedup queries return frames carrying persisted
+    # handles; one long pytest session runs all ~70 — release per
+    # query or executor storage accumulates across the whole run
+    release_cached(df)
     exp = _normalize(_duck(ORACLES[name]))
     assert list(got.columns) == list(exp.columns), (
         f"{name}: columns {list(got.columns)} != {list(exp.columns)}")

@@ -36,7 +36,10 @@ _STREAM_START_RE = re.compile(rb"stream\r?\n")
 _STREAM_END_RE = re.compile(rb"(.*?)\r?\n?endstream", re.S)
 _ENDSTREAM_NEAR_RE = re.compile(rb"\s{0,4}endstream")
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+# (?!\s+\d+\s+R) rejects indirect length refs ('/Length 5 0 R' would
+# otherwise yield n=5 and rest on the endstream-follows guard alone);
+# indirect refs take the delimiter fallback instead
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)\b")
 
 Y_TOLERANCE = 2.0
 COLUMN_GAP = 30.0  # gap (pts) between estimated run end and next run => column split

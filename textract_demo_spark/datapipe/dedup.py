@@ -447,13 +447,18 @@ def neardup_clusters(ids: DataFrame, pairs: DataFrame,
 
     Iterative min-label propagation: label(v) starts as v; each round
     takes the min of a node's own label and its neighbors' labels;
-    converges in O(diameter) <= O(log n) rounds for the short chains
-    near-dup graphs form. Each round is ONE shuffle (edge-label join +
-    groupBy min) plus a driver-side convergence count — the standard
+    converges in O(diameter) rounds (a chain of templated near-dups
+    is the worst case — diameter is NOT bounded by log n on chain
+    graphs). Each round is ONE shuffle (edge-label join + groupBy
+    min) plus a driver-side convergence count — the standard
     distributed connected-components shape; labels persist per round
     and the previous round unpersists, so memory is one label set.
-    Deterministic; DuckDB replays it as a recursive CTE (min reachable
-    id), which is how the driver oracle checks it.
+    Raises if the loop exits after ``max_iters`` rounds without
+    converging (changed != 0) — a silent early exit would return
+    labels that are not the component min, diverging from the
+    recursive-CTE oracle contract. Deterministic; DuckDB replays it
+    as a recursive CTE (min reachable id), which is how the driver
+    oracle checks it.
 
     Output: (id, cluster_id), one row per input id.
     """
@@ -482,6 +487,13 @@ def neardup_clusters(ids: DataFrame, pairs: DataFrame,
         labels = nxt.select("v", "label")
         if changed == 0:
             break
+    else:
+        sym.unpersist()
+        cached.unpersist()
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — the pair graph has a "
+            f"component with diameter > {max_iters}; raise max_iters")
     sym.unpersist()
     out = labels.select(F.col("v").alias(id_col),
                         F.col("label").alias("cluster_id"))

@@ -83,6 +83,16 @@ def enrich_with_keyed_ttl_cache(events: DataFrame,
             else:
                 out_owner.append(owner)
                 out_cached.append(owner is not None)
+        # same EventTimeTimeout hazard as review_wait_with_timeout:
+        # a cache-read-only batch restores last_refresh from OLD state
+        # and re-parking at last_refresh + ttl <= watermark would
+        # throw. The entry is expired by event time anyway — drop it
+        # (future events have ts > watermark > last_refresh + ttl, so
+        # the per-row expiry check would null it regardless).
+        if (last_refresh is not None
+                and (last_refresh + ttl_seconds) * 1000
+                <= state.getCurrentWatermarkMs()):
+            last_refresh = None
         if last_refresh is None:
             state.remove()
         else:
@@ -180,16 +190,35 @@ def review_wait_with_timeout(tagged: "DataFrame",
             # review past the event-time deadline: expired — drop it
             # and keep the park; the state timeout surfaces timed_out
             rev_ts = rv = rd = rt = rw = None
+        # EventTimeTimeout rejects a timeout at/behind the current
+        # watermark (IllegalArgumentException kills the query), which
+        # can happen when a group gets data — e.g. a late-but-in-
+        # watermark review — in a micro-batch whose watermark already
+        # passed result_ts + timeout. Resolve the expiry inline then.
+        wm_ms = state.getCurrentWatermarkMs()
         if result_ts is not None:
+            deadline_ms = (result_ts + timeout_seconds) * 1000
+            if deadline_ms <= wm_ms:
+                if state.exists:
+                    state.remove()
+                yield emit(False, True)
+                return
             # park with the reference's timeout from the RESULT's
             # event time; the timeout fires once the watermark passes
             state.update((result_ts, None, None, None, None, None))
-            state.setTimeoutTimestamp((result_ts + timeout_seconds) * 1000)
+            state.setTimeoutTimestamp(deadline_ms)
         elif rw is not None:
+            deadline_ms = (rev_ts + timeout_seconds) * 1000
+            if deadline_ms <= wm_ms:
+                # stray held review already past its TTL: dropped,
+                # like a callback with an unknown token (no emit)
+                if state.exists:
+                    state.remove()
+                return
             # review before result (out-of-order): hold the answers,
             # bounded by the same TTL-style timeout from the review ts
             state.update((None, rev_ts, rv, rd, rt, rw))
-            state.setTimeoutTimestamp((rev_ts + timeout_seconds) * 1000)
+            state.setTimeoutTimestamp(deadline_ms)
         return
 
     return (tagged
