@@ -2835,3 +2835,250 @@ def lm_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.textstats import with_unigram_surprisal
     docs = _t(spark, sf_dir, "documents")
     return with_unigram_surprisal(docs)
+
+
+@query(
+    "extract_pdf_multipage",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+        'Vendor ' || CAST(doc_id % 97 AS VARCHAR) AS v,
+        printf('%02d/%02d/2021', doc_id % 28 + 1, doc_id % 12 + 1) AS d,
+        '$' || printf('%d.%02d', doc_id % 450 + 10, doc_id % 100) AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, v, d, t,
+        'Vendor: ' || v AS l0, 'Memo page one' AS l1,
+        'Date: ' || d AS l2, 'Total: ' || t AS l3
+      FROM f),
+    h AS (
+      SELECT doc_id, v, d, t, l0, l1, l2, l3,
+        length(l0) AS e0,
+        length(l0) + 1 AS s1, length(l0) + 1 + length(l1) AS e1,
+        length(l0) + length(l1) + 2 AS s2,
+        length(l0) + length(l1) + 2 + length(l2) AS e2,
+        length(l0) + length(l1) + length(l2) + 3 AS s3,
+        length(l0) + length(l1) + length(l2) + 3 + length(l3) AS e3,
+        l0 || chr(10) || l1 || chr(10) || l2 || chr(10) || l3 AS mt
+      FROM g),
+    b AS (
+      SELECT doc_id, mt, 0 AS block_id, 1 AS page, 'LINE' AS block_type,
+             '' AS kv_role, -1 AS kv_group_id, 0 AS reading_order,
+             l0 AS btext, 0 AS cs, e0 AS ce FROM h
+      UNION ALL SELECT doc_id, mt, 1, 1, 'KEY_VALUE', 'KEY', 0, -1,
+             'Vendor', 0, 6 FROM h
+      UNION ALL SELECT doc_id, mt, 2, 1, 'KEY_VALUE', 'VALUE', 0, -1,
+             v, 8, e0 FROM h
+      UNION ALL SELECT doc_id, mt, 3, 1, 'LINE', '', -1, 1,
+             l1, s1, e1 FROM h
+      UNION ALL SELECT doc_id, mt, 4, 2, 'LINE', '', -1, 2,
+             l2, s2, e2 FROM h
+      UNION ALL SELECT doc_id, mt, 5, 2, 'KEY_VALUE', 'KEY', 1, -1,
+             'Date', s2, s2 + 4 FROM h
+      UNION ALL SELECT doc_id, mt, 6, 2, 'KEY_VALUE', 'VALUE', 1, -1,
+             d, s2 + 6, e2 FROM h
+      UNION ALL SELECT doc_id, mt, 7, 3, 'LINE', '', -1, 3,
+             l3, s3, e3 FROM h
+      UNION ALL SELECT doc_id, mt, 8, 3, 'KEY_VALUE', 'KEY', 2, -1,
+             'Total', s3, s3 + 5 FROM h
+      UNION ALL SELECT doc_id, mt, 9, 3, 'KEY_VALUE', 'VALUE', 2, -1,
+             t, s3 + 7, e3 FROM h
+      UNION ALL SELECT doc_id, mt, 10, 1, 'PAGE', '', -1, -1,
+             '', 0, e1 FROM h
+      UNION ALL SELECT doc_id, mt, 11, 2, 'PAGE', '', -1, -1,
+             '', s2, e2 FROM h
+      UNION ALL SELECT doc_id, mt, 12, 3, 'PAGE', '', -1, -1,
+             '', s3, e3 FROM h)
+    SELECT doc_id, 'ok' AS status, 'pdf' AS kind, mt AS main_text,
+           block_id::BIGINT AS block_id, page::BIGINT AS page,
+           block_type, kv_role, kv_group_id::BIGINT AS kv_group_id,
+           reading_order::BIGINT AS reading_order, btext,
+           cs::BIGINT AS char_start, ce::BIGINT AS char_end
+    FROM b
+    """)
+def extract_pdf_multipage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-page PDF end-to-end (the async/multipage Textract analog —
+    fn-call-textract/main.py:62-97 drafts StartDocumentAnalysis for
+    multi-page documents; our engine handles them synchronously, one
+    content stream per page, core/pdf_extract.py extract_pdf).
+
+    A THREE-page PDF is constructed in SQL per document: page 1 has a
+    Vendor KV line plus a plain memo line, pages 2/3 one KV line each.
+    Page 2's content stream declares its length as an INDIRECT ref
+    (``/Length 9 0 R``) — the spec-legal form _LENGTH_RE must reject —
+    so the delimiter-fallback slice path is driver-verified too. The
+    oracle predicts every block from string arithmetic: reading order
+    is page-major across page boundaries (page asc, y desc), main_text
+    joins lines across pages, block_ids interleave LINE/KEY/VALUE per
+    cluster with the per-page PAGE blocks appended last, and each PAGE
+    block spans exactly its page's lines in the main_text domain."""
+    docs = _t(spark, sf_dir, "documents")
+    vendor = F.concat(F.lit("Vendor "),
+                      (F.col("doc_id") % 97).cast("string"))
+    date = F.format_string("%02d/%02d/2021", F.col("doc_id") % 28 + 1,
+                           F.col("doc_id") % 12 + 1)
+    total = F.concat(F.lit("$"), F.format_string(
+        "%d.%02d", F.col("doc_id") % 450 + 10, F.col("doc_id") % 100))
+    s1 = F.concat(F.lit("BT\n/F1 12 Tf\n72 720 Td\n(Vendor: "), vendor,
+                  F.lit(") Tj\n0 -20 Td\n(Memo page one) Tj\nET"))
+    s2 = F.concat(F.lit("BT\n/F1 12 Tf\n72 720 Td\n(Date: "), date,
+                  F.lit(") Tj\nET"))
+    s3 = F.concat(F.lit("BT\n/F1 12 Tf\n72 720 Td\n(Total: "), total,
+                  F.lit(") Tj\nET"))
+    pdf = F.concat(
+        F.lit("%PDF-1.4\n"
+              "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+              "2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R 5 0 R]"
+              " /Count 3 >>\nendobj\n"
+              "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\n"
+              "endobj\n"
+              "4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>\n"
+              "endobj\n"
+              "5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>\n"
+              "endobj\n"
+              "6 0 obj\n<< /Length "),
+        F.length(s1).cast("string"),
+        F.lit(" >>\nstream\n"), s1,
+        F.lit("\nendstream\nendobj\n"
+              "7 0 obj\n<< /Length 9 0 R >>\nstream\n"), s2,
+        F.lit("\nendstream\nendobj\n"
+              "8 0 obj\n<< /Length "),
+        F.length(s3).cast("string"),
+        F.lit(" >>\nstream\n"), s3,
+        F.lit("\nendstream\nendobj\n"
+              "9 0 obj\n"),
+        F.length(s2).cast("string"),
+        F.lit("\nendobj\n%%EOF\n"))
+    payload = F.concat(F.lit("data:application/pdf;base64,"),
+                       F.regexp_replace(F.base64(pdf.cast("binary")),
+                                        "[\\r\\n]", ""))
+    out = _run_extraction(_docs_as_turns(docs, payload))
+    b = out.select("doc_id", "status", "kind", "main_text",
+                   F.explode("blocks").alias("b"))
+    return b.select(
+        "doc_id", "status", "kind", "main_text",
+        F.col("b.block_id").cast("long").alias("block_id"),
+        F.col("b.page").cast("long").alias("page"),
+        F.col("b.block_type").alias("block_type"),
+        F.coalesce(F.col("b.kv_role"), F.lit("")).alias("kv_role"),
+        F.coalesce(F.col("b.kv_group_id"), F.lit(-1)).cast("long")
+         .alias("kv_group_id"),
+        F.col("b.reading_order").cast("long").alias("reading_order"),
+        F.col("b.text").alias("btext"),
+        F.col("b.char_start").cast("long").alias("char_start"),
+        F.col("b.char_end").cast("long").alias("char_end"))
+
+
+def _dq(s: str) -> str:
+    """A Python string as a DuckDB concat expression (standard SQL
+    literals don't interpret escapes, so newlines splice as chr(10))."""
+    parts = []
+    for i, seg in enumerate(s.split("\n")):
+        if i:
+            parts.append("chr(10)")
+        if seg:
+            parts.append("'" + seg.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+_LG_PDF_HEAD = ("%PDF-1.4\n"
+                "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+                "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n"
+                "endobj\n"
+                "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+                "endobj\n"
+                "4 0 obj\n<< /Length ")
+_LG_STREAM_PRE = "BT\n/F1 12 Tf\n72 720 Td\n(Invoice: INV-"
+_LG_STREAM_POST = ") Tj\nET"
+_LG_NOT_PDF = "data:application/pdf;base64,aGVsbG8gd29ybGQ="
+_LG_MALFORMED = "data:application/pdf;base64,!!!notb64"
+
+
+def _learned_gate_oracle() -> str:
+    from ..core.quality_model import score_sql
+    stream = (f"{_dq(_LG_STREAM_PRE)} || CAST(doc_id AS VARCHAR)"
+              f" || {_dq(_LG_STREAM_POST)}")
+    pdf = (f"{_dq(_LG_PDF_HEAD)} || CAST(length({stream}) AS VARCHAR)"
+           f" || {_dq(' >>')} || chr(10) || {_dq('stream')} || chr(10)"
+           f" || {stream} || chr(10)"
+           f" || {_dq('endstream')} || chr(10) || {_dq('endobj')}"
+           f" || chr(10) || {_dq('%%EOF')} || chr(10)")
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+        CASE doc_id % 7
+          WHEN 0 THEN ''
+          WHEN 1 THEN '<html><p>truncated'
+          WHEN 2 THEN 'data:application/pdf;base64,'
+                      || to_base64(({pdf})::BLOB)
+          WHEN 3 THEN '{_LG_NOT_PDF}'
+          WHEN 4 THEN '{_LG_MALFORMED}'
+          ELSE text END AS payload
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        CASE doc_id % 7 WHEN 0 THEN 'rejected' WHEN 1 THEN 'rejected'
+             WHEN 3 THEN 'rejected' WHEN 4 THEN 'malformed'
+             ELSE 'ok' END AS status,
+        CASE doc_id % 7 WHEN 2 THEN 'pdf'
+             WHEN 5 THEN 'plain' WHEN 6 THEN 'plain'
+             ELSE 'bad' END AS kind,
+        CAST({score_sql('payload', 'duckdb')} AS BIGINT)
+          AS learned_score_micro
+      FROM p)
+    SELECT doc_id, status, kind,
+           CASE WHEN learned_score_micro >= 0 THEN 'good' ELSE 'bad' END
+             AS learned_label,
+           learned_score_micro,
+           (status = 'ok')
+             = (learned_score_micro >= 0) AS agree
+    FROM s
+    """
+
+
+@query("quality_gate_learned", oracle=_learned_gate_oracle())
+def quality_gate_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality gate vs the heuristic gate it distills (the
+    Rekognition custom-labels training analog — the reference trains
+    its gate on a labelled corpus, source/ocr/preprocessing/
+    README.md:46-57 + groundtruth-labelling/, and routes on the
+    model's top label, fn-preprocess/main.py:117-146).
+
+    Payload arms per doc (empty / truncated HTML / real single-page
+    PDF / non-PDF base64 / malformed base64 / plain text) run through
+    BOTH gates: the heuristic one inside the real pipeline (status =
+    its routing) and the learned one (core/quality_model.py frozen
+    integer-quantized logistic, applied as pure narrow Spark SQL by
+    engine/learned_gate.py — zero Python in the hot path). The oracle
+    replays the payload construction AND the integer score arithmetic
+    in DuckDB with the same frozen coefficients, and checks the two
+    gates agree on every arm."""
+    from .learned_gate import with_learned_quality
+    docs = _t(spark, sf_dir, "documents")
+    stream = F.concat(F.lit(_LG_STREAM_PRE),
+                      F.col("doc_id").cast("string"),
+                      F.lit(_LG_STREAM_POST))
+    pdf = F.concat(F.lit(_LG_PDF_HEAD), F.length(stream).cast("string"),
+                   F.lit(" >>\nstream\n"), stream,
+                   F.lit("\nendstream\nendobj\n%%EOF\n"))
+    good_pdf = F.concat(F.lit("data:application/pdf;base64,"),
+                        F.regexp_replace(F.base64(pdf.cast("binary")),
+                                         "[\\r\\n]", ""))
+    payload = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(""))
+        .when(F.col("doc_id") % 7 == 1, F.lit("<html><p>truncated"))
+        .when(F.col("doc_id") % 7 == 2, good_pdf)
+        .when(F.col("doc_id") % 7 == 3, F.lit(_LG_NOT_PDF))
+        .when(F.col("doc_id") % 7 == 4, F.lit(_LG_MALFORMED))
+        .otherwise(F.col("text")))
+    turns = _docs_as_turns(docs, payload)
+    learned = with_learned_quality(
+        turns.select("doc_id", "text")).select(
+        "doc_id", "learned_label", "learned_score_micro")
+    ext = _run_extraction(turns).select("doc_id", "status", "kind")
+    return (ext.join(learned, "doc_id")
+            .select("doc_id", "status", "kind", "learned_label",
+                    "learned_score_micro",
+                    ((F.col("status") == "ok")
+                     == (F.col("learned_score_micro") >= 0))
+                    .alias("agree")))
