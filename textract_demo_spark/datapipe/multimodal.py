@@ -2,16 +2,25 @@
 columns with typed metadata, decoded/feature-extracted via Arrow-
 batched Pandas UDFs over mapInPandas.
 
-The image/audio codec libraries are not available in this container,
-so the decode kernel is STUBBED behind ``decode_enabled`` — with a
-deterministic fake feature extractor standing in — while everything
-Spark-side (schema, binary handling, batch shape, partitioning,
-UDF signature) is real and tested. Swap ``_fake_features`` for a real
-PIL/torchvision/ffmpeg kernel on a full cluster.
+Two decode tiers:
+
+* **Real stdlib decoders** for honest uncompressed formats —
+  ``decode_bmp`` (24-bit BI_RGB Windows bitmaps: bottom-up rows,
+  4-byte stride padding, BGR channel order) and ``decode_wav``
+  (RIFF/WAVE PCM-16: chunk walk, interleaved little-endian frames).
+  These need no codec libraries and back the ``media_features``
+  operator end-to-end.
+* **Compressed formats** (JPEG/PNG/MP3/H.264) still need codec
+  libraries this container lacks; for those, ``extract_frames``
+  keeps the deterministic byte-statistics stand-in behind
+  ``decode_enabled`` — swap in a PIL/ffmpeg kernel on a full
+  cluster. ``_real_decode`` handles BMP/WAV and raises with a clear
+  message for anything compressed.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -42,11 +51,188 @@ def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.encode(F.col(text_col), "UTF-8")).alias("content_hash"))
 
 
+class MediaDecodeError(ValueError):
+    pass
+
+
+def build_bmp(width: int, height: int,
+              pixels_rgb: list[tuple[int, int, int]]) -> bytes:
+    """Serialize a 24-bit BI_RGB bitmap (row-major top-down input;
+    stored bottom-up with 4-byte row stride, per the format)."""
+    if len(pixels_rgb) != width * height:
+        raise ValueError("pixel count != width*height")
+    stride = (width * 3 + 3) // 4 * 4
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels_rgb[y * width + x]
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    pixel_data = b"".join(rows)
+    off = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", off + len(pixel_data), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            len(pixel_data), 2835, 2835, 0, 0))
+    return header + pixel_data
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, list[int]]:
+    """Parse a 24-bit uncompressed BMP; returns (width, height,
+    [sum_r, sum_g, sum_b]) as exact integers (padding excluded)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise MediaDecodeError("not a BMP")
+    (off,) = struct.unpack_from("<I", data, 10)
+    dib, width, height, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", data, 14)
+    if dib < 40:
+        raise MediaDecodeError(f"unsupported DIB header size {dib}")
+    if bpp != 24 or comp != 0:
+        raise MediaDecodeError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+    if width <= 0 or height <= 0:
+        # top-down (negative height) is legal but out of scope here
+        raise MediaDecodeError("unsupported BMP dimensions")
+    stride = (width * 3 + 3) // 4 * 4
+    need = off + stride * height
+    if len(data) < need:
+        raise MediaDecodeError("truncated BMP pixel array")
+    sums = [0, 0, 0]  # r, g, b
+    for y in range(height):
+        base = off + y * stride
+        for x in range(width):
+            p = base + x * 3
+            sums[2] += data[p]       # B
+            sums[1] += data[p + 1]   # G
+            sums[0] += data[p + 2]   # R
+    return width, height, sums
+
+
+def build_wav(channels: int, sample_rate: int,
+              samples: list[int]) -> bytes:
+    """Serialize PCM-16 RIFF/WAVE; ``samples`` is interleaved
+    (frame-major) int16 values."""
+    if len(samples) % channels:
+        raise ValueError("sample count not a multiple of channels")
+    payload = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
+    """Parse PCM-16 RIFF/WAVE via the chunk walk; returns
+    (channels, sample_rate, frames_per_channel, [sum_abs per channel])
+    as exact integers."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise MediaDecodeError("not a RIFF/WAVE file")
+    pos = 12
+    channels = rate = None
+    payload = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise MediaDecodeError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise MediaDecodeError("short fmt chunk")
+            audio_fmt, channels, rate, _br, _ba, bits = \
+                struct.unpack_from("<HHIIHH", body)
+            if audio_fmt != 1 or bits != 16:
+                raise MediaDecodeError(
+                    f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None or payload is None:
+        raise MediaDecodeError("missing fmt or data chunk")
+    n = len(payload) // (2 * channels)
+    sums = [0] * channels
+    for i in range(n):
+        for c in range(channels):
+            (v,) = struct.unpack_from("<h", payload, (i * channels + c) * 2)
+            sums[c] += abs(v)
+    return channels, rate, n, sums
+
+
+MEDIA_FEATURE_SCHEMA = (
+    "doc_id long, media_type string, width long, height long, "
+    "n_samples long, sample_rate long, "
+    "ch0_milli long, ch1_milli long, ch2_milli long")
+
+
+def media_features(media: DataFrame, strict: bool = True) -> DataFrame:
+    """REAL media decode over binary columns (mapInPandas, Arrow
+    batches): dispatch on ``media_type`` — ``image/bmp`` decodes to
+    per-channel mean pixel values (milli-units, exact integers:
+    1000*sum//count), ``audio/wav`` to per-channel mean absolute
+    PCM amplitude. Unknown media types raise (``strict=True``) or
+    pass through with -1 features. Channels beyond the format's
+    (mono WAV) report -1.
+
+    Scale shape: one pass over the bytes, zero shuffles, output is a
+    narrow fixed-width row per blob — the pattern a 100-TB frame/
+    feature-extraction stage needs (the expensive work is in the
+    Arrow batch kernel; partitioning is whatever the scan gave us)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "media_type", "width",
+                                    "height", "n_samples", "sample_rate",
+                                    "ch0_milli", "ch1_milli", "ch2_milli")}
+            for doc_id, mtype, blob in zip(pdf["doc_id"],
+                                           pdf["media_type"],
+                                           pdf["media"]):
+                data = bytes(blob) if blob is not None else b""
+                w = h = n = rate = 0
+                ch = [-1, -1, -1]
+                if mtype == "image/bmp":
+                    w, h, sums = decode_bmp(data)
+                    ch = [(1000 * s) // (w * h) for s in sums]
+                elif mtype == "audio/wav":
+                    nch, rate, n, sums = decode_wav(data)
+                    for c in range(min(nch, 3)):
+                        ch[c] = (1000 * sums[c]) // max(n, 1)
+                elif strict:
+                    raise MediaDecodeError(
+                        f"no stdlib decoder for {mtype!r}; compressed"
+                        " formats need codec libraries (extract_frames"
+                        " offers the byte-statistics stand-in)")
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(mtype)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_samples"].append(n)
+                rows["sample_rate"].append(rate)
+                rows["ch0_milli"].append(ch[0])
+                rows["ch1_milli"].append(ch[1])
+                rows["ch2_milli"].append(ch[2])
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "media_type", "media").mapInPandas(
+        run, schema=MEDIA_FEATURE_SCHEMA)
+
+
 def _real_decode(data: bytes) -> list[list[float]]:
+    """Frame features via the stdlib decoders (BMP/WAV); compressed
+    formats still need codec libraries."""
+    if data[:2] == b"BM":
+        w, h, sums = decode_bmp(data)
+        feats = [round(s / (255.0 * w * h), 6) for s in sums]
+        return [feats + [0.0] * (N_FEATURES - len(feats))]
+    if data[:4] == b"RIFF":
+        nch, _rate, n, sums = decode_wav(data)
+        feats = [round(s / (32768.0 * max(n, 1)), 6) for s in sums]
+        return [feats[:N_FEATURES]
+                + [0.0] * max(N_FEATURES - len(feats), 0)]
     raise NotImplementedError(
-        "media decode requires codec libraries (PIL/ffmpeg) not present"
-        " in this container; set multimodal.decode_enabled=True on a"
-        " full cluster and implement the kernel here")
+        "compressed media decode requires codec libraries (PIL/ffmpeg)"
+        " not present in this container; only uncompressed BMP/WAV have"
+        " stdlib decoders (decode_bmp/decode_wav)")
 
 
 def _fake_features(data: bytes) -> list[list[float]]:

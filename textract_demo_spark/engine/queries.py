@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf resolves pd.Series
+                     # hints via module globals under future-annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -3082,3 +3084,164 @@ def quality_gate_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("status") == "ok")
                      == (F.col("learned_score_micro") >= 0))
                     .alias("agree")))
+
+
+@query(
+    "multimodal_real_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+        2 + doc_id % 5 AS w, 1 + doc_id % 3 AS h,
+        doc_id % 200 AS r0, (7 * doc_id) % 200 AS g0,
+        (13 * doc_id) % 200 AS b0,
+        16 + doc_id % 17 AS n, doc_id % 100 AS c
+      FROM documents),
+    q AS (
+      SELECT doc_id, w, h, n,
+        -- sum over pixels of (c0 + x + y), no mod wrap by design
+        w*h*r0 + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS sum_r,
+        w*h*g0 + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS sum_g,
+        w*h*b0 + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS sum_b,
+        -- sum of |s_i| = c + i%8 over i < n
+        n*c + 28*(n//8) + (n%8)*((n%8)-1)//2 AS sum_abs
+      FROM p)
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END
+        AS media_type,
+      CASE WHEN doc_id % 2 = 0 THEN w ELSE 0 END::BIGINT AS width,
+      CASE WHEN doc_id % 2 = 0 THEN h ELSE 0 END::BIGINT AS height,
+      CASE WHEN doc_id % 2 = 0 THEN 0 ELSE n END::BIGINT AS n_samples,
+      CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 END::BIGINT
+        AS sample_rate,
+      CASE WHEN doc_id % 2 = 0 THEN (1000*sum_r)//(w*h)
+           ELSE (1000*sum_abs)//n END::BIGINT AS ch0_milli,
+      CASE WHEN doc_id % 2 = 0 THEN (1000*sum_g)//(w*h)
+           ELSE -1 END::BIGINT AS ch1_milli,
+      CASE WHEN doc_id % 2 = 0 THEN (1000*sum_b)//(w*h)
+           ELSE -1 END::BIGINT AS ch2_milli
+    FROM q
+    """)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode end-to-end (datapipe/multimodal.py
+    media_features): per-doc media blobs — even docs a 24-bit BMP
+    with a +x+y gradient per channel (bottom-up rows, BGR order,
+    4-byte stride padding all exercised; widths 2..6 include padded
+    and unpadded strides), odd docs a PCM-16 WAV whose sample
+    amplitudes ramp as c + i%8 with alternating sign — are
+    synthesized in an Arrow-batched builder, then decoded by the
+    stdlib decoders inside mapInPandas. The oracle predicts every
+    feature from integer arithmetic (gradient sums in closed form;
+    abs-sum of the ramp via its period). No fake kernel anywhere in
+    this path."""
+    from pyspark.sql.types import BinaryType
+
+    from ..datapipe.multimodal import build_bmp, build_wav, media_features
+
+    @F.pandas_udf(BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in doc_ids:
+            d = int(doc_id)
+            if d % 2 == 0:
+                w, h = 2 + d % 5, 1 + d % 3
+                base = (d % 200, (7 * d) % 200, (13 * d) % 200)
+                px = [tuple(c0 + x + y for c0 in base)
+                      for y in range(h) for x in range(w)]
+                out.append(build_bmp(w, h, px))
+            else:
+                n, c = 16 + d % 17, d % 100
+                samples = [(c + i % 8) * (1 if i % 2 == 0 else -1)
+                           for i in range(n)]
+                out.append(build_wav(1, 8000, samples))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        synth(F.col("doc_id")).alias("media"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image/bmp"))
+         .otherwise(F.lit("audio/wav")).alias("media_type"))
+    return media_features(media)
+
+
+@query(
+    "skew_salted_extract",
+    oracle="""
+    WITH d AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT 'ok' AS status, 'plain' AS kind,
+           (200 * n_docs + 50)::BIGINT AS total_rows,
+           (200 * n_docs)::BIGINT AS hot_rows,
+           true AS spread_wide, true AS straggler_shrunk
+    FROM d
+    """)
+def skew_salted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew robustness of the extraction exchange under the driver
+    oracle (the north rule's explicit claim: 'explicit salted
+    repartitioning on conv_id to defuse long-conversation skew'; the
+    physical-plan side is gated in tests/test_plans.py and the
+    distribution law in tests/test_skew.py — this query proves it on
+    the REAL extract_turns path with a hard-signal row).
+
+    Input: ONE zipf-hot conversation with 200 turns per document
+    (10^5 turns at sf0.01) plus 50 single-turn cold conversations —
+    the shape a 10^12-turn agent-transcript table produces when one
+    agent loops. The query runs the real salted exchange +
+    mapInArrow extraction (salt=16, partitions=32), observes which
+    physical task processed each row BEFORE any further exchange
+    (spark_partition_id over the narrow extraction output), and
+    emits the skew claims as checkable facts:
+
+    - ``spread_wide``: the hot conversation landed on >= partitions/2
+      distinct tasks (salting spread it; unsalted it is ONE task);
+    - ``straggler_shrunk``: the largest task carried <= hot/4 rows
+      (the 4x straggler-shrink bound asserted since round 1). Salt is
+      64 for 32 partitions: with salt == partitions, balls-in-bins
+      collisions can stack ~4 of 16 buckets on one task (measured
+      max/ideal 3.99 — BENCH/SKEW_SPREAD.json); 2x-oversalting keeps
+      the worst task near ideal.
+
+    The oracle pins both claims plus exact row counts; the raw
+    per-task histogram is written to BENCH/SKEW_SPREAD.json by
+    BENCH/run_skew_probe.py for the manifest."""
+    from .udfs import extract_turns
+    docs = _t(spark, sf_dir, "documents")
+    hot = docs.select(
+        F.lit("conv-hot").alias("conv_id"),
+        F.explode(F.sequence(
+            F.col("doc_id").cast("int") * 200,
+            F.col("doc_id").cast("int") * 200 + 199)).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"))
+    cold = docs.filter(F.col("doc_id") < 50).select(
+        F.concat(F.lit("conv-"), F.col("doc_id").cast("string"))
+         .alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"))
+    salt, partitions = 64, 32
+    out = extract_turns(hot.unionByName(cold), salt=salt,
+                        partitions=partitions)
+    per_task = (out.withColumn("pid", F.spark_partition_id())
+                .withColumn("is_hot", F.col("conv_id") == "conv-hot")
+                .groupBy("pid")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.when(F.col("is_hot"), 1).otherwise(0))
+                      .alias("n_hot"),
+                     F.sum(F.when(F.col("status") == "ok", 1)
+                           .otherwise(0)).alias("n_ok"),
+                     F.sum(F.when(F.col("kind") == "plain", 1)
+                           .otherwise(0)).alias("n_plain")))
+    return per_task.agg(
+        F.when(F.sum("n_ok") == F.sum("n"), F.lit("ok"))
+         .otherwise(F.lit("mixed")).alias("status"),
+        F.when(F.sum("n_plain") == F.sum("n"), F.lit("plain"))
+         .otherwise(F.lit("mixed")).alias("kind"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.sum("n_hot").cast("long").alias("hot_rows"),
+        (F.sum(F.when(F.col("n_hot") > 0, 1).otherwise(0))
+         >= partitions // 2).alias("spread_wide"),
+        (F.max("n_hot") <= F.sum("n_hot") / 4).alias("straggler_shrunk"))
