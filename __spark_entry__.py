@@ -58,17 +58,65 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Registration order = driver verification order: the driver's
+# CORRECTNESS pass oracles the FIRST 50 registered queries, so the
+# least-proven entries must register first. Round 3 learned this the
+# hard way — 17 queries registered at positions 51-67 got no driver
+# row despite having oracles. Priority here: (1) everything with NO
+# driver-verified round yet (the r03 tail + this round's new
+# queries), then (2) the streaming/stateful/extraction/dedup queries
+# whose correctness is hardest to establish any other way; the pure-
+# SQL field-rule algebra (two green rounds of driver history, r02 +
+# r03) rotates to the tail.
+_PRIORITY = [
+    # never driver-verified before round 4 (r03 positions 51-67)
+    "ann_ivf_topk", "multimodal_media_meta", "multimodal_frame_features",
+    "text_repetition_stats", "split_assign", "shard_shuffle",
+    "mix_resample", "temperature_mix_targets", "decontam_ngram_overlap",
+    "token_topk_by_source", "length_percentiles_by_source",
+    "pii_detect_redact", "pack_fill_stats", "pack_sequences",
+    "semantic_dedup", "semantic_dedup_incremental", "lm_unigram_surprisal",
+    # new in round 4
+    "extract_pdf_multipage", "quality_gate_learned",
+    "multimodal_real_decode", "skew_salted_extract",
+    # hardest-to-prove green queries (streaming, extraction core,
+    # dedup family) keep their driver rows
+    "extract_plain_identity", "extract_html_boilerplate_strip",
+    "extract_pdf_success", "quality_gate_routing", "extract_table_cells",
+    "selection_elements", "words_from_lines",
+    "streaming_extract_availablenow", "streaming_ttl_cache",
+    "streaming_review_wait", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_incremental", "streaming_dedup_incremental", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
+    "dedup_substring_spans", "dedup_substring_stats",
+    "dedup_substring_rewrite", "embedding_cosine_neardup",
+    "text_token_stats", "text_quality_score", "gopher_quality_rules",
+    "text_langid", "text_fingerprint", "ann_cosine_topk", "ann_lsh_topk",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    missing = [n for n in _PRIORITY if n not in mapping]
+    if missing:
+        raise KeyError(f"_PRIORITY names not registered: {missing}")
+    tail = [n for n in mapping if n not in set(_PRIORITY)]
+    return {n: mapping[n] for n in [*_PRIORITY, *tail]}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Registered lazily from the engine's query module.
+    Registered lazily from the engine's query module; re-ordered so
+    the driver's 50-query verification window covers the entries
+    with the least driver history (see _PRIORITY).
     """
     from textract_demo_spark.engine.queries import QUERIES
-    return dict(QUERIES)
+    return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted => rows-only check)."""
+    """DuckDB-equivalent SQL per query (omitted => rows-only check);
+    same registration order as queries()."""
     from textract_demo_spark.engine.queries import ORACLES
-    return dict(ORACLES)
+    return _ordered(dict(ORACLES))

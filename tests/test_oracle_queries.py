@@ -72,3 +72,15 @@ def test_query_matches_oracle(spark, name):
 def test_all_queries_have_entries():
     assert set(ORACLES) <= set(QUERIES)
     assert len(QUERIES) >= 15
+
+
+def test_driver_window_covers_priority_queries():
+    """The driver oracles the FIRST 50 registered queries; the
+    explicit priority order must fill that window exactly and keep
+    queries() / oracle_sql() in the same order (r03 lost 17 rows to
+    registry order — this pins the fix)."""
+    names = list(QUERIES)
+    assert names[:len(entrymod._PRIORITY)] == entrymod._PRIORITY
+    assert len(entrymod._PRIORITY) == 50
+    oracle_names = list(ORACLES)
+    assert oracle_names == [n for n in names if n in ORACLES]
