@@ -37,7 +37,10 @@ Stages (each stage's shuffle budget is the design constraint at
                      lang-id) plus the unigram-surprisal cap (one
                      broadcast vocab + one per-doc aggregate); with
                      --gopher also the named Gopher rule conjunction
-                     (Rae et al. Table A1, zero extra shuffles)
+                     (Rae et al. Table A1, zero extra shuffles); with
+                     --learned-gate also the trained quality scorer
+                     (engine/learned_gate.py — one codegen'd
+                     projection, zero extra shuffles)
 3b. temperature mix  optional (--temperature-mix): down-sample
                      domains toward the T=2 mix (w = sqrt(count);
                      one domain-count aggregate + broadcast
@@ -92,6 +95,10 @@ def main() -> None:
                     help="also require the Gopher named-rule"
                          " conjunction (word count / mean word length"
                          " / symbols / alpha words / stop words)")
+    ap.add_argument("--learned-gate", action="store_true",
+                    help="also require the trained quality scorer"
+                         " (core/quality_model.py frozen logistic) to"
+                         " accept each doc — narrow SQL, no Python")
     ap.add_argument("--gopher-min-words", type=int, default=50)
     ap.add_argument("--gopher-min-stopwords", type=int, default=2,
                     help="distinct Gopher stop words required; corpora"
@@ -247,6 +254,13 @@ def main() -> None:
                 .filter("gopher_keep").select("doc_id"))
         d = d.join(keep, "doc_id")
         stats["after_gopher"] = d.count()
+    if args.learned_gate:
+        from textract_demo_spark.engine.learned_gate import \
+            with_learned_quality
+        d = (with_learned_quality(d)
+             .filter(F.col("learned_label") == "good")
+             .drop("learned_score_micro", "learned_label"))
+        stats["after_learned_gate"] = d.count()
 
     # 3b. optional temperature mixing: reshape the post-quality corpus
     # toward the T=2 domain mix (sqrt-dampened counts) — the most

@@ -377,3 +377,47 @@ def test_length_percentiles_single_group_exchange(spark):
     shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
     assert len(shuffles) == 1 and "source" in shuffles[0], shuffles
     assert "SinglePartition" not in p, p[:2000]
+
+
+def test_learned_quality_gate_is_narrow_codegen(spark):
+    """The trained quality gate is pure per-row JVM SQL with the
+    coefficients as plan-time literals — no Exchange, no Python node,
+    and the score stays inside whole-stage codegen."""
+    from textract_demo_spark.engine.learned_gate import \
+        with_learned_quality
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(with_learned_quality(docs))
+    assert "Exchange" not in p, p[:2000]
+    assert "Python" not in p, p[:2000]
+    # '*(n)' prefixes mark whole-stage-codegen stages in toString();
+    # the score projection must sit inside one
+    assert "*(1) Project" in p, p[:2000]
+
+
+def test_media_features_zero_shuffle_pruned_scan(spark):
+    """Real media decode is one Arrow-batched map over the scan: no
+    Exchange, and only the three needed columns reach the scan."""
+    import re
+
+    from textract_demo_spark.datapipe.multimodal import (attach_media,
+                                                         media_features)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    media = attach_media(docs).withColumn(
+        "media_type", F.lit("image/bmp"))
+    p = plan(media_features(media, strict=False))
+    assert "Exchange" not in p, p[:2000]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p[:2000]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_skew_query_single_salted_exchange_before_extract(spark):
+    """skew_salted_extract pays exactly one exchange before the
+    Python extraction stage (the explicit salted repartition); the
+    per-task aggregation afterwards is partial-agg + one exchange."""
+    from textract_demo_spark.engine.queries import QUERIES
+    p = plan(QUERIES["skew_salted_extract"](spark, SF))
+    head = p.split("MapInArrow")[-1]  # plan prints output-first; the
+    # section AFTER the last MapInArrow line is the pre-extract input
+    assert head.count("Exchange hashpartitioning") == 1, p[:3000]
