@@ -315,6 +315,47 @@ xxhash64 path) at local[32], single-run protocol (drift applies):
   shape): {ss['stats_sec']} s over the same corpus.{rewrite}
 """
 
+    skew_path = os.path.join(ROOT, "BENCH", "SKEW_SPREAD.json")
+    if os.path.exists(skew_path):
+        with open(skew_path) as fh:
+            sk = json.load(fh)
+        rows = "\n".join(
+            f"| {s['salt']} | {s['tasks_used']} | {s['max_task_rows']:,}"
+            f" | {s['max_over_ideal']} |" for s in sk["sweeps"])
+        stress_section += f"""
+## Skew spread — salted extraction exchange (BENCH/run_skew_probe.py)
+
+One zipf-hot conversation ({sk['sweeps'][0]['hot_rows']:,} turns, the
+north rule's long-conversation skew case) through the REAL
+`extract_turns` exchange at {sk['partitions']} partitions
+(driver-verified as booleans by the `skew_salted_extract` query; raw
+histograms in BENCH/SKEW_SPREAD.json):
+
+| salt | tasks used | max task rows | max / ideal-per-salt |
+|---|---|---|---|
+{rows}
+
+Unsalted (salt=1) the conversation is ONE straggler task. salt ==
+partitions still stacks ~4 of 16 buckets on one task (balls-in-bins);
+the pipeline therefore oversalts 2x (salt=64 at 32 partitions), which
+keeps the worst task within ~3x of ideal and far under the hot/4
+straggler bound.
+"""
+
+    ab_path = os.path.join(ROOT, "BENCH", "SIMHASH_AB.json")
+    if os.path.exists(ab_path):
+        with open(ab_path) as fh:
+            ab = json.load(fh)
+        stress_section += f"""
+## dedup_simhash_fast r03 ratio — A/B attribution (BENCH/SIMHASH_AB.json)
+
+{ab['verdict']}
+
+(probe {ab['probe_sec']}s, load {ab['loadavg_1m']}; arrow reps
+{ab['arrow_reps_sec']} best {ab['arrow_best_sec']}s; pure-SQL reps
+{ab['sql_reps_sec']} best {ab['sql_best_sec']}s.)
+"""
+
     md = f"""# BENCH/BASELINE — measured scaling evidence
 
 Protocol (BASELINE.md): identical extraction job (`jobs/run_extract.py`,

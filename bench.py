@@ -42,7 +42,9 @@ BENCH_QUERIES = [
     # extraction end-to-end variants
     "extract_html_boilerplate_strip", "extract_table_cells",
     "error_taxonomy_routing", "words_from_lines",
-    "extract_pdf_success",
+    "extract_pdf_success", "extract_pdf_multipage",
+    # trained quality gate (full pipeline + learned score, 6 arms)
+    "quality_gate_learned",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_incremental",
@@ -60,8 +62,11 @@ BENCH_QUERIES = [
     "pii_detect_redact", "pack_sequences",
     "token_topk_by_source", "pack_fill_stats",
     "length_percentiles_by_source",
-    # multimodal plumbing
-    "multimodal_frame_features",
+    # multimodal plumbing + real stdlib decode
+    "multimodal_frame_features", "multimodal_real_decode",
+    # skew_salted_extract is deliberately NOT here: at sf0.1 it
+    # extracts a 10^6-turn hot conversation (a stress run, not a
+    # suite row — BENCH/run_skew_probe.py records its histograms)
 ]
 
 
