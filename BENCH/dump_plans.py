@@ -244,6 +244,31 @@ def main() -> None:
         formatted(contamination_overlap(docs.filter("doc_id >= 20"),
                                         docs.filter("doc_id < 20")))))
 
+    from textract_demo_spark.datapipe.lines import c4_line_filter, line_dedup
+    sections.append((
+        "C4 line hygiene (terminal punctuation / min words / lorem"
+        " ipsum / braces)",
+        "Per-line cleaning as higher-order array SQL (split -> filter"
+        " -> array_join): ZERO exchanges, zero Python — the whole tier"
+        " is one narrow projection inside whole-stage codegen, so"
+        " cleaning 10^12 docs costs exactly one scan.",
+        formatted(c4_line_filter(docs.select("doc_id", "text")))))
+
+    sections.append((
+        "Corpus-wide keep-first line dedup (skew-robust, no window)",
+        "Boilerplate lines are the hottest keys in a web corpus, so"
+        " the global first-occurrence is found by partial-aggregated"
+        " min(struct(doc_id, line_idx)) — map-side combine collapses a"
+        " 10^9-hot line to one row per map task BEFORE the shuffle —"
+        " and losers are marked by a left-anti equi-join on the full"
+        " (h0, h1, doc_id, line_idx) quad, uniformly distributed even"
+        " for hot lines. A row_number() window over the line hash"
+        " would funnel every occurrence of a hot line into one task"
+        " (no AQE skew split for windows); the plan gate asserts no"
+        " Window node appears. Line TEXT never shuffles — only 28-byte"
+        " hash/position rows.",
+        formatted(line_dedup(docs.select("doc_id", "text")))))
+
     from textract_demo_spark.datapipe.packing import pack_greedy
     from textract_demo_spark.datapipe.pii import redact_pii, with_pii_stats
     from textract_demo_spark.datapipe.textstats import (token_topk,

@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_incremental",
     "dedup_substring_spans", "dedup_substring_rewrite",
+    # line-level cleaning (C4 hygiene + corpus keep-first line dedup)
+    "c4_line_filter", "line_dedup_rewrite",
     # similarity / ANN family
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "semantic_dedup", "semantic_dedup_incremental",

@@ -12,6 +12,14 @@ Usage:
 Stages (each stage's shuffle budget is the design constraint at
 10^12 docs — see the operator docstrings for the full arguments):
 
+0b. line hygiene     optional (--c4-lines): C4-style per-line
+                     drops (terminal punctuation / min words / lorem
+                     ipsum / code braces) — narrow array SQL, zero
+                     shuffles; docs left with no lines are dropped
+0c. line dedup       optional (--line-dedup): corpus-wide keep-first
+                     exact line dedup — one (h0,h1) line-key window
+                     exchange of narrow rows, excision join only for
+                     docs that lost a line
 1. exact dedup       one window shuffle on the 16-byte content hash
 1b. snapshot dedup   optional (--snapshot-index): drop docs that
                      near-duplicate a FROZEN prior corpus snapshot
@@ -91,6 +99,15 @@ def main() -> None:
                     help="after the coverage cap, excise every"
                          " non-first duplicated span from the"
                          " surviving docs (keep-first corpus rewrite)")
+    ap.add_argument("--c4-lines", action="store_true",
+                    help="C4-style line hygiene before dedup: drop"
+                         " lines without terminal punctuation / < 3"
+                         " words / lorem ipsum / curly braces; drop"
+                         " docs with no surviving lines")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="corpus-wide keep-first exact line dedup"
+                         " before whole-doc dedup (boilerplate/log"
+                         " line scrubber)")
     ap.add_argument("--gopher", action="store_true",
                     help="also require the Gopher named-rule"
                          " conjunction (word count / mean word length"
@@ -162,6 +179,22 @@ def main() -> None:
 
     docs = spark.read.parquet(args.input)
     stats["input"] = docs.count()
+
+    # 0b/0c. optional line-level cleaning (C4 hygiene, then corpus
+    # keep-first line dedup) — both rewrite `text` in place before
+    # any doc-level dedup sees it
+    if args.c4_lines:
+        from textract_demo_spark.datapipe.lines import c4_line_filter
+        docs = (c4_line_filter(docs)
+                .withColumn("text", F.col("clean_text"))
+                .drop("clean_text", "n_lines_kept", "n_lines_dropped"))
+        stats["after_c4_lines"] = docs.count()
+    if args.line_dedup:
+        from textract_demo_spark.datapipe.lines import line_dedup
+        docs = (line_dedup(docs)
+                .withColumn("text", F.col("clean_text"))
+                .drop("clean_text", "n_lines", "n_lines_removed"))
+        stats["after_line_dedup"] = docs.count()
 
     # 1. exact dedup: keep the min doc_id per normalized content
     w = Window.partitionBy(F.md5(normalize_text("text"))) \

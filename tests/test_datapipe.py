@@ -427,6 +427,22 @@ def test_neardup_clusters_transitive_closure(spark):
                    5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
 
 
+def test_neardup_clusters_raises_on_non_convergence(spark):
+    """A component with diameter > max_iters must raise, not silently
+    return labels that are not the component min (ADVICE r03: chained
+    templated near-dups form exactly such graphs)."""
+    import pytest
+
+    from textract_demo_spark.datapipe.dedup import neardup_clusters
+    n = 8  # chain 0-1-...-7: diameter 7 > max_iters=3
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        out = neardup_clusters(ids, pairs, max_iters=3)
+        out.collect()
+
+
 def test_split_assignment_total_disjoint_and_stable(spark, docs):
     """Every row gets exactly one split; proportions track the ratios;
     the assignment is a pure function of (salt, id) — identical across

@@ -259,3 +259,46 @@ def test_run_curate_temperature_mix_stage(spark, tmp_path, capsys,
     assert st["curated"] <= st["after_temperature_mix"]
     out = spark.read.parquet(str(tmp_path / "curated" / "data"))
     assert out.count() == st["written"] > 0
+
+
+def test_run_curate_line_stages(spark, tmp_path, capsys, monkeypatch):
+    """--c4-lines + --line-dedup + --learned-gate: the line stages
+    rewrite text before doc-level dedup; planted boilerplate lines
+    vanish corpus-wide; the funnel stays monotone through the three
+    new stage counters."""
+    from pyspark.sql import functions as F
+    src = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+           .select(
+               "doc_id",
+               F.concat(F.lit("Doc head sentence number "),
+                        F.col("doc_id").cast("string"), F.lit(".\n"),
+                        F.lit("Every doc carries this boilerplate"
+                              " line.\n"),
+                        F.lit("unterminated trailer line")).alias("text"),
+               "lang", "source", "n_chars"))
+    in_path = str(tmp_path / "docs")
+    src.write.parquet(in_path)
+    monkeypatch.setattr(sys, "argv", [
+        "run_curate.py", "--input", in_path,
+        "--out", str(tmp_path / "curated"),
+        "--c4-lines", "--line-dedup", "--learned-gate",
+        "--min-quality-bp", "0", "--max-surprisal-milli", "1000000",
+        "--max-dup-2gram-bp", "1000000", "--max-dup-frac-milli", "1000",
+        "--pack-budget", "256", "--pack-shards", "2",
+    ])
+    import importlib
+
+    import jobs.run_curate as rc
+    importlib.reload(rc)
+    rc.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    st = json.loads(line)["stats"]
+    assert st["after_c4_lines"] <= st["input"]
+    assert st["after_line_dedup"] == st["after_c4_lines"]
+    assert st["after_learned_gate"] <= st["after_line_dedup"]
+    out = spark.read.parquet(str(tmp_path / "curated" / "data"))
+    texts = [r["text"] for r in out.select("text").collect()]
+    # the c4 filter dropped the unterminated trailer everywhere,
+    # and line dedup left the boilerplate line in at most one doc
+    assert all("unterminated" not in t for t in texts)
+    assert sum("boilerplate" in t for t in texts) <= 1

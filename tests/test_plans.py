@@ -421,3 +421,33 @@ def test_skew_query_single_salted_exchange_before_extract(spark):
     head = p.split("MapInArrow")[-1]  # plan prints output-first; the
     # section AFTER the last MapInArrow line is the pre-extract input
     assert head.count("Exchange hashpartitioning") == 1, p[:3000]
+
+
+def test_c4_line_filter_zero_shuffle_narrow(spark):
+    """C4 line hygiene is a pure narrow pass: no Exchange, no Python
+    node — higher-order array SQL stays JVM-side, so cleaning 10^12
+    docs costs exactly one scan."""
+    from textract_demo_spark.datapipe.lines import c4_line_filter
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(c4_line_filter(docs))
+    assert "Exchange" not in p, p[:2000]
+    assert "Python" not in p, p[:2000]
+
+
+def test_line_dedup_skew_robust_no_window(spark):
+    """Corpus line dedup must NOT rank with a window over the line
+    hash: boilerplate lines are the hottest keys in a web corpus and
+    windows get no AQE skew split. The plan must carry the partial-
+    aggregated min (map-side combine defuses hot lines before the
+    shuffle) and mark losers via an anti-join whose keys include
+    (doc_id, line_idx) — uniform even for a 10^9-hot line."""
+    from textract_demo_spark.datapipe.lines import line_dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(line_dedup(docs.select("doc_id", "text")))
+    assert "Window" not in p, p[:3000]
+    assert "partial_min" in p, p[:3000]
+    assert "LeftAnti" in p, p[:3000]
+    # the anti-join is an equi-join on the full quad, never a
+    # broadcast-nested-loop / cartesian fallback
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -167,3 +167,32 @@ def test_retraining_on_custom_corpus():
 def test_score_sql_rejects_unknown_dialect():
     with pytest.raises(ValueError):
         feature_sql("text", "postgres")
+
+
+import os as _os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_EX = int(_os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "0")) or None
+
+_payloadish = st.one_of(
+    st.text(max_size=200),
+    st.text(alphabet="<>/!abc \t\n\x0b{}=+", max_size=80),
+    st.builds(lambda s: PDF_PREFIX + s, st.text(max_size=60)),
+    st.builds(lambda s: "<html>" + s, st.text(max_size=60)),
+)
+
+
+@settings(max_examples=_EX or 60, deadline=None)
+@given(st.lists(_payloadish, min_size=1, max_size=25))
+def test_featurizer_parity_fuzz(texts):
+    """Property: the Python featurizer and the DuckDB SQL featurizer
+    agree on ARBITRARY strings (the Spark SQL side shares the same
+    expression text modulo function spelling and is driver-oracled).
+    Batched per example — one DuckDB round trip scores 25 strings."""
+    duck = _duck_features(texts)
+    for i, t in enumerate(texts):
+        py = featurize(t)
+        got = [int(duck.iloc[i][name]) for name in FEATURES]
+        assert got == py, f"{t!r}: duckdb {got} != python {py}"

@@ -222,3 +222,123 @@ def test_duplicate_result_does_not_extend_deadline(spark, dirs):
     out = _drain_wait(spark, dirs)
     assert out[("c1", 0)]["reviewed"] is False
     assert out[("c1", 0)]["timed_out"] is True
+
+
+def _drain_wait_per_file(spark, dirs, timeout_seconds=3600):
+    """One drain, ONE FILE PER MICRO-BATCH: earlier files advance the
+    watermark before later files' data is processed — the arrival
+    shape that exercises the batch-start-watermark guards."""
+    from textract_demo_spark.streaming.state import (WAIT_OUTPUT_SCHEMA,
+                                                     review_wait_with_timeout)
+    stream = (spark.readStream.schema(TAGGED_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(dirs["in"]))
+    out = review_wait_with_timeout(stream, timeout_seconds=timeout_seconds)
+    q = (out.writeStream.format("parquet")
+         .option("path", dirs["out"])
+         .option("checkpointLocation", dirs["ckpt"])
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    return {(r["conv_id"], r["turn_idx"]): r.asDict()
+            for r in spark.read.schema(WAIT_OUTPUT_SCHEMA)
+            .parquet(dirs["out"]).collect()}
+
+
+def test_data_arriving_past_deadline_watermark_resolves_inline(
+        spark, dirs):
+    """ADVICE r03 hazard: a group receives data in a micro-batch whose
+    START watermark already passed result_ts + timeout. Re-parking
+    would call setTimeoutTimestamp behind the watermark —
+    IllegalArgumentException, query dead. The operator must resolve
+    the expiry inline (timed_out row) and the drain must finish.
+
+    Shape: drain 1 parks c1 (deadline T0+1h). Drain 2 feeds one file
+    per batch: first a sentinel that moves the watermark to T0+2h,
+    then an in-watermark review for c1 at T0+2.5h (past the event-time
+    deadline). c1's data is processed with batch-start watermark
+    T0+2h > deadline."""
+    _write_tagged(spark, dirs["in"], "a", [
+        ("c1", 0, T0, "result", None, None, None, None)])
+    out = _drain_wait_per_file(spark, dirs)
+    assert out == {}  # parked
+    # files sort by name => 'b1' (sentinel) batches before 'b2'
+    _write_tagged(spark, dirs["in"], "b1", [
+        ("c9", 0, T0 + timedelta(hours=2), "result",
+         None, None, None, None)])
+    _write_tagged(spark, dirs["in"], "b2", [
+        ("c1", 0, T0 + timedelta(minutes=150), "review",
+         "Vendor Co", "2020-07-07", "64.30", "w-late")])
+    out = _drain_wait_per_file(spark, dirs)
+    assert out[("c1", 0)]["reviewed"] is False
+    assert out[("c1", 0)]["timed_out"] is True
+    assert out[("c1", 0)]["worker_id"] is None
+
+
+def test_held_review_past_ttl_watermark_dropped_inline(spark, dirs):
+    """Same hazard for the review-before-result hold: a held review
+    whose TTL deadline is behind the batch-start watermark when more
+    data arrives must be dropped inline (no emit — the unknown-token
+    drop), not re-parked behind the watermark."""
+    _write_tagged(spark, dirs["in"], "a", [
+        ("c1", 0, T0, "review", "Vendor Co", "2020-07-07", "64.30",
+         "w-early")])
+    out = _drain_wait_per_file(spark, dirs)
+    assert out == {}  # held
+    _write_tagged(spark, dirs["in"], "b1", [
+        ("c9", 0, T0 + timedelta(hours=2), "result",
+         None, None, None, None)])
+    _write_tagged(spark, dirs["in"], "b2", [
+        # a SECOND review for c1, in-watermark: the group gets data
+        # while the held review's deadline (T0+1h) is behind the
+        # T0+2h batch-start watermark; first-review-wins keeps the
+        # held (now expired) answers => drop, no emit
+        ("c1", 0, T0 + timedelta(minutes=150), "review",
+         "Vendor Co", "2020-07-07", "64.30", "w-later")])
+    out = _drain_wait_per_file(spark, dirs)
+    assert ("c1", 0) not in out  # dropped silently, drain survived
+
+
+def test_ttl_boundary_lookup_is_a_hit(spark, dirs):
+    """Per-row TTL boundary: a lookup at EXACTLY last_refresh + ttl is
+    still a hit (expiry is strict '>'), and re-parking at a deadline
+    ahead of the batch-start watermark is legal. The read-only batch
+    restores state, answers, and re-parks at the same deadline."""
+    ttl = 3 * 24 * 3600
+    _write_wave(spark, dirs["in"], "a", [("e1", T0, "alice")])
+    _drain(spark, dirs, ttl_seconds=ttl)
+    # batch-start watermark is T0 here — the boundary row is on time
+    _write_wave(spark, dirs["in"], "c", [("e1", T0 + 3 * DAY, None)])
+    out = _drain(spark, dirs, ttl_seconds=ttl)
+    key = ("e1", str((T0 + 3 * DAY).replace(tzinfo=None)))
+    assert out[key] == ("alice", True)
+    # one second past the boundary: expired per-row => miss
+    _write_wave(spark, dirs["in"], "d", [
+        ("e1", T0 + 3 * DAY + timedelta(seconds=1), None)])
+    out = _drain(spark, dirs, ttl_seconds=ttl)
+    key = ("e1", str((T0 + 3 * DAY + timedelta(seconds=1))
+                     .replace(tzinfo=None)))
+    assert out[key] == (None, False)
+
+
+def test_ttl_cache_deadline_at_watermark_survives(spark, dirs):
+    """ADVICE r03 hazard, TTL-cache side: once the watermark reaches
+    last_refresh + ttl, nothing may re-park the entry AT/behind the
+    watermark (EventTimeTimeout would throw, killing the query). A
+    lookup with ts == watermark is late data — Spark drops it before
+    the operator (no output row); the drains must all survive and the
+    entry must end up evicted, so a later lookup misses."""
+    ttl = 3 * 24 * 3600
+    _write_wave(spark, dirs["in"], "a", [("e1", T0, "alice")])
+    _drain(spark, dirs, ttl_seconds=ttl)
+    # sentinel advances the watermark to exactly e1's deadline
+    _write_wave(spark, dirs["in"], "b", [("e9", T0 + 3 * DAY, "bob")])
+    _drain(spark, dirs, ttl_seconds=ttl)
+    # read-only lookup at ts == watermark == deadline: late-dropped
+    _write_wave(spark, dirs["in"], "c", [("e1", T0 + 3 * DAY, None)])
+    out = _drain(spark, dirs, ttl_seconds=ttl)
+    assert ("e1", str((T0 + 3 * DAY).replace(tzinfo=None))) not in out
+    # the query survived and the entry is gone: later lookup misses
+    _write_wave(spark, dirs["in"], "d", [("e1", T0 + 3 * DAY + DAY,
+                                          None)])
+    out = _drain(spark, dirs, ttl_seconds=ttl)
+    key = ("e1", str((T0 + 4 * DAY).replace(tzinfo=None)))
+    assert out[key] == (None, False)

@@ -3245,3 +3245,77 @@ def skew_salted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.when(F.col("n_hot") > 0, 1).otherwise(0))
          >= partitions // 2).alias("spread_wide"),
         (F.max("n_hot") <= F.sum("n_hot") / 4).alias("straggler_shrunk"))
+
+
+@query(
+    "c4_line_filter",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+        'Sentence one for doc ' || doc_id || '.' AS l1,
+        'Is doc ' || doc_id || ' ready?' AS l5
+      FROM documents)
+    SELECT doc_id,
+           l1 || chr(10) || l5 AS clean_text,
+           2::BIGINT AS n_lines_kept, 4::BIGINT AS n_lines_dropped
+    FROM p
+    """)
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line hygiene (Raffel et al. 2020 §2.2;
+    datapipe/lines.py c4_line_filter): terminal-punctuation,
+    min-word-count, lorem-ipsum and curly-brace line drops as pure
+    narrow higher-order array SQL. Per doc, six constructed lines
+    exercise every predicate arm (kept sentence / too short / lorem
+    ipsum / code brace / kept question / no terminal punctuation);
+    the oracle predicts the surviving text and the exact counts."""
+    from ..datapipe.lines import c4_line_filter as op
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("Sentence one for doc "), did, F.lit(".\n"),
+        F.lit("short line.\n"),
+        F.lit("This line mentions Lorem Ipsum filler.\n"),
+        F.lit("var x = { y: "), did, F.lit(" };\n"),
+        F.lit("Is doc "), did, F.lit(" ready?\n"),
+        F.lit("no terminal punctuation here"))
+    out = op(docs.select("doc_id", text.alias("text")))
+    return out.select("doc_id", "clean_text", "n_lines_kept",
+                      "n_lines_dropped")
+
+
+@query(
+    "line_dedup_rewrite",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id = 0
+                THEN 'unique ' || doc_id || chr(10) || chr(10)
+                     || 'Shared Boilerplate Line' || chr(10)
+                     || 'tail ' || doc_id
+                ELSE 'unique ' || doc_id || chr(10) || chr(10)
+                     || 'tail ' || doc_id END AS clean_text,
+           4::BIGINT AS n_lines,
+           CASE WHEN doc_id = 0 THEN 0 ELSE 1 END::BIGINT
+             AS n_lines_removed
+    FROM documents
+    """)
+def line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact line dedup, keep-first (datapipe/lines.py
+    line_dedup — the C4-sibling line-granular scrubber): every doc
+    carries a unique head line, a BLANK line (structure — never
+    deduped), a shared boilerplate line whose case/whitespace varies
+    per doc (the normalized dedup key is identical), and a unique
+    tail line. Keep-first in global (doc_id, line_idx) order: only
+    doc 0 keeps the boilerplate line, PRESERVING its original
+    (un-normalized) text; every other doc loses exactly that line.
+    The oracle predicts every rewritten doc by construction."""
+    from ..datapipe.lines import line_dedup
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    shared = F.when(F.col("doc_id") % 2 == 0,
+                    F.lit("Shared Boilerplate Line")) \
+        .otherwise(F.lit("shared  boilerplate line"))
+    text = F.concat(F.lit("unique "), did, F.lit("\n\n"),
+                    shared, F.lit("\ntail "), did)
+    out = line_dedup(docs.select("doc_id", text.alias("text")))
+    return out.select("doc_id", "clean_text", "n_lines",
+                      "n_lines_removed")
