@@ -79,7 +79,7 @@ _PRIORITY = [
     # new in round 4
     "extract_pdf_multipage", "quality_gate_learned",
     "multimodal_real_decode", "skew_salted_extract",
-    "c4_line_filter", "line_dedup_rewrite",
+    "c4_line_filter", "line_dedup_rewrite", "dsir_importance",
     # hardest-to-prove green queries (streaming, extraction core,
     # dedup family) keep their driver rows
     "extract_plain_identity", "extract_html_boilerplate_strip",
@@ -92,10 +92,10 @@ _PRIORITY = [
     "dedup_substring_spans", "dedup_substring_stats",
     "dedup_substring_rewrite", "embedding_cosine_neardup",
     "text_token_stats", "text_quality_score", "gopher_quality_rules",
-    "text_langid", "text_fingerprint",
-    # (ann_cosine_topk / ann_lsh_topk rotated to the tail when the two
-    # line-operator queries landed: both are r03-green, and their fast
-    # companions are timed every bench run)
+    "text_langid",
+    # (ann_cosine_topk / ann_lsh_topk / text_fingerprint rotated to
+    # the tail as the line-operator + DSIR queries landed: all are
+    # r03-green, and the ANN fast companions are timed every bench)
 ]
 
 

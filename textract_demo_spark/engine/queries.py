@@ -3319,3 +3319,53 @@ def line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = line_dedup(docs.select("doc_id", text.alias("text")))
     return out.select("doc_id", "clean_text", "n_lines",
                       "n_lines_removed")
+
+
+@query(
+    "dsir_importance",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id, unnest(toks) AS feat FROM t
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS feat
+      FROM t),
+    fb AS (SELECT doc_id,
+                  ('0x' || substr(md5(feat), 1, 15))::BIGINT % 64
+                    AS bucket
+           FROM f),
+    rm AS (SELECT bucket, count(*)::BIGINT AS n_r FROM fb
+           GROUP BY bucket),
+    tm AS (SELECT bucket, count(*)::BIGINT AS n_t FROM fb
+           WHERE doc_id % 5 = 0 GROUP BY bucket),
+    d AS (SELECT rm.bucket,
+                 (length(bin(coalesce(tm.n_t, 0) + 1))::BIGINT - 1)
+               - (length(bin(rm.n_r + 1))::BIGINT - 1) AS delta
+          FROM rm LEFT JOIN tm ON rm.bucket = tm.bucket),
+    nb AS (SELECT
+        (length(bin((SELECT sum(n_r)::BIGINT FROM rm) + 64))::BIGINT - 1)
+      - (length(bin((SELECT sum(n_t)::BIGINT FROM tm) + 64))::BIGINT - 1)
+          AS norm_bits)
+    SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+           (sum(d.delta) + count(*) * nb.norm_bits)::BIGINT AS dsir_bits
+    FROM fb JOIN d USING (bucket), nb
+    GROUP BY fb.doc_id, nb.norm_bits
+    """)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023; datapipe/dsir.py
+    with_dsir_scores): hashed unigram+bigram bucket models (B=64
+    here so the oracle replay is cheap) over a target slice
+    (doc_id % 5 == 0) vs the whole corpus; every doc scored with its
+    importance log-weight in EXACT integer bits (floor-log2 via
+    length(bin(n)) - 1 — no floating-point log anywhere, so Spark and
+    DuckDB agree bit-for-bit). md5 hash mode is the cross-engine
+    family; xxhash64 is the production fast path (bench times it)."""
+    from ..datapipe.dsir import with_dsir_scores
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    return with_dsir_scores(docs, target, num_buckets=64,
+                            hash_mode="md5")
