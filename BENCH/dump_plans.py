@@ -269,6 +269,20 @@ def main() -> None:
         " hash/position rows.",
         formatted(line_dedup(docs.select("doc_id", "text")))))
 
+    from textract_demo_spark.datapipe.dsir import with_dsir_scores
+    sections.append((
+        "DSIR importance scoring (hashed-ngram bucket models)",
+        "Both bucket models collapse to <= B rows via partial-"
+        " aggregated groupBy(bucket) (map-side combine: the exchange"
+        " carries <= B rows per map task regardless of corpus size),"
+        " the delta table probes as a BROADCAST hash join (a"
+        " sort-merge join would shuffle every feature occurrence),"
+        " and the per-doc score partial-aggregates before its one"
+        " doc-key exchange. Corpus TEXT never shuffles — only narrow"
+        " (doc_id, bucket) rows move.",
+        formatted(with_dsir_scores(
+            docs, docs.filter("doc_id % 5 = 0"), num_buckets=64))))
+
     from textract_demo_spark.datapipe.packing import pack_greedy
     from textract_demo_spark.datapipe.pii import redact_pii, with_pii_stats
     from textract_demo_spark.datapipe.textstats import (token_topk,

@@ -49,7 +49,12 @@ Stages (each stage's shuffle budget is the design constraint at
                      --learned-gate also the trained quality scorer
                      (engine/learned_gate.py — one codegen'd
                      projection, zero extra shuffles)
-3b. temperature mix  optional (--temperature-mix): down-sample
+3b. DSIR selection   optional (--dsir-target): keep docs whose
+                     importance log-weight vs a small target corpus
+                     clears --dsir-min-bits (Xie et al. 2023; two
+                     broadcast-size hashed-ngram models, exact
+                     integer bits — corpus text never shuffles)
+3c. temperature mix  optional (--temperature-mix): down-sample
                      domains toward the T=2 mix (w = sqrt(count);
                      one domain-count aggregate + broadcast
                      thresholds + per-row hash — corpus rows never
@@ -116,6 +121,15 @@ def main() -> None:
                     help="also require the trained quality scorer"
                          " (core/quality_model.py frozen logistic) to"
                          " accept each doc — narrow SQL, no Python")
+    ap.add_argument("--dsir-target", default=None,
+                    help="parquet of target-domain docs (doc_id,"
+                         " text); keep docs whose DSIR importance"
+                         " log-weight >= --dsir-min-bits (Xie et al."
+                         " 2023 importance resampling, integer bits)")
+    ap.add_argument("--dsir-min-bits", type=int, default=0,
+                    help="integer-bits importance threshold; 0 keeps"
+                         " docs at least as target-like as raw-like")
+    ap.add_argument("--dsir-buckets", type=int, default=8192)
     ap.add_argument("--gopher-min-words", type=int, default=50)
     ap.add_argument("--gopher-min-stopwords", type=int, default=2,
                     help="distinct Gopher stop words required; corpora"
@@ -295,7 +309,22 @@ def main() -> None:
              .drop("learned_score_micro", "learned_label"))
         stats["after_learned_gate"] = d.count()
 
-    # 3b. optional temperature mixing: reshape the post-quality corpus
+    # 3b. optional DSIR target-domain selection: score every surviving
+    # doc against a small target corpus (two broadcast-size hashed-
+    # ngram bucket models; the corpus never shuffles by content) and
+    # keep the docs whose integer-bits importance log-weight clears
+    # the threshold — the learned counterpart of the hand rules above
+    if args.dsir_target:
+        from textract_demo_spark.datapipe.dsir import with_dsir_scores
+        tgt = spark.read.parquet(args.dsir_target)
+        keep = (with_dsir_scores(d.select("doc_id", "text"), tgt,
+                                 num_buckets=args.dsir_buckets)
+                .filter(F.col("dsir_bits") >= args.dsir_min_bits)
+                .select("doc_id"))
+        d = d.join(keep, "doc_id")
+        stats["after_dsir"] = d.count()
+
+    # 3c. optional temperature mixing: reshape the post-quality corpus
     # toward the T=2 domain mix (sqrt-dampened counts) — the most
     # under-represented domain keeps everything, the rest down-sample
     # deterministically (integer thresholds, per-row hash)

@@ -302,3 +302,43 @@ def test_run_curate_line_stages(spark, tmp_path, capsys, monkeypatch):
     # and line dedup left the boilerplate line in at most one doc
     assert all("unterminated" not in t for t in texts)
     assert sum("boilerplate" in t for t in texts) <= 1
+
+
+def test_run_curate_dsir_stage(spark, tmp_path, capsys, monkeypatch):
+    """--dsir-target keeps the target-vocabulary docs and drops the
+    off-domain ones: raw docs written in the target's vocabulary get
+    strictly positive integer-bits importance weights, disjoint-
+    vocabulary docs strictly negative, and the default threshold 0
+    separates them (Xie et al. 2023 importance resampling)."""
+    tgt_rows = [(100 + i, "alpha beta gamma delta epsilon zeta",
+                 "en", "tgt", 36) for i in range(8)]
+    raw_rows = (
+        [(d, f"alpha beta gamma delta epsilon zeta tail{d}x tail{d}y",
+          "en", "synth", 50) for d in (1, 2, 3)]
+        + [(d, f"zulu yankee xray whiskey victor uniform off{d}a"
+               f" off{d}b", "en", "synth", 50) for d in (11, 12, 13)])
+    schema = ("doc_id BIGINT, text STRING, lang STRING, source STRING,"
+              " n_chars BIGINT")
+    tgt_path, in_path = str(tmp_path / "tgt"), str(tmp_path / "in")
+    spark.createDataFrame(tgt_rows, schema).write.parquet(tgt_path)
+    spark.createDataFrame(raw_rows, schema).write.parquet(in_path)
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_curate.py", "--input", in_path,
+        "--out", str(tmp_path / "curated"),
+        "--dsir-target", tgt_path,
+        "--min-quality-bp", "0", "--max-surprisal-milli", "1000000",
+        "--max-dup-2gram-bp", "1000000", "--max-dup-frac-milli", "1000",
+        "--jaccard", "0.95",
+        "--pack-budget", "256", "--pack-shards", "2",
+    ])
+    import importlib
+    import jobs.run_curate as rc
+    importlib.reload(rc)
+    rc.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    st = json.loads(line)["stats"]
+    assert st["after_dsir"] == 3
+    out = spark.read.parquet(str(tmp_path / "curated" / "data"))
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert ids == {1, 2, 3}

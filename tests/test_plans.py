@@ -451,3 +451,22 @@ def test_line_dedup_skew_robust_no_window(spark):
     # broadcast-nested-loop / cartesian fallback
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dsir_scoring_broadcast_models_partial_agg(spark):
+    """DSIR scoring at 10^12 docs: the two bucket models are <= B
+    rows, so the delta probe MUST be a broadcast hash join (a
+    sort-merge join would shuffle every feature occurrence), the
+    model fit and the per-doc score MUST partial-aggregate (map-side
+    combine collapses each partition to <= B / <= docs-per-partition
+    rows before the exchange), and nothing may fall back to a
+    cartesian product. The corpus text column itself never enters an
+    exchange — only narrow (doc_id, bucket) rows move."""
+    from textract_demo_spark.datapipe.dsir import with_dsir_scores
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    p = plan(with_dsir_scores(docs, target, num_buckets=64))
+    assert "BroadcastHashJoin" in p, p[:3000]
+    assert "SortMergeJoin" not in p, p[:3000]
+    assert "partial_count" in p, p[:3000]
+    assert "CartesianProduct" not in p, p[:3000]
