@@ -80,6 +80,7 @@ _PRIORITY = [
     "extract_pdf_multipage", "quality_gate_learned",
     "multimodal_real_decode", "skew_salted_extract",
     "c4_line_filter", "line_dedup_rewrite", "dsir_importance",
+    "streaming_dsir_scoring",
     # hardest-to-prove green queries (streaming, extraction core,
     # dedup family) keep their driver rows
     "extract_plain_identity", "extract_html_boilerplate_strip",
@@ -92,10 +93,10 @@ _PRIORITY = [
     "dedup_substring_spans", "dedup_substring_stats",
     "dedup_substring_rewrite", "embedding_cosine_neardup",
     "text_token_stats", "text_quality_score", "gopher_quality_rules",
-    "text_langid",
-    # (ann_cosine_topk / ann_lsh_topk / text_fingerprint rotated to
-    # the tail as the line-operator + DSIR queries landed: all are
-    # r03-green, and the ANN fast companions are timed every bench)
+    # (ann_cosine_topk / ann_lsh_topk / text_fingerprint / text_langid
+    # rotated to the tail as the line-operator + DSIR queries landed:
+    # all are r03-green — text_langid r02+r03 — and the ANN fast
+    # companions are timed every bench)
 ]
 
 

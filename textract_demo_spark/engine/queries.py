@@ -3369,3 +3369,131 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = docs.filter(F.col("doc_id") % 5 == 0)
     return with_dsir_scores(docs, target, num_buckets=64,
                             hash_mode="md5")
+
+
+@query(
+    "streaming_dsir_scoring",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id, unnest(toks) AS feat FROM t
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS feat
+      FROM t),
+    fb AS (SELECT doc_id,
+                  ('0x' || substr(md5(feat), 1, 15))::BIGINT % 64
+                    AS bucket
+           FROM f),
+    rm AS (SELECT bucket, count(*)::BIGINT AS n_r FROM fb
+           GROUP BY bucket),
+    tm AS (SELECT bucket, count(*)::BIGINT AS n_t FROM fb
+           WHERE doc_id % 5 = 0 GROUP BY bucket),
+    d AS (SELECT rm.bucket,
+                 (length(bin(coalesce(tm.n_t, 0) + 1))::BIGINT - 1)
+               - (length(bin(rm.n_r + 1))::BIGINT - 1) AS delta
+          FROM rm LEFT JOIN tm ON rm.bucket = tm.bucket),
+    nb AS (SELECT
+        (length(bin((SELECT sum(n_r)::BIGINT FROM rm) + 64))::BIGINT - 1)
+      - (length(bin((SELECT sum(n_t)::BIGINT FROM tm) + 64))::BIGINT - 1)
+          AS norm_bits),
+    batch AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             text || ' brand new tail tokens' AS text
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 2),
+    bt AS (SELECT doc_id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks
+      FROM batch),
+    bf AS (
+      SELECT doc_id, unnest(toks) AS feat FROM bt
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS feat
+      FROM bt),
+    bfb AS (SELECT doc_id,
+                   ('0x' || substr(md5(feat), 1, 15))::BIGINT % 64
+                     AS bucket
+            FROM bf)
+    SELECT bfb.doc_id, count(*)::BIGINT AS n_feats,
+           (sum(coalesce(d.delta, 0))
+            + count(*) * nb.norm_bits)::BIGINT AS dsir_bits
+    FROM bfb LEFT JOIN d USING (bucket), nb
+    GROUP BY bfb.doc_id, nb.norm_bits
+    """)
+def streaming_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scoring as a STREAM (streaming/stream.py
+    start_dsir_scoring): raw/target bucket models are fit ONCE from
+    the documents corpus (raw = everything, target = the doc_id % 5
+    slice — the same frozen pair as dsir_importance) and a batch of
+    arriving docs (novel-tail rewrites + verbatim re-ingests under
+    new ids) streams in as two single-file waves split by doc_id
+    parity (maxFilesPerTrigger=1 => one micro-batch per wave),
+    drained with trigger(availableNow) through a foreachBatch scorer
+    into idempotent per-batch-id parquet. Scores are wave-independent
+    (every micro-batch probes the same frozen broadcast-size models),
+    so the oracle replays plain batch-mode scoring — including the
+    frozen-model edge the batch form never exercises: batch features
+    hashing to buckets the raw corpus never observed contribute
+    delta 0 (only norm_bits)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..datapipe.dsir import dsir_bucket_model
+    from ..streaming.stream import start_dsir_scoring
+    docs = _t(spark, sf_dir, "documents")
+    # frozen model pair: at scale these are <= B-row parquet
+    # artifacts written once per corpus snapshot; persist so the two
+    # micro-batches don't re-run the corpus feature pipeline
+    raw_model = dsir_bucket_model(docs, num_buckets=64,
+                                  hash_mode="md5").persist()
+    target_model = dsir_bucket_model(
+        docs.filter(F.col("doc_id") % 5 == 0), num_buckets=64,
+        hash_mode="md5").persist()
+    batch = (docs.filter(F.col("doc_id") % 3 == 0)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     F.concat(F.col("text"),
+                              F.lit(" brand new tail tokens"))
+                      .alias("text"))
+             .unionByName(
+                 docs.filter(F.col("doc_id") % 7 == 2)
+                 .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                         "text")))
+    base = tempfile.mkdtemp(prefix="stream_dsir_q_")
+    try:
+        in_dir = os.path.join(base, "in")
+        os.makedirs(in_dir)
+        for name, parity in (("a", 0), ("b", 1)):
+            stage = os.path.join(base, f"stage_{name}")
+            (batch.filter(F.col("doc_id") % 2 == parity)
+             .coalesce(1).write.mode("overwrite").parquet(stage))
+            for i, f in enumerate(sorted(os.listdir(stage))):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(stage, f),
+                                os.path.join(in_dir,
+                                             f"{name}-{i}.parquet"))
+        stream = (spark.readStream.schema(batch.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        q = start_dsir_scoring(
+            stream, raw_model, target_model, os.path.join(base, "out"),
+            os.path.join(base, "ckpt"), num_buckets=64, hash_mode="md5")
+        drained = q.awaitTermination(600)
+        if not drained:
+            q.stop()
+            raise RuntimeError("dsir stream drain did not finish in"
+                               " 600 s")
+        rows = (spark.read.parquet(os.path.join(base, "out"))
+                .select("doc_id", "n_feats", "dsir_bits")
+                .collect())
+    finally:
+        raw_model.unpersist()
+        target_model.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id BIGINT, n_feats BIGINT, dsir_bits BIGINT")

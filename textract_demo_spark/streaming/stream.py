@@ -129,6 +129,40 @@ def start_incremental_dedup(docs_stream: DataFrame, index: DataFrame,
                                available_now)
 
 
+def start_dsir_scoring(docs_stream: DataFrame, raw_model: DataFrame,
+                       target_model: DataFrame, out_dir: str,
+                       checkpoint_dir: str, num_buckets: int = 8192,
+                       hash_mode: str = "xxhash64",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       available_now: bool = True):
+    """Continuous-ingestion DSIR scoring: each arriving micro-batch of
+    docs is scored against FROZEN raw/target bucket models
+    (``datapipe.dsir.dsir_bucket_model`` — stored <= B-row artifacts,
+    fit once per corpus snapshot; pass parquet-backed or persisted
+    frames) and its (id, n_feats, dsir_bits) rows land in
+    ``out_dir/batch_id=N``, overwritten per batch id so a replayed
+    micro-batch is idempotent.
+
+    foreachBatch because scoring aggregates per doc over exploded
+    features (unsupported shapes on streaming frames); semantically
+    each micro-batch is one batch-mode ``with_dsir_scores`` call with
+    frozen models, so scores are WAVE-INDEPENDENT — unlike snapshot
+    dedup there is no within-batch arm, every micro-batch probes the
+    same broadcast-size model pair and costs O(batch)."""
+    from ..datapipe.dsir import with_dsir_scores
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        out = with_dsir_scores(batch_df, batch_df.limit(0), text_col,
+                               id_col, num_buckets, hash_mode,
+                               raw_model=raw_model,
+                               target_model=target_model)
+        (out.write.mode("overwrite")
+         .parquet(f"{out_dir}/batch_id={batch_id}"))
+
+    return start_foreach_batch(docs_stream, checkpoint_dir, _score,
+                               available_now)
+
+
 def start_foreach_batch(results: DataFrame, checkpoint_dir: str,
                         batch_fn, available_now: bool = True):
     """foreachBatch sink for custom commit layers (e.g. IcebergLike
