@@ -283,6 +283,18 @@ def main() -> None:
         formatted(with_dsir_scores(
             docs, docs.filter("doc_id % 5 = 0"), num_buckets=64))))
 
+    from textract_demo_spark.datapipe.classifier import \
+        with_text_classifier
+    sections.append((
+        "Trained hashed-ngram text classifier (literal weights)",
+        "The frozen logistic weights ride in the plan as a LITERAL"
+        " array indexed by bucket (element_at(array(...), bucket+1))"
+        " — zero joins, zero broadcast: the whole classifier is one"
+        " narrow projection plus ONE partial-aggregated groupBy(doc)."
+        " Same lesson as the sign-LSH hyperplanes: a <= few-KB model"
+        " belongs in the plan, not in a join.",
+        formatted(with_text_classifier(docs))))
+
     from textract_demo_spark.datapipe.packing import pack_greedy
     from textract_demo_spark.datapipe.pii import redact_pii, with_pii_stats
     from textract_demo_spark.datapipe.textstats import (token_topk,

@@ -80,7 +80,7 @@ _PRIORITY = [
     "extract_pdf_multipage", "quality_gate_learned",
     "multimodal_real_decode", "skew_salted_extract",
     "c4_line_filter", "line_dedup_rewrite", "dsir_importance",
-    "streaming_dsir_scoring",
+    "streaming_dsir_scoring", "text_classifier_quality",
     # hardest-to-prove green queries (streaming, extraction core,
     # dedup family) keep their driver rows
     "extract_plain_identity", "extract_html_boilerplate_strip",
@@ -92,11 +92,11 @@ _PRIORITY = [
     "dedup_simhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
     "dedup_substring_spans", "dedup_substring_stats",
     "dedup_substring_rewrite", "embedding_cosine_neardup",
-    "text_token_stats", "text_quality_score", "gopher_quality_rules",
+    "text_quality_score", "gopher_quality_rules",
     # (ann_cosine_topk / ann_lsh_topk / text_fingerprint / text_langid
-    # rotated to the tail as the line-operator + DSIR queries landed:
-    # all are r03-green — text_langid r02+r03 — and the ANN fast
-    # companions are timed every bench)
+    # / text_token_stats rotated to the tail as the line-operator +
+    # DSIR + classifier queries landed: all are r02+r03 green, and the
+    # ANN fast companions are timed every bench)
 ]
 
 

@@ -61,7 +61,7 @@ BENCH_QUERIES = [
     "split_assign", "shard_shuffle",
     "decontam_ngram_overlap", "text_repetition_stats",
     "mix_resample", "temperature_mix_targets",
-    "dsir_importance",
+    "dsir_importance", "text_classifier_quality",
     "pii_detect_redact", "pack_sequences",
     "token_topk_by_source", "pack_fill_stats",
     "length_percentiles_by_source",

@@ -48,7 +48,10 @@ Stages (each stage's shuffle budget is the design constraint at
                      (Rae et al. Table A1, zero extra shuffles); with
                      --learned-gate also the trained quality scorer
                      (engine/learned_gate.py — one codegen'd
-                     projection, zero extra shuffles)
+                     projection, zero extra shuffles); with
+                     --text-clf also the trained hashed-ngram text
+                     classifier (datapipe/classifier.py — literal-
+                     array weights, zero joins, one narrow exchange)
 3b. DSIR selection   optional (--dsir-target): keep docs whose
                      importance log-weight vs a small target corpus
                      clears --dsir-min-bits (Xie et al. 2023; two
@@ -121,6 +124,11 @@ def main() -> None:
                     help="also require the trained quality scorer"
                          " (core/quality_model.py frozen logistic) to"
                          " accept each doc — narrow SQL, no Python")
+    ap.add_argument("--text-clf", action="store_true",
+                    help="also require the trained hashed-ngram text"
+                         " classifier (datapipe/classifier.py frozen"
+                         " fastText-style logistic) to label each doc"
+                         " good — literal-array weights, zero joins")
     ap.add_argument("--dsir-target", default=None,
                     help="parquet of target-domain docs (doc_id,"
                          " text); keep docs whose DSIR importance"
@@ -308,6 +316,14 @@ def main() -> None:
              .filter(F.col("learned_label") == "good")
              .drop("learned_score_micro", "learned_label"))
         stats["after_learned_gate"] = d.count()
+
+    if args.text_clf:
+        from textract_demo_spark.datapipe.classifier import \
+            with_text_classifier
+        keep = (with_text_classifier(d.select("doc_id", "text"))
+                .filter(F.col("clf_label") == "good").select("doc_id"))
+        d = d.join(keep, "doc_id")
+        stats["after_text_clf"] = d.count()
 
     # 3b. optional DSIR target-domain selection: score every surviving
     # doc against a small target corpus (two broadcast-size hashed-

@@ -342,3 +342,53 @@ def test_run_curate_dsir_stage(spark, tmp_path, capsys, monkeypatch):
     out = spark.read.parquet(str(tmp_path / "curated" / "data"))
     ids = {r.doc_id for r in out.select("doc_id").collect()}
     assert ids == {1, 2, 3}
+
+
+def test_run_curate_text_clf_stage(spark, tmp_path, capsys, monkeypatch):
+    """--text-clf drops consonant-mash docs and keeps natural prose
+    under the frozen hashed-ngram model (held-out text, not the
+    training corpus)."""
+    rows = [
+        (1, "The young man walked along the old road in the morning"
+            " while the light fell on the quiet stones of the bridge."),
+        (2, "Everyone there agreed that the people would be done with"
+            " the work before the end of the morning light."),
+        (3, "She said that the road to the harbor was quiet and the"
+            " morning market would be done before the light fell."),
+        (4, "The people stayed near the old garden while the morning"
+            " light moved softly along the stones of the road."),
+        (11, "qk zv xw jj pq vb nm tr qk zv xw jj pq vb nm tr qk zv"
+             " xw jj pq vb nm tr"),
+        # held-out mash from the training junk's trigram space (i=15,
+        # outside the trained i<12 rows): fully-novel random tokens
+        # can collide into positive buckets — hashed classifiers only
+        # promise generalization NEAR the training distribution
+        (12, "htt ljv pww slx wzz bnb fcc jqd mff qsg ttj xhk bvl"
+             " fkm jzn mnp qcq sqr wfs bts"),
+        (13, "@#$% !!! zzzz @#$% !!! zzzz @#$% !!! zzzz @#$% !!! zzzz"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "synth", len(t)) for i, t in rows],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING,"
+        " n_chars BIGINT")
+    in_path = str(tmp_path / "in")
+    docs.write.parquet(in_path)
+    monkeypatch.setattr(sys, "argv", [
+        "run_curate.py", "--input", in_path,
+        "--out", str(tmp_path / "curated"),
+        "--text-clf",
+        "--min-quality-bp", "0", "--max-surprisal-milli", "1000000",
+        "--max-dup-2gram-bp", "1000000", "--max-dup-frac-milli", "1000",
+        "--jaccard", "0.95",
+        "--pack-budget", "256", "--pack-shards", "2",
+    ])
+    import importlib
+    import jobs.run_curate as rc
+    importlib.reload(rc)
+    rc.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    st = json.loads(line)["stats"]
+    assert st["after_text_clf"] == 4
+    out = spark.read.parquet(str(tmp_path / "curated" / "data"))
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert ids == {1, 2, 3, 4}

@@ -470,3 +470,19 @@ def test_dsir_scoring_broadcast_models_partial_agg(spark):
     assert "SortMergeJoin" not in p, p[:3000]
     assert "partial_count" in p, p[:3000]
     assert "CartesianProduct" not in p, p[:3000]
+
+
+def test_text_classifier_zero_joins_one_exchange(spark):
+    """The trained hashed-ngram classifier scores with weights as a
+    plan-time LITERAL array: no join of any kind, exactly ONE
+    exchange (the partial-aggregated per-doc groupBy), no Python —
+    classifying 10^12 docs costs one scan plus one narrow
+    (doc_id, bucket) shuffle."""
+    from textract_demo_spark.datapipe.classifier import \
+        with_text_classifier
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(with_text_classifier(docs))
+    assert "Join" not in p, p[:3000]
+    assert p.count("Exchange") == 1, p[:3000]
+    assert "partial_count" in p, p[:3000]
+    assert "Python" not in p, p[:3000]

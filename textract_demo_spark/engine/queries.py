@@ -3497,3 +3497,65 @@ def streaming_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         rows, "doc_id BIGINT, n_feats BIGINT, dsir_bits BIGINT")
+
+
+_CLF_GOOD_DOC = ("The young man walked along the old road in the"
+                 " morning while the light fell on the quiet stones"
+                 " of the bridge and the people stayed near the"
+                 " market.")
+_CLF_JUNK_DOC = ("qk zv xw jj pq vb nm tr " * 6).strip()
+
+
+def _clf_oracle() -> str:
+    from ..datapipe.classifier import (TEXT_CLF_BIAS_MICRO,
+                                       weights_sql_array)
+    b = TEXT_CLF_BIAS_MICRO
+    arr = weights_sql_array(dialect="duckdb")
+    return rf"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT 9000001, '{_CLF_GOOD_DOC}'
+      UNION ALL SELECT 9000002, '{_CLF_JUNK_DOC}'),
+    t AS (SELECT doc_id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks
+      FROM src),
+    f AS (
+      SELECT doc_id, unnest(toks) AS feat FROM t
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS feat
+      FROM t),
+    fb AS (SELECT doc_id,
+                  ('0x' || substr(md5(feat), 1, 15))::BIGINT % 256
+                    AS bucket
+           FROM f),
+    s AS (SELECT doc_id, count(*)::BIGINT AS n_feats,
+                 (count(*) * ({b})
+                  + sum(({arr})[bucket + 1]))::BIGINT
+                   AS clf_score_micro
+          FROM fb GROUP BY doc_id)
+    SELECT doc_id, n_feats, clf_score_micro,
+           CASE WHEN clf_score_micro >= 0 THEN 'good' ELSE 'junk' END
+             AS clf_label
+    FROM s
+    """
+
+
+@query("text_classifier_quality", oracle=_clf_oracle())
+def text_classifier_quality(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Trained hashed-ngram quality classifier (GPT-3 Appendix A /
+    fastText shape; datapipe/classifier.py): every document scored
+    under the FROZEN integer logistic model — weights are a plan-time
+    literal array indexed by bucket, so inference is zero joins, one
+    narrow projection + one partial-aggregated groupBy(doc). Two
+    planted arms (natural prose / consonant mash) prove both labels
+    fire; the oracle replays featurize + literal-array lookup + the
+    integer decision rule exactly."""
+    from ..datapipe.classifier import with_text_classifier
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(9000001, _CLF_GOOD_DOC), (9000002, _CLF_JUNK_DOC)],
+        "doc_id BIGINT, text STRING")
+    return with_text_classifier(docs.unionByName(extra))
