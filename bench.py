@@ -211,9 +211,17 @@ def main() -> None:
                         iters=1, hash_mode="xxhash64") \
             .select("qid", "rank", "vec_id")
 
+    def _fast_dsir(spark, sf_dir):
+        from textract_demo_spark.datapipe.dsir import with_dsir_scores
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return with_dsir_scores(docs,
+                                docs.filter(F.col("doc_id") % 5 == 0),
+                                num_buckets=8192, hash_mode="xxhash64")
+
     for name, fn in [("dedup_simhash_fast", _fast_simhash),
                      ("ann_lsh_topk_fast", _fast_lsh),
-                     ("ann_ivf_topk_fast", _fast_ivf)]:
+                     ("ann_ivf_topk_fast", _fast_ivf),
+                     ("dsir_importance_fast", _fast_dsir)]:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm
         t0 = time.time()

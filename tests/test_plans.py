@@ -486,3 +486,19 @@ def test_text_classifier_zero_joins_one_exchange(spark):
     assert p.count("Exchange") == 1, p[:3000]
     assert "partial_count" in p, p[:3000]
     assert "Python" not in p, p[:3000]
+
+
+def test_dsir_topk_partial_topk_no_global_sort(spark):
+    """dsir_topk's global rank must never globally sort the scored
+    corpus: Spark plans the rank<=k window as either
+    TakeOrderedAndProject(limit=k) (observed: the filter+window
+    collapse to a per-partition top-k + single k-row merge) or
+    WindowGroupLimit — both forward at most k rows per task. A bare
+    global Sort feeding the Window is the scale-killer shape."""
+    from textract_demo_spark.datapipe.dsir import dsir_topk
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(dsir_topk(docs, docs.filter(F.col("doc_id") % 5 == 0),
+                       k=10, num_buckets=64))
+    assert ("TakeOrderedAndProject" in p
+            or "WindowGroupLimit" in p), p[:3000]
+    assert "Exchange rangepartitioning" not in p, p[:3000]

@@ -3559,3 +3559,55 @@ def text_classifier_quality(spark: SparkSession,
         [(9000001, _CLF_GOOD_DOC), (9000002, _CLF_JUNK_DOC)],
         "doc_id BIGINT, text STRING")
     return with_text_classifier(docs.unionByName(extra))
+
+
+@query(
+    "dsir_topk",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id, unnest(toks) AS feat FROM t
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS feat
+      FROM t),
+    fb AS (SELECT doc_id,
+                  ('0x' || substr(md5(feat), 1, 15))::BIGINT % 64
+                    AS bucket
+           FROM f),
+    rm AS (SELECT bucket, count(*)::BIGINT AS n_r FROM fb
+           GROUP BY bucket),
+    tm AS (SELECT bucket, count(*)::BIGINT AS n_t FROM fb
+           WHERE doc_id % 5 = 0 GROUP BY bucket),
+    d AS (SELECT rm.bucket,
+                 (length(bin(coalesce(tm.n_t, 0) + 1))::BIGINT - 1)
+               - (length(bin(rm.n_r + 1))::BIGINT - 1) AS delta
+          FROM rm LEFT JOIN tm ON rm.bucket = tm.bucket),
+    nb AS (SELECT
+        (length(bin((SELECT sum(n_r)::BIGINT FROM rm) + 64))::BIGINT - 1)
+      - (length(bin((SELECT sum(n_t)::BIGINT FROM tm) + 64))::BIGINT - 1)
+          AS norm_bits),
+    s AS (SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+                 (sum(d.delta) + count(*) * nb.norm_bits)::BIGINT
+                   AS dsir_bits
+          FROM fb JOIN d USING (bucket), nb
+          GROUP BY fb.doc_id, nb.norm_bits)
+    SELECT doc_id, n_feats, dsir_bits, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY dsir_bits DESC, doc_id)
+                  ::BIGINT AS rank
+      FROM s) WHERE rank <= 25
+    """)
+def dsir_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resampling as deterministic top-k (datapipe/dsir.py
+    dsir_topk): the 25 most target-like docs, ties by id — the
+    paper's Gumbel draw replaced by a stable order so engines agree.
+    Spark executes the rank as WindowGroupLimit (each task forwards
+    <= k rows to the single reducer; the corpus never reaches the
+    global window)."""
+    from ..datapipe.dsir import dsir_topk
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_topk(docs, docs.filter(F.col("doc_id") % 5 == 0),
+                     k=25, num_buckets=64, hash_mode="md5")
