@@ -3611,3 +3611,85 @@ def dsir_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dsir_topk(docs, docs.filter(F.col("doc_id") % 5 == 0),
                      k=25, num_buckets=64, hash_mode="md5")
+
+
+@query(
+    "events_asof_join",
+    oracle=r"""
+    WITH err AS (SELECT * FROM events WHERE event_type = 'error'),
+    clk AS (SELECT * FROM events WHERE event_type = 'click'),
+    m AS (
+      SELECT e.event_id AS error_id, e.user_id,
+             epoch_us(e.ts) AS err_us,
+             (SELECT c.event_id FROM clk c
+              WHERE c.user_id = e.user_id AND c.ts < e.ts
+              ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+      FROM err e)
+    SELECT m.error_id, m.user_id, m.err_us, m.click_id,
+           epoch_us(c.ts) AS click_us,
+           m.err_us - epoch_us(c.ts) AS gap_us
+    FROM m LEFT JOIN clk c ON c.event_id = m.click_id
+    """)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (datapipe/temporal.py asof_join): every error event
+    attributed to the latest STRICTLY-prior click by the same user
+    (largest event_id breaks equal-ts ties), nulls when no click
+    preceded. Spark lacks ASOF JOIN; the impl is the union-tag +
+    keyed-window pattern — one exchange on user_id, no join node —
+    while the oracle is an independent formulation (DuckDB correlated
+    top-1 subquery), so the comparison is cross-algorithm, not a
+    replay."""
+    from ..datapipe.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("user_id", "ts",
+                      F.col("event_id").alias("error_id"),
+                      F.unix_micros(F.col("ts").cast("timestamp"))
+                       .alias("err_us")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id",
+                      F.unix_micros(F.col("ts").cast("timestamp"))
+                       .alias("c_us")))
+    out = asof_join(errors, clicks, on="user_id", ts="ts",
+                    right_cols=["event_id", "c_us"],
+                    tiebreak="event_id", allow_exact_matches=False)
+    return out.select(
+        "error_id", "user_id", "err_us",
+        F.col("asof_event_id").alias("click_id"),
+        F.col("asof_c_us").alias("click_us"),
+        (F.col("err_us") - F.col("asof_c_us")).cast("long")
+         .alias("gap_us"))
+
+
+@query(
+    "events_sessionize",
+    oracle=r"""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, us,
+             (sum(boundary) OVER (PARTITION BY user_id ORDER BY us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - 1)::BIGINT AS session_idx
+      FROM o)
+    SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+           min(us) AS sess_start_us, max(us) AS sess_end_us,
+           (max(us) - min(us))::BIGINT AS duration_us
+    FROM s GROUP BY user_id, session_idx
+    """)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (datapipe/temporal.py session_stats): per
+    user, a new session when > 30 idle minutes; per-session count /
+    bounds / duration in exact integer microseconds. ONE shuffle
+    end-to-end — the (user, session_idx) aggregate reuses the keyed
+    window's exchange (plan-gated)."""
+    from ..datapipe.temporal import session_stats
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, key="user_id", ts="ts",
+                         gap_us=1_800_000_000, order_tiebreak="event_id")
