@@ -3693,3 +3693,78 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return session_stats(ev, key="user_id", ts="ts",
                          gap_us=1_800_000_000, order_tiebreak="event_id")
+
+
+_BLOOM_M = 1 << 20
+_BLOOM_K = 5
+
+
+def _bloom_oracle() -> str:
+    m, k = _BLOOM_M, _BLOOM_K
+    def pos(src_norm_col: str) -> str:
+        return (f"(('0x' || substr(md5({src_norm_col}), 1, 15))::BIGINT"
+                f" % {m}"
+                f" + i.i * (1 + ('0x' || substr(md5({src_norm_col}),"
+                f" 17, 15))::BIGINT % {m - 1})) % {m}")
+    return rf"""
+    WITH corpus AS (
+      SELECT text FROM documents WHERE doc_id % 4 != 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 8 = 1
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' extra trailing words appended'
+      FROM documents WHERE doc_id % 8 = 5),
+    cn AS (SELECT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+             AS t FROM corpus),
+    cpos AS (SELECT DISTINCT {pos('t')} AS pos
+             FROM cn, range(0, {k}) i(i)),
+    bn AS (SELECT doc_id,
+                  lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                    AS t FROM batch),
+    bpos AS (SELECT doc_id, {pos('t')} AS pos
+             FROM bn, range(0, {k}) i(i))
+    SELECT b.doc_id,
+           (min(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) = 1)
+             AS maybe_seen
+    FROM bpos b LEFT JOIN cpos c USING (pos)
+    GROUP BY b.doc_id
+    """
+
+
+@query("dedup_bloom_probe", oracle=_bloom_oracle())
+def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe (datapipe/bloom.py): 75% of
+    documents form the seen corpus, compressed to a 2^20-bit bitmap
+    built distributively (one partial bitmap per partition, OR-merged
+    — no shuffle) and broadcast; the arriving batch (25% unseen docs
+    + verbatim re-ingests under new ids, k % 8 == 1, which MUST flag
+    — bloom has zero false negatives — + near-dup rewrites,
+    k % 8 == 5, which must NOT: membership is exact) probes it with
+    a vectorized numpy bit test, zero shuffle. The driver row
+    exercises the REAL bitmap kernel in md5 hash mode; the oracle
+    replays the equivalent position-set join in DuckDB (the bitmap is
+    the set's dense representation — same function, different
+    representation; equality of the two forms is also asserted
+    in tests/test_bloom.py)."""
+    from ..datapipe.bloom import build_bloom_bitmap, bloom_probe
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0).select("text")
+    batch = (docs.filter(F.col("doc_id") % 4 == 0)
+             .select("doc_id", "text")
+             .unionByName(
+                 docs.filter(F.col("doc_id") % 8 == 1)
+                 .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                         "text"))
+             .unionByName(
+                 docs.filter(F.col("doc_id") % 8 == 5)
+                 .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                         F.concat(F.col("text"),
+                                  F.lit(" extra trailing words appended"))
+                          .alias("text"))))
+    bitmap = build_bloom_bitmap(corpus, m_bits=_BLOOM_M, k=_BLOOM_K,
+                                hash_mode="md5")
+    return (bloom_probe(batch, bitmap, m_bits=_BLOOM_M, k=_BLOOM_K,
+                        hash_mode="md5")
+            .select("doc_id", "maybe_seen"))
