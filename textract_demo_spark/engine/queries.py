@@ -3768,3 +3768,96 @@ def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (bloom_probe(batch, bitmap, m_bits=_BLOOM_M, k=_BLOOM_K,
                         hash_mode="md5")
             .select("doc_id", "maybe_seen"))
+
+
+_WARC_HTTP_HDR = ("HTTP/1.1 200 OK\r\n"
+                  "Content-Type: text/html; charset=utf-8\r\n\r\n")
+_WARC_SHARDS = 8
+
+
+def _warc_stage_dir(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    import os
+    return os.path.join(tempfile.gettempdir(), f"warc_stage_{tag}")
+
+
+def _stage_warc_fixtures(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic WARC shards built from the documents table: one
+    warcinfo record then the shard's documents as HTTP response
+    records in doc_id order. Idempotent overwrite per (sf_dir)."""
+    import os
+
+    from ..sources.warc import build_warc
+    out_dir = _warc_stage_dir(sf_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    rows = sorted(
+        (r["doc_id"], r["text"]) for r in
+        _t(spark, sf_dir, "documents").select("doc_id", "text").collect())
+    shards: list[list[dict]] = [
+        [{"warc_type": "warcinfo",
+          "payload": b"software: textract-demo-spark\r\n",
+          "content_type": "application/warc-fields"}]
+        for _ in range(_WARC_SHARDS)]
+    for doc_id, text in rows:
+        shards[doc_id % _WARC_SHARDS].append({
+            "warc_type": "response",
+            "target_uri": f"https://example.org/doc/{doc_id}",
+            "content_type": "application/http; msgtype=response",
+            "payload": (_WARC_HTTP_HDR + _PRE + text + _POST
+                        ).encode("utf-8"),
+        })
+    for i, recs in enumerate(shards):
+        path = os.path.join(out_dir, f"shard-{i}.warc")
+        data = build_warc(recs)
+        with open(path, "wb") as fh:
+            fh.write(data)
+    return out_dir
+
+
+@query(
+    "warc_ingest_extract",
+    oracle=f"""
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id % {_WARC_SHARDS}
+                              ORDER BY doc_id)::BIGINT AS rec_idx,
+           200::INTEGER AS http_status,
+           'https://example.org/doc/' || doc_id AS target_uri,
+           text AS main_text,
+           {len(_PRE)}::BIGINT AS span_start,
+           ({len(_PRE)} + length(text))::BIGINT AS span_end,
+           ({len(_PRE.encode()) + len(_POST.encode())}::BIGINT
+            + strlen(text)) AS body_bytes
+    FROM documents
+    """)
+def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web-archive ingestion (sources/warc.py): documents
+    are serialized into 8 uncompressed WARC shard files (warcinfo
+    record + one HTTP response record per doc), read back through
+    binaryFile + the Content-Length-driven record splitter (file-
+    granular parallelism, no shuffle), HTTP-split, and the HTML
+    bodies run the REAL extraction pipeline. The oracle predicts
+    every field from the documents table alone — record index within
+    shard (warcinfo occupies index 0), status, URI, extracted main
+    text, span offsets (chars) and body byte length — so the parser
+    round-trip, the HTTP split, and the extractor are all on the
+    hook at once."""
+    from ..sources.warc import read_warc
+    stage = _stage_warc_fixtures(spark, sf_dir)
+    parsed = (read_warc(spark, f"{stage}/*.warc")
+              .filter(F.col("warc_type") == "response")
+              .withColumn(
+                  "doc_id",
+                  F.element_at(F.split("target_uri", "/"), -1)
+                   .cast("long")))
+    meta = parsed.select("doc_id", "rec_idx", "http_status",
+                         "target_uri",
+                         F.octet_length("body").alias("body_bytes"))
+    out = _run_extraction(_docs_as_turns(parsed, F.col("body")))
+    return (out.join(F.broadcast(meta), "doc_id")
+            .select("doc_id", "rec_idx", "http_status", "target_uri",
+                    "main_text",
+                    F.expr("spans[0].start").alias("span_start"),
+                    F.expr("spans[0].end").alias("span_end"),
+                    "body_bytes"))
