@@ -65,6 +65,12 @@ BENCH_QUERIES = [
     "pii_detect_redact", "pack_sequences",
     "token_topk_by_source", "pack_fill_stats",
     "length_percentiles_by_source",
+    # temporal operators (as-of join, sessionization)
+    "events_asof_join", "events_sessionize",
+    # bloom membership (md5 oracle mode; xxhash64 companion below)
+    "dedup_bloom_probe",
+    # web-archive ingestion end-to-end
+    "warc_ingest_extract",
     # multimodal plumbing + real stdlib decode
     "multimodal_frame_features", "multimodal_real_decode",
     # skew_salted_extract is deliberately NOT here: at sf0.1 it
@@ -218,10 +224,23 @@ def main() -> None:
                                 docs.filter(F.col("doc_id") % 5 == 0),
                                 num_buckets=8192, hash_mode="xxhash64")
 
+    def _fast_bloom(spark, sf_dir):
+        from textract_demo_spark.datapipe.bloom import (bloom_probe,
+                                                        build_bloom_bitmap)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bitmap = build_bloom_bitmap(
+            docs.filter(F.col("doc_id") % 4 != 0).select("text"),
+            hash_mode="xxhash64")
+        return (bloom_probe(docs.filter(F.col("doc_id") % 4 == 0)
+                            .select("doc_id", "text"), bitmap,
+                            hash_mode="xxhash64")
+                .select("doc_id", "maybe_seen"))
+
     for name, fn in [("dedup_simhash_fast", _fast_simhash),
                      ("ann_lsh_topk_fast", _fast_lsh),
                      ("ann_ivf_topk_fast", _fast_ivf),
-                     ("dsir_importance_fast", _fast_dsir)]:
+                     ("dsir_importance_fast", _fast_dsir),
+                     ("dedup_bloom_probe_fast", _fast_bloom)]:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm
         t0 = time.time()
