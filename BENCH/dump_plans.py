@@ -349,6 +349,71 @@ def main() -> None:
                                           F.lit("image/bmp")),
             strict=False))))
 
+    from textract_demo_spark.datapipe.temporal import (asof_join,
+                                                       session_stats)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("user_id", "ts",
+                      F.col("event_id").alias("error_id")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    sections.append((
+        "As-of join (union-tag + keyed window — Spark has no ASOF"
+        " operator)",
+        "No join node at all: both sides are tagged and unioned"
+        " (narrow), then last(right_payload, ignorenulls) over a"
+        " window partitioned by the key picks the latest prior right"
+        " row. ONE Exchange on the key + one sort — the same cost as"
+        " any keyed window, vs. the broadcast-nested-loop/cartesian"
+        " a theta-join formulation degenerates to at scale. Filters"
+        " push to both scans.",
+        formatted(asof_join(errors, clicks, on="user_id", ts="ts",
+                            right_cols=["event_id"],
+                            tiebreak="event_id"))))
+
+    sections.append((
+        "Gap sessionization + per-session rollup",
+        "lag + running boundary sum share one window spec, and the"
+        " (user, session_idx) aggregate REUSES the window's exchange"
+        " (HashPartitioning(user_id) satisfies the grouping"
+        " clustering): ONE shuffle end-to-end, partial aggregation"
+        " map-side.",
+        formatted(session_stats(ev, key="user_id", ts="ts"))))
+
+    from textract_demo_spark.datapipe.bloom import (bloom_probe,
+                                                    build_bloom_bitmap)
+    bitmap = build_bloom_bitmap(docs.limit(64).select("text"),
+                                m_bits=1 << 16, k=5)
+    sections.append((
+        "Bloom membership probe (broadcast bitmap, vectorized bit"
+        " test)",
+        "Zero Exchange: base hashes are projected as real columns"
+        " BEFORE the position-array lambda (Catalyst cannot fold"
+        " hash calls through lambda variables — projecting first"
+        " keeps md5/xxhash64 evaluated once per row, not k times),"
+        " then one Arrow-batched numpy probe against the broadcast"
+        " bitmap. The build side (not shown) is likewise"
+        " shuffle-free: per-partition bitmap partials OR-merged.",
+        formatted(bloom_probe(docs.select("doc_id", "text"), bitmap,
+                              m_bits=1 << 16, k=5))))
+
+    import tempfile
+
+    from textract_demo_spark.sources.warc import build_warc, read_warc
+    wtmp = tempfile.mkdtemp(prefix="plans_warc_")
+    with open(os.path.join(wtmp, "a.warc"), "wb") as fh:
+        fh.write(build_warc([{"warc_type": "resource",
+                              "payload": b"x"}]))
+    sections.append((
+        "WARC ingestion (binaryFile scan + mapInPandas record"
+        " splitter)",
+        "File-granular parallelism — the natural unit for crawl"
+        " corpora (WARC members are not block-splittable once"
+        " gzipped; Common Crawl ships ~1 GB files by the million)."
+        " The splitter is a narrow ArrowEvalPython/mapInPandas over"
+        " (path, content): zero Exchange between scan and extraction.",
+        formatted(read_warc(spark, f"{wtmp}/*.warc"))))
+
     staged = with_part_key(out, 8).hint("rebalance", F.col(PART_COL))
     sections.append((
         "Commit staging write input (REBALANCE on the table partition"

@@ -268,3 +268,40 @@ class IcebergLike:
             df = df.filter(F.col(PART_COL).isin(
                 [int(k) for k in snap["committed_keys"]]))
         return df
+
+
+def write_bucketed(df: DataFrame, table: str, path: str,
+                   keys: list[str], buckets: int,
+                   sort: bool = True) -> None:
+    """Persist ``df`` as a BUCKETED external table (Spark's stored
+    co-location contract — the open-format analog of Iceberg's
+    bucket partition transform).
+
+    Two tables bucketed by the same keys into the same bucket count
+    join WITHOUT any Exchange: each task reads matching bucket files
+    from both sides (plan-gated in tests/test_bucketed.py). At 100 TB
+    this is the difference between re-shuffling the fact table on
+    every join and paying the shuffle ONCE at write time — the right
+    call for any join key used repeatedly (conv_id, doc_id, user_id).
+    Bucket pruning applies to equality filters on the bucket key.
+    External LOCATION keeps the data at ``path`` (no warehouse
+    coupling); re-writing overwrites idempotently.
+
+    ``sort=True`` sorts within buckets (and the pre-write repartition
+    keeps one file per bucket, so each bucket IS globally sorted on
+    disk). Note the planner still re-Sorts SMJ inputs — Spark dropped
+    sorted-bucket-scan trust (SPARK-24528 lineage) because it cannot
+    statically prove single-file buckets; the Exchange (the part that
+    moves data between executors) is what bucketing eliminates, and
+    the residual Sort is per-task over already-clustered rows.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # co-locate each bucket's rows in one task: repartition uses the
+    # same Murmur3 hash as the bucket spec, so the writer emits one
+    # file per bucket instead of tasks x buckets small files
+    df = df.repartition(buckets, *[F.col(k) for k in keys])
+    w = df.write.mode("overwrite").bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.option("path", path).format("parquet").saveAsTable(table)
