@@ -82,7 +82,7 @@ _PRIORITY = [
     "c4_line_filter", "line_dedup_rewrite", "dsir_importance",
     "streaming_dsir_scoring", "text_classifier_quality",
     "events_asof_join", "events_sessionize", "dedup_bloom_probe",
-    "warc_ingest_extract",
+    "warc_ingest_extract", "streaming_sessionize",
     # hardest-to-prove green queries (streaming, extraction core,
     # dedup family) keep their driver rows
     "extract_plain_identity", "extract_html_boilerplate_strip",
@@ -91,16 +91,17 @@ _PRIORITY = [
     "streaming_extract_availablenow", "streaming_ttl_cache",
     "streaming_review_wait", "dedup_minhash_lsh",
     "dedup_incremental", "streaming_dedup_incremental", "dedup_simhash",
-    "dedup_simhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs", "dedup_clusters",
     "dedup_substring_spans", "dedup_substring_stats",
     "dedup_substring_rewrite", "gopher_quality_rules",
     # (ann_cosine_topk / ann_lsh_topk / text_fingerprint / text_langid
     # / text_token_stats rotated to the tail as the line-operator +
     # DSIR + classifier queries landed, then words_from_lines /
-    # dedup_exact / embedding_cosine_neardup / text_quality_score as
-    # the temporal + bloom + WARC queries landed: all rotated names
-    # are r02+r03 double-green, and the ANN fast companions are timed
-    # every bench)
+    # dedup_exact / embedding_cosine_neardup / text_quality_score /
+    # dedup_ngram_jaccard as the temporal + bloom + WARC + streaming-
+    # session queries landed: all rotated names are r02+r03
+    # double-green, and the ANN fast companions are timed every
+    # bench)
 ]
 
 

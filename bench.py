@@ -65,8 +65,8 @@ BENCH_QUERIES = [
     "pii_detect_redact", "pack_sequences",
     "token_topk_by_source", "pack_fill_stats",
     "length_percentiles_by_source",
-    # temporal operators (as-of join, sessionization)
-    "events_asof_join", "events_sessionize",
+    # temporal operators (as-of join, sessionization incl. streaming)
+    "events_asof_join", "events_sessionize", "streaming_sessionize",
     # bloom membership (md5 oracle mode; xxhash64 companion below)
     "dedup_bloom_probe",
     # web-archive ingestion end-to-end

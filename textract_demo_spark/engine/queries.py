@@ -3861,3 +3861,91 @@ def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("spans[0].start").alias("span_start"),
                     F.expr("spans[0].end").alias("span_end"),
                     "body_bytes"))
+
+
+@query(
+    "streaming_sessionize",
+    oracle=r"""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 7200000000
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, us,
+             sum(boundary) OVER (PARTITION BY user_id ORDER BY us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+      FROM o)
+    SELECT user_id, min(us) AS sess_start_us, max(us) AS sess_end_us,
+           count(*)::BIGINT AS n_events
+    FROM s GROUP BY user_id, session_idx
+    """)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization as a STREAM (streaming/stream.py
+    start_session_rollup): the events table arrives as two
+    CHRONOLOGICAL single-file waves (maxFilesPerTrigger=1 => one
+    micro-batch each), sessionized by Spark's native session_window
+    with a 2 h gap in append mode. Sessions spanning the wave
+    boundary are merged by the state store across micro-batches
+    (the chronological split makes the 0-delay watermark safe: a
+    session continuing into wave B cannot have closed in wave A,
+    since its next event would be within the gap and therefore in
+    wave A). A far-future sentinel event in the last wave advances
+    the watermark so every real session finalizes within one
+    availableNow drain; the sentinel's own session never closes and
+    is never emitted. The oracle is the BATCH gap-sessionization SQL
+    — streaming and batch must agree row-for-row, including
+    sess_end_us = session_window.end - gap (session_window pads the
+    close by the gap)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.stream import start_session_rollup
+    gap_sec = 7200
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                  "event_id"))
+    mid = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    sentinel = spark.createDataFrame(
+        [(-1, "2030-01-01 00:00:00", -1)],
+        "user_id BIGINT, ts STRING, event_id BIGINT").select(
+        "user_id", F.to_timestamp("ts").alias("ts"), "event_id")
+    waves = [ev.filter(F.col("ts") < mid),
+             ev.filter(F.col("ts") >= mid).unionByName(sentinel)]
+    base = tempfile.mkdtemp(prefix="stream_sess_q_")
+    try:
+        in_dir = os.path.join(base, "in")
+        os.makedirs(in_dir)
+        for name, wave in zip(("a", "b"), waves):
+            stage = os.path.join(base, f"stage_{name}")
+            wave.coalesce(1).write.mode("overwrite").parquet(stage)
+            for i, f in enumerate(sorted(os.listdir(stage))):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(stage, f),
+                                os.path.join(in_dir,
+                                             f"{name}-{i}.parquet"))
+        stream = (spark.readStream
+                  .schema("user_id BIGINT, ts TIMESTAMP,"
+                          " event_id BIGINT")
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        q = start_session_rollup(stream, os.path.join(base, "out"),
+                                 os.path.join(base, "ckpt"),
+                                 gap_sec=gap_sec)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("session stream drain did not finish"
+                               " in 600 s")
+        rows = (spark.read.parquet(os.path.join(base, "out"))
+                .select("user_id", "sess_start_us", "sess_end_us",
+                        "n_events")
+                .collect())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id BIGINT, sess_start_us BIGINT,"
+              " sess_end_us BIGINT, n_events BIGINT")

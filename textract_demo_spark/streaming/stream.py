@@ -176,3 +176,46 @@ def start_foreach_batch(results: DataFrame, checkpoint_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_session_rollup(events_stream: DataFrame, out_dir: str,
+                         checkpoint_dir: str, gap_sec: int,
+                         key: str = "user_id", ts_col: str = "ts",
+                         watermark_delay: str = "0 seconds",
+                         available_now: bool = True):
+    """Streaming gap sessionization: Spark's native ``session_window``
+    (dynamic-gap window merge in the state store) aggregated per key,
+    append-mode — a session row is emitted exactly once, when the
+    watermark passes its window end (last event + gap). The streaming
+    analog of ``datapipe.temporal.session_stats``: for the same input
+    and gap, the finalized rows match the batch operator
+    (``sess_end_us = window.end - gap``, since session_window pads the
+    close by the gap; asserted by the ``streaming_sessionize`` driver
+    oracle).
+
+    Scale shape: the state store holds one in-flight window per
+    (key, open session) — bounded by active keys, not history; the
+    watermark bounds how long a session can stay open, which IS the
+    business definition of the session gap. One exchange on the key,
+    identical to the batch plan.
+    """
+    from pyspark.sql import functions as F
+    win = F.session_window(F.col(ts_col), f"{gap_sec} seconds")
+    agg = (events_stream
+           .withWatermark(ts_col, watermark_delay)
+           .groupBy(F.col(key), win)
+           .agg(F.count("*").cast("long").alias("n_events"))
+           .select(key,
+                   F.unix_micros("session_window.start")
+                    .alias("sess_start_us"),
+                   (F.unix_micros("session_window.end")
+                    - gap_sec * 1_000_000).alias("sess_end_us"),
+                   "n_events"))
+    writer = (agg.writeStream
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
