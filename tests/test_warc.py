@@ -120,3 +120,48 @@ def test_read_warc_spark(spark, tmp_path):
     # splitter is a narrow op: no shuffle in the plan
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p, p[:2000]
+
+
+def test_gzip_member_roundtrip():
+    from textract_demo_spark.sources.warc import (build_warc_gz,
+                                                  parse_warc_auto)
+    recs = [{"warc_type": "resource", "payload": bytes(range(256)) * 3,
+             "target_uri": f"https://e.org/{i}"} for i in range(5)]
+    out = list(parse_warc_auto(build_warc_gz(recs)))
+    assert [r["payload"] for r in out] == [r["payload"] for r in recs]
+    assert [r["target_uri"] for r in out] == [
+        f"https://e.org/{i}" for i in range(5)]
+
+
+def test_gzip_build_is_deterministic():
+    from textract_demo_spark.sources.warc import build_warc_gz
+    recs = [{"warc_type": "resource", "payload": b"abc" * 100}]
+    assert build_warc_gz(recs) == build_warc_gz(recs)
+
+
+def test_gzip_truncated_member_rejected():
+    from textract_demo_spark.sources.warc import (build_warc_gz,
+                                                  parse_warc_auto)
+    data = build_warc_gz([{"warc_type": "resource", "payload": b"xyz"}])
+    with pytest.raises(WarcFormatError, match="gzip"):
+        list(parse_warc_auto(data[:-5]))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.binary(max_size=300), min_size=1, max_size=4))
+def test_gzip_roundtrip_property(payloads):
+    from textract_demo_spark.sources.warc import (build_warc_gz,
+                                                  parse_warc_auto)
+    recs = [{"warc_type": "resource", "payload": p} for p in payloads]
+    out = list(parse_warc_auto(build_warc_gz(recs)))
+    assert [r["payload"] for r in out] == payloads
+
+
+def test_read_warc_mixed_layouts(spark, tmp_path):
+    from textract_demo_spark.sources.warc import build_warc_gz
+    recs = [{"warc_type": "resource", "payload": b"plain-side"}]
+    (tmp_path / "a.warc").write_bytes(build_warc(recs))
+    recs2 = [{"warc_type": "resource", "payload": b"gz-side"}]
+    (tmp_path / "b.warc.gz").write_bytes(build_warc_gz(recs2))
+    rows = read_warc(spark, f"{tmp_path}/*.warc*").collect()
+    assert sorted(r["body"] for r in rows) == ["gz-side", "plain-side"]

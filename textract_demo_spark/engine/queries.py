@@ -3786,12 +3786,18 @@ def _warc_stage_dir(sf_dir: str) -> str:
 def _stage_warc_fixtures(spark: SparkSession, sf_dir: str) -> str:
     """Deterministic WARC shards built from the documents table: one
     warcinfo record then the shard's documents as HTTP response
-    records in doc_id order. Idempotent overwrite per (sf_dir)."""
+    records in doc_id order. Shards 0-3 are plain WARC, shards 4-7
+    member-gzip (.warc.gz) — both layouts must read back identically
+    (the oracle cannot tell them apart). Idempotent overwrite per
+    (sf_dir)."""
     import os
 
-    from ..sources.warc import build_warc
+    import shutil
+
+    from ..sources.warc import build_warc, build_warc_gz
     out_dir = _warc_stage_dir(sf_dir)
-    os.makedirs(out_dir, exist_ok=True)
+    shutil.rmtree(out_dir, ignore_errors=True)  # no stale shards
+    os.makedirs(out_dir)
     rows = sorted(
         (r["doc_id"], r["text"]) for r in
         _t(spark, sf_dir, "documents").select("doc_id", "text").collect())
@@ -3809,8 +3815,12 @@ def _stage_warc_fixtures(spark: SparkSession, sf_dir: str) -> str:
                         ).encode("utf-8"),
         })
     for i, recs in enumerate(shards):
-        path = os.path.join(out_dir, f"shard-{i}.warc")
-        data = build_warc(recs)
+        if i < _WARC_SHARDS // 2:
+            path = os.path.join(out_dir, f"shard-{i}.warc")
+            data = build_warc(recs)
+        else:
+            path = os.path.join(out_dir, f"shard-{i}.warc.gz")
+            data = build_warc_gz(recs)
         with open(path, "wb") as fh:
             fh.write(data)
     return out_dir
@@ -3845,7 +3855,7 @@ def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     hook at once."""
     from ..sources.warc import read_warc
     stage = _stage_warc_fixtures(spark, sf_dir)
-    parsed = (read_warc(spark, f"{stage}/*.warc")
+    parsed = (read_warc(spark, f"{stage}/*.warc*")
               .filter(F.col("warc_type") == "response")
               .withColumn(
                   "doc_id",

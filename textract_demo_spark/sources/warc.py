@@ -20,13 +20,20 @@ Common Crawl ships ~1 GB files by the million, so file-granular
 partitioning is the scale unit) — and a ``mapInPandas`` splitter
 streams each file's records out as rows. No shuffle: scan ->
 per-partition split -> downstream extraction, and column pruning
-still applies to the metadata columns. Gzip members are out of scope
-offline (no codec libs in this container); uncompressed WARC is valid
-per spec and is what the fixtures stage.
+still applies to the metadata columns.
+
+Both WARC layouts are supported: uncompressed, and the standard
+member-gzip form (one gzip member per record, members concatenated —
+what Common Crawl actually ships; this is why WARC files parallelize
+per-file, not per-block). Gzip is stdlib zlib; members are written
+deterministically (fixed level, no mtime) and read with a
+decompressobj loop over ``unused_data``. ``read_warc`` sniffs the
+gzip magic per file, so a glob may mix both layouts.
 """
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterable, Iterator
 
 CRLF = b"\r\n"
@@ -117,6 +124,46 @@ def parse_warc(data: bytes) -> Iterator[dict]:
         pos = body_end + 4
 
 
+def build_warc_gz(records: Iterable[dict]) -> bytes:
+    """Member-gzip WARC: each record is its own gzip member (the spec
+    layout that keeps records independently seekable/splittable at
+    the member level). Deterministic bytes: fixed compression level,
+    no timestamp/filename in the gzip header (wbits=31 raw-gzip via
+    compressobj writes mtime=0)."""
+    out = bytearray()
+    for rec in records:
+        co = zlib.compressobj(level=6, wbits=31)
+        out += co.compress(build_warc([rec])) + co.flush()
+    return bytes(out)
+
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _gunzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress concatenated gzip members one at a time."""
+    pos, n = 0, len(data)
+    while pos < n:
+        dec = zlib.decompressobj(wbits=31)
+        chunk = dec.decompress(data[pos:])
+        if not dec.eof:
+            raise WarcFormatError("truncated gzip member")
+        yield chunk + dec.flush()
+        consumed = (n - pos) - len(dec.unused_data)
+        if consumed <= 0:
+            raise WarcFormatError("gzip member consumed no bytes")
+        pos += consumed
+
+
+def parse_warc_auto(data: bytes) -> Iterator[dict]:
+    """Parse either layout: member-gzip (sniffed by magic) or plain."""
+    if data[:2] == _GZIP_MAGIC:
+        for member in _gunzip_members(data):
+            yield from parse_warc(member)
+    else:
+        yield from parse_warc(data)
+
+
 def split_http_response(payload: bytes) -> tuple[int | None, bytes]:
     """Split an ``application/http; msgtype=response`` payload into
     (status_code, body). Returns (None, payload) when the payload is
@@ -155,7 +202,7 @@ def read_warc(spark, path: str):
         for pdf in batches:
             rows = []
             for path_, content in zip(pdf["path"], pdf["content"]):
-                for i, rec in enumerate(parse_warc(bytes(content))):
+                for i, rec in enumerate(parse_warc_auto(bytes(content))):
                     status, body = (
                         split_http_response(rec["payload"])
                         if rec["content_type"].startswith(
