@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "length_percentiles_by_source",
     # temporal operators (as-of join, sessionization incl. streaming)
     "events_asof_join", "events_sessionize", "streaming_sessionize",
+    "events_point_in_session",
     # bloom membership (md5 oracle mode; xxhash64 companion below)
     "dedup_bloom_probe",
     # web-archive ingestion end-to-end

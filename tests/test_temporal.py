@@ -155,3 +155,68 @@ def test_sessionize_agg_reuses_window_exchange(spark):
     # HashPartitioning(user_id) must satisfy the (user_id,
     # session_idx) aggregate: exactly ONE exchange end-to-end
     assert p.count("Exchange hashpartitioning") == 1, p[:2000]
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id BIGINT, session_idx BIGINT,"
+              " sess_start_us BIGINT, sess_end_us BIGINT")
+
+
+def _pt(spark, rows):
+    from datetime import datetime, timezone
+
+    def us2ts(us):
+        return datetime.fromtimestamp(us / 1e6, tz=timezone.utc) \
+            .replace(tzinfo=None)
+    return spark.createDataFrame(
+        [(u, us2ts(us), i) for (u, us, i) in rows],
+        "user_id BIGINT, ts TIMESTAMP, pid BIGINT")
+
+
+def test_point_in_interval_inclusive_bounds_and_bin_spanning(spark):
+    from textract_demo_spark.datapipe.temporal import \
+        point_in_interval_join
+    B = 1_000_000  # 1s bins
+    iv = _iv(spark, [
+        (1, 0, 5 * B, 12 * B),    # spans bins 5..12
+        (1, 1, 20 * B, 20 * B),   # zero-length interval
+        (2, 0, 5 * B, 6 * B),
+    ])
+    pts = _pt(spark, [
+        (1, 5 * B, 1),        # exactly at start -> match
+        (1, 12 * B, 2),       # exactly at end -> match
+        (1, 9 * B + 17, 3),   # interior, mid-bin
+        (1, 13 * B, 4),       # past end -> no match
+        (1, 20 * B, 5),       # zero-length interval hit
+        (2, 5 * B + 1, 6),    # other key
+        (3, 5 * B + 1, 7),    # key with no intervals
+    ])
+    out = point_in_interval_join(pts, iv, on="user_id", ts="ts",
+                                 bin_us=B)
+    got = {r["pid"]: r["session_idx"] for r in out.collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 5: 1, 6: 0}
+
+
+def test_point_in_interval_left_keeps_unmatched(spark):
+    from textract_demo_spark.datapipe.temporal import \
+        point_in_interval_join
+    B = 1_000_000
+    iv = _iv(spark, [(1, 0, 5 * B, 6 * B)])
+    pts = _pt(spark, [(1, 5 * B, 1), (1, 99 * B, 2)])
+    out = point_in_interval_join(pts, iv, on="user_id", ts="ts",
+                                 bin_us=B, how="left")
+    got = {r["pid"]: r["session_idx"] for r in out.collect()}
+    assert got == {1: 0, 2: None}
+
+
+def test_point_in_interval_plan_no_bnlj(spark):
+    from textract_demo_spark.datapipe.temporal import \
+        point_in_interval_join
+    iv = _iv(spark, [(1, 0, 0, 10)])
+    pts = _pt(spark, [(1, 5, 1)])
+    p = (point_in_interval_join(pts, iv, on="user_id", ts="ts",
+                                bin_us=1_000_000)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:2000]

@@ -127,3 +127,50 @@ def session_stats(events: DataFrame, key: str, ts: str,
             .withColumn("duration_us",
                         (F.col("sess_end_us")
                          - F.col("sess_start_us")).cast("long")))
+
+
+def point_in_interval_join(points: DataFrame, intervals: DataFrame,
+                           on: str, ts: str,
+                           start_col: str = "sess_start_us",
+                           end_col: str = "sess_end_us",
+                           bin_us: int = 2 * 3600 * 1_000_000,
+                           how: str = "inner") -> DataFrame:
+    """Point-in-interval (range) join: attach every interval row that
+    contains the point's timestamp, per ``on`` key. Spark would plan
+    the naive theta join ``start <= ts AND ts <= end`` as a
+    broadcast-nested-loop (or worse, a cartesian) — a scale-killer.
+    This is the standard binning rewrite: intervals explode to the
+    coarse time bins they cover, points compute their single bin, and
+    the join becomes an EQUALITY join on (key, bin) + a residual
+    containment filter — shuffle-partitionable, AQE-skew-splittable,
+    plan-gated (no BNLJ/CartesianProduct).
+
+    ``bin_us`` trades interval fanout (rows ≈ length/bin per
+    interval) against join selectivity (points per bin); set it near
+    the TYPICAL interval length — e.g. the session gap when joining
+    against gap sessions. Bounds are inclusive. Points in no interval
+    are dropped with ``how='inner'`` (default) or kept with nulls via
+    ``how='left'`` (dedup to one row per unmatched point).
+    """
+    ts_us = _us(ts)
+    binned_iv = intervals.withColumn(
+        "_bin", F.explode(F.sequence(
+            (F.col(start_col) / bin_us).cast("long"),
+            (F.col(end_col) / bin_us).cast("long"))))
+    pts = points.withColumn("_pus", ts_us).withColumn(
+        "_bin", (F.col("_pus") / bin_us).cast("long"))
+    matched = (pts.join(binned_iv, [on, "_bin"], "inner")
+               .filter((F.col(start_col) <= F.col("_pus"))
+                       & (F.col("_pus") <= F.col(end_col)))
+               .drop("_bin"))
+    if how == "inner":
+        return matched.drop("_pus")
+    if how != "left":
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    iv_cols = [c for c in intervals.columns if c != on]
+    unmatched = (pts.join(matched.select(on, "_pus").distinct(),
+                          [on, "_pus"], "left_anti").drop("_bin"))
+    for c in iv_cols:
+        unmatched = unmatched.withColumn(
+            c, F.lit(None).cast(dict(intervals.dtypes)[c]))
+    return matched.unionByName(unmatched).drop("_pus")

@@ -3959,3 +3959,65 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id BIGINT, sess_start_us BIGINT,"
               " sess_end_us BIGINT, n_events BIGINT")
+
+
+@query(
+    "events_point_in_session",
+    oracle=r"""
+    WITH nonerr AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type != 'error'),
+    o AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 7200000000
+                  THEN 1 ELSE 0 END AS boundary
+      FROM nonerr
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, us,
+             (sum(boundary) OVER (PARTITION BY user_id ORDER BY us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - 1)::BIGINT AS session_idx
+      FROM o),
+    sess AS (
+      SELECT user_id, session_idx, min(us) AS sess_start_us,
+             max(us) AS sess_end_us
+      FROM s GROUP BY user_id, session_idx)
+    SELECT e.event_id AS error_id, e.user_id,
+           epoch_us(e.ts) AS err_us,
+           sess.session_idx, sess.sess_start_us, sess.sess_end_us
+    FROM events e
+    JOIN sess ON sess.user_id = e.user_id
+             AND sess.sess_start_us <= epoch_us(e.ts)
+             AND epoch_us(e.ts) <= sess.sess_end_us
+    WHERE e.event_type = 'error'
+    """)
+def events_point_in_session(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Point-in-interval (range) join (datapipe/temporal.py
+    point_in_interval_join): every error event attributed to the
+    2 h-gap session (built from the NON-error events) whose span
+    contains it. The Spark side is the binning rewrite — intervals
+    explode to coarse time bins, points join their single bin by
+    EQUALITY, containment is a residual filter (no BNLJ, no
+    cartesian; plan-gated). The oracle is the naive theta join in
+    DuckDB — an independent formulation, so bin-boundary bugs
+    (session spanning bins, point on an inclusive bound) cannot
+    cancel out."""
+    from ..datapipe.temporal import point_in_interval_join, session_stats
+    ev = _t(spark, sf_dir, "events")
+    sessions = session_stats(
+        ev.filter(F.col("event_type") != "error"),
+        key="user_id", ts="ts", gap_us=7_200_000_000,
+        order_tiebreak="event_id").drop("duration_us", "n_events")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("user_id", "ts",
+                      F.col("event_id").alias("error_id"),
+                      F.unix_micros(F.col("ts").cast("timestamp"))
+                       .alias("err_us")))
+    out = point_in_interval_join(errors, sessions, on="user_id",
+                                 ts="ts", bin_us=7_200_000_000)
+    return out.select("error_id", "user_id", "err_us", "session_idx",
+                      "sess_start_us", "sess_end_us")
