@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "warc_ingest_extract",
     # multimodal plumbing + real stdlib decode
     "multimodal_frame_features", "multimodal_real_decode",
+    "multimodal_png_decode",
     # skew_salted_extract is deliberately NOT here: at sf0.1 it
     # extracts a 10^6-turn hot conversation (a stress run, not a
     # suite row — BENCH/run_skew_probe.py records its histograms)

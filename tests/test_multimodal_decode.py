@@ -10,7 +10,8 @@ import struct
 
 import pytest
 
-from textract_demo_spark.datapipe.multimodal import (
+from textract_demo_spark.datapipe.multimodal import (build_png,
+                                                      decode_png,
     MediaDecodeError, _real_decode, build_bmp, build_wav, decode_bmp,
     decode_wav)
 
@@ -91,5 +92,103 @@ def test_real_decode_dispatch():
     assert bmp == [[0.2, 0.4, 0.6, 0.0, 0.0, 0.0, 0.0, 0.0]]
     wav = _real_decode(build_wav(1, 8000, [16384, -16384]))
     assert wav[0][0] == 0.5
+    png = _real_decode(build_png(2, 2, [(51, 102, 153)] * 4))
+    assert png == [[0.2, 0.4, 0.6, 0.0, 0.0, 0.0, 0.0, 0.0]]
     with pytest.raises(NotImplementedError, match="codec"):
-        _real_decode(b"\x89PNG\r\n\x1a\n")
+        _real_decode(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+PX = [((x * 37 + y * 11) % 256, (x * 5 + y * 91) % 256,
+       (x * 201 + y * 3) % 256) for y in range(3) for x in range(5)]
+PX_SUMS = [sum(p[c] for p in PX) for c in range(3)]
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter_rgb(ft):
+    assert decode_png(build_png(5, 3, PX, filter_type=ft)) == \
+        (5, 3, PX_SUMS)
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter_gray(ft):
+    g = [(x * 7 + y * 3) % 256 for y in range(3) for x in range(5)]
+    assert decode_png(build_png(5, 3, g, color_type=0,
+                                filter_type=ft)) == (5, 3, [sum(g)] * 3)
+
+
+def test_png_rejects():
+    with pytest.raises(MediaDecodeError, match="not a PNG"):
+        decode_png(b"BM not a png")
+    good = bytearray(build_png(2, 2, [(1, 2, 3)] * 4))
+    # corrupt one IDAT byte -> CRC must catch it
+    idat_at = bytes(good).find(b"IDAT")
+    good[idat_at + 6] ^= 0xFF
+    with pytest.raises(MediaDecodeError, match="CRC"):
+        decode_png(bytes(good))
+    # file cut mid-IDAT -> truncated chunk
+    whole = build_png(2, 2, [(1, 2, 3)] * 4)
+    cut = whole.find(b"IDAT") + 6
+    with pytest.raises(MediaDecodeError, match="truncated|missing"):
+        decode_png(whole[:cut])
+
+
+def test_png_bad_zlib_stream_rejected():
+    sig = b"\x89PNG\r\n\x1a\n"
+    import struct as st
+    import zlib as zl
+
+    def chunk(t, d):
+        return st.pack(">I", len(d)) + t + d + st.pack(
+            ">I", zl.crc32(t + d))
+    ihdr = st.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    data = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"notzlib") \
+        + chunk(b"IEND", b"")
+    with pytest.raises(MediaDecodeError, match="zlib"):
+        decode_png(data)
+
+
+def test_png_geometry_mismatch_rejected():
+    import struct as st
+    import zlib as zl
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, d):
+        return st.pack(">I", len(d)) + t + d + st.pack(
+            ">I", zl.crc32(t + d))
+    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # needs 2*(1+6)
+    idat = zl.compress(b"\x00" * 5)  # wrong length
+    with pytest.raises(MediaDecodeError, match="geometry"):
+        decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+                   + chunk(b"IEND", b""))
+
+
+def test_png_multiple_idat_chunks_concatenate():
+    import struct as st
+    import zlib as zl
+    whole = build_png(5, 3, PX, filter_type=1)
+    # split the single IDAT into two chunks at an arbitrary byte
+    at = whole.find(b"IDAT")
+    (ln,) = st.unpack_from(">I", whole, at - 4)
+    body = whole[at + 4:at + 4 + ln]
+    pre, post = whole[:at - 4], whole[at + 8 + ln:]
+
+    def chunk(t, d):
+        return st.pack(">I", len(d)) + t + d + st.pack(
+            ">I", zl.crc32(t + d))
+    rebuilt = (pre + chunk(b"IDAT", body[:7]) + chunk(b"IDAT", body[7:])
+               + post)
+    assert decode_png(rebuilt) == (5, 3, PX_SUMS)
+
+
+def test_png_media_features_spark(spark):
+    from textract_demo_spark.datapipe.multimodal import media_features
+    from pyspark.sql import functions as F
+    rows = [(1, build_png(2, 2, [(100, 150, 200)] * 4), "image/png"),
+            (2, build_png(2, 2, [10] * 4, color_type=0), "image/png")]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, media BINARY, media_type STRING")
+    got = {r["doc_id"]: r for r in media_features(df).collect()}
+    assert (got[1]["ch0_milli"], got[1]["ch1_milli"],
+            got[1]["ch2_milli"]) == (100000, 150000, 200000)
+    assert (got[2]["ch0_milli"], got[2]["ch1_milli"],
+            got[2]["ch2_milli"]) == (10000, 10000, 10000)

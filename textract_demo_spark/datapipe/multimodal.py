@@ -10,17 +10,24 @@ Two decode tiers:
   (RIFF/WAVE PCM-16: chunk walk, interleaved little-endian frames).
   These need no codec libraries and back the ``media_features``
   operator end-to-end.
-* **Compressed formats** (JPEG/PNG/MP3/H.264) still need codec
-  libraries this container lacks; for those, ``extract_frames``
-  keeps the deterministic byte-statistics stand-in behind
-  ``decode_enabled`` — swap in a PIL/ffmpeg kernel on a full
-  cluster. ``_real_decode`` handles BMP/WAV and raises with a clear
-  message for anything compressed.
+* **PNG is a real compressed decoder** — the codec is zlib, which IS
+  stdlib: ``decode_png`` parses chunks (CRC-verified), inflates the
+  IDAT stream and implements all five scanline filters (None/Sub/Up/
+  Average/Paeth) for 8-bit truecolor and grayscale; ``build_png``
+  can emit any filter type, so the decoder's reconstruction paths
+  are testable byte-for-byte.
+* **Remaining compressed formats** (JPEG/MP3/H.264) need entropy/
+  transform codecs this container lacks; for those,
+  ``extract_frames`` keeps the deterministic byte-statistics
+  stand-in behind ``decode_enabled`` — swap in a PIL/ffmpeg kernel
+  on a full cluster. ``_real_decode`` handles BMP/WAV/PNG and raises
+  with a clear message for anything else.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -159,6 +166,148 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
     return channels, rate, n, sums
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def build_png(width: int, height: int, pixels: list,
+              color_type: int = 2, filter_type: int = 0) -> bytes:
+    """Serialize an 8-bit PNG — truecolor RGB (``color_type=2``,
+    pixels = [(r,g,b), ...]) or grayscale (``color_type=0``, pixels =
+    [v, ...]), row-major. ``filter_type`` applies that scanline
+    filter to EVERY row (0=None 1=Sub 2=Up 3=Average 4=Paeth), which
+    exercises the decoder's corresponding reconstruction path."""
+    ch = 3 if color_type == 2 else 1
+    if len(pixels) != width * height:
+        raise ValueError("pixel count != width*height")
+    raw_rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            p = pixels[y * width + x]
+            row += bytes(p) if ch == 3 else bytes((p,))
+        raw_rows.append(bytes(row))
+    out_rows = []
+    prev = b"\x00" * (width * ch)
+    for raw in raw_rows:
+        f = bytearray([filter_type])
+        for x in range(len(raw)):
+            left = raw[x - ch] if x >= ch else 0
+            up = prev[x]
+            upleft = prev[x - ch] if x >= ch else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = left
+            elif filter_type == 2:
+                pred = up
+            elif filter_type == 3:
+                pred = (left + up) // 2
+            elif filter_type == 4:
+                pred = _paeth(left, up, upleft)
+            else:
+                raise ValueError(f"bad filter type {filter_type}")
+            f.append((raw[x] - pred) & 0xFF)
+        out_rows.append(bytes(f))
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(out_rows), 6)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> tuple[int, int, list[int]]:
+    """Parse an 8-bit truecolor or grayscale PNG (no interlace, no
+    palette): CRC-checked chunk walk, zlib inflate, full five-filter
+    scanline reconstruction. Returns (width, height,
+    [sum_r, sum_g, sum_b]) as exact integers — grayscale reports the
+    same sum on all three channels (r=g=b by definition)."""
+    if data[:8] != _PNG_SIG:
+        raise MediaDecodeError("not a PNG")
+    pos, n = 8, len(data)
+    width = height = color_type = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + clen]
+        if len(body) < clen or pos + 12 + clen > n:
+            raise MediaDecodeError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+        if crc != zlib.crc32(ctype + body):
+            raise MediaDecodeError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, ilace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color_type not in (0, 2) or comp or filt \
+                    or ilace:
+                raise MediaDecodeError(
+                    f"unsupported PNG (depth={depth},"
+                    f" color_type={color_type}, interlace={ilace})")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        raise MediaDecodeError("missing IHDR or IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise MediaDecodeError(f"bad IDAT zlib stream: {exc}") from exc
+    ch = 3 if color_type == 2 else 1
+    rowlen = width * ch
+    if len(raw) != (rowlen + 1) * height:
+        raise MediaDecodeError("IDAT length != scanline geometry")
+    sums = [0, 0, 0]
+    prev = bytearray(rowlen)
+    for y in range(height):
+        base = y * (rowlen + 1)
+        ftype = raw[base]
+        cur = bytearray(raw[base + 1:base + 1 + rowlen])
+        if ftype == 1:
+            for x in range(ch, rowlen):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif ftype == 2:
+            for x in range(rowlen):
+                cur[x] = (cur[x] + prev[x]) & 0xFF
+        elif ftype == 3:
+            for x in range(rowlen):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:
+            for x in range(rowlen):
+                left = cur[x - ch] if x >= ch else 0
+                upleft = prev[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + _paeth(left, prev[x], upleft)) & 0xFF
+        elif ftype != 0:
+            raise MediaDecodeError(f"bad scanline filter {ftype}")
+        if ch == 3:
+            for x in range(0, rowlen, 3):
+                sums[0] += cur[x]
+                sums[1] += cur[x + 1]
+                sums[2] += cur[x + 2]
+        else:
+            s = sum(cur)
+            sums[0] += s
+            sums[1] += s
+            sums[2] += s
+        prev = cur
+    return width, height, sums
+
+
 MEDIA_FEATURE_SCHEMA = (
     "doc_id long, media_type string, width long, height long, "
     "n_samples long, sample_rate long, "
@@ -167,8 +316,9 @@ MEDIA_FEATURE_SCHEMA = (
 
 def media_features(media: DataFrame, strict: bool = True) -> DataFrame:
     """REAL media decode over binary columns (mapInPandas, Arrow
-    batches): dispatch on ``media_type`` — ``image/bmp`` decodes to
-    per-channel mean pixel values (milli-units, exact integers:
+    batches): dispatch on ``media_type`` — ``image/bmp`` and
+    ``image/png`` (zlib inflate + five-filter reconstruction) decode
+    to per-channel mean pixel values (milli-units, exact integers:
     1000*sum//count), ``audio/wav`` to per-channel mean absolute
     PCM amplitude. Unknown media types raise (``strict=True``) or
     pass through with -1 features. Channels beyond the format's
@@ -192,6 +342,9 @@ def media_features(media: DataFrame, strict: bool = True) -> DataFrame:
                 ch = [-1, -1, -1]
                 if mtype == "image/bmp":
                     w, h, sums = decode_bmp(data)
+                    ch = [(1000 * s) // (w * h) for s in sums]
+                elif mtype == "image/png":
+                    w, h, sums = decode_png(data)
                     ch = [(1000 * s) // (w * h) for s in sums]
                 elif mtype == "audio/wav":
                     nch, rate, n, sums = decode_wav(data)
@@ -218,10 +371,14 @@ def media_features(media: DataFrame, strict: bool = True) -> DataFrame:
 
 
 def _real_decode(data: bytes) -> list[list[float]]:
-    """Frame features via the stdlib decoders (BMP/WAV); compressed
-    formats still need codec libraries."""
+    """Frame features via the stdlib decoders (BMP/PNG/WAV); other
+    compressed formats still need codec libraries."""
     if data[:2] == b"BM":
         w, h, sums = decode_bmp(data)
+        feats = [round(s / (255.0 * w * h), 6) for s in sums]
+        return [feats + [0.0] * (N_FEATURES - len(feats))]
+    if data[:8] == _PNG_SIG:
+        w, h, sums = decode_png(data)
         feats = [round(s / (255.0 * w * h), 6) for s in sums]
         return [feats + [0.0] * (N_FEATURES - len(feats))]
     if data[:4] == b"RIFF":
@@ -230,9 +387,10 @@ def _real_decode(data: bytes) -> list[list[float]]:
         return [feats[:N_FEATURES]
                 + [0.0] * max(N_FEATURES - len(feats), 0)]
     raise NotImplementedError(
-        "compressed media decode requires codec libraries (PIL/ffmpeg)"
-        " not present in this container; only uncompressed BMP/WAV have"
-        " stdlib decoders (decode_bmp/decode_wav)")
+        "media decode beyond BMP/PNG/WAV requires codec libraries"
+        " (PIL/ffmpeg) not present in this container — JPEG/MP3/H.264"
+        " need entropy/transform codecs; zlib-backed PNG is handled"
+        " by decode_png")
 
 
 def _fake_features(data: bytes) -> list[list[float]]:

@@ -4021,3 +4021,70 @@ def events_point_in_session(spark: SparkSession,
                                  ts="ts", bin_us=7_200_000_000)
     return out.select("error_id", "user_id", "err_us", "session_idx",
                       "sess_start_us", "sess_end_us")
+
+
+@query(
+    "multimodal_png_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+        2 + doc_id % 5 AS w, 1 + doc_id % 3 AS h,
+        doc_id % 200 AS r0, (7 * doc_id) % 200 AS g0,
+        (13 * doc_id) % 200 AS b0
+      FROM documents),
+    q AS (
+      SELECT doc_id, w, h,
+        -- sum over pixels of (c0 + x + y); values stay < 256 by
+        -- construction so no mod wrap
+        w*h*r0 + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS sum_r,
+        w*h*g0 + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS sum_g,
+        w*h*b0 + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS sum_b
+      FROM p)
+    SELECT doc_id, 'image/png' AS media_type,
+           w::BIGINT AS width, h::BIGINT AS height,
+           0::BIGINT AS n_samples, 0::BIGINT AS sample_rate,
+           CASE WHEN doc_id % 3 = 0 THEN (1000*sum_g)//(w*h)
+                ELSE (1000*sum_r)//(w*h) END::BIGINT AS ch0_milli,
+           ((1000*sum_g)//(w*h))::BIGINT AS ch1_milli,
+           CASE WHEN doc_id % 3 = 0 THEN (1000*sum_g)//(w*h)
+                ELSE (1000*sum_b)//(w*h) END::BIGINT AS ch2_milli
+    FROM q
+    """)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end-to-end (datapipe/multimodal.py
+    decode_png — zlib IS stdlib, so PNG needs no external codec): one
+    gradient PNG per document, synthesized in an Arrow-batched
+    builder with the scanline FILTER TYPE cycling doc_id % 5 — every
+    reconstruction path (None/Sub/Up/Average/Paeth) sits under the
+    driver oracle — and docs with doc_id % 3 == 0 written GRAYSCALE
+    (color type 0; decode reports r=g=b). CRC-verified chunk walk,
+    inflate, unfilter, exact integer channel sums; the oracle
+    predicts every feature in closed form from doc_id alone."""
+    from pyspark.sql.types import BinaryType
+
+    from ..datapipe.multimodal import build_png, media_features
+
+    @F.pandas_udf(BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in doc_ids:
+            d = int(doc_id)
+            w, h = 2 + d % 5, 1 + d % 3
+            ft = d % 5
+            if d % 3 == 0:
+                g0 = (7 * d) % 200
+                px = [g0 + x + y for y in range(h) for x in range(w)]
+                out.append(build_png(w, h, px, color_type=0,
+                                     filter_type=ft))
+            else:
+                base = (d % 200, (7 * d) % 200, (13 * d) % 200)
+                px = [tuple(c0 + x + y for c0 in base)
+                      for y in range(h) for x in range(w)]
+                out.append(build_png(w, h, px, filter_type=ft))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", synth(F.col("doc_id")).alias("media"),
+        F.lit("image/png").alias("media_type"))
+    return media_features(media)
