@@ -83,13 +83,13 @@ _PRIORITY = [
     "streaming_dsir_scoring", "text_classifier_quality",
     "events_asof_join", "events_sessionize", "dedup_bloom_probe",
     "warc_ingest_extract", "streaming_sessionize",
-    "events_point_in_session", "multimodal_png_decode",
+    "events_point_in_session", "multimodal_png_decode", "bpe_tokenize",
     # hardest-to-prove green queries (streaming, extraction core,
     # dedup family) keep their driver rows
     "extract_plain_identity", "extract_html_boilerplate_strip",
     "extract_pdf_success", "quality_gate_routing", "extract_table_cells",
     "streaming_extract_availablenow", "streaming_ttl_cache",
-    "streaming_review_wait", "dedup_minhash_lsh",
+    "streaming_review_wait",
     "dedup_incremental", "streaming_dedup_incremental",
     "dedup_simhash_pairs", "dedup_clusters",
     "dedup_substring_spans", "dedup_substring_stats",
@@ -98,8 +98,9 @@ _PRIORITY = [
     # / text_token_stats rotated to the tail as the line-operator +
     # DSIR + classifier queries landed, then words_from_lines /
     # dedup_exact / embedding_cosine_neardup / text_quality_score /
-    # dedup_ngram_jaccard / selection_elements / dedup_simhash (its
-    # pairs variant and xxhash64 fast companion stay) as the temporal
+    # dedup_ngram_jaccard / selection_elements / dedup_simhash /
+    # dedup_minhash_lsh (the incremental variant, which subsumes the
+    # minhash+band machinery, stays) as the temporal
     # + bloom + WARC + streaming-session + range-join + PNG queries
     # landed:
     # all rotated names are r02+r03

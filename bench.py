@@ -54,8 +54,8 @@ BENCH_QUERIES = [
     # similarity / ANN family
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "semantic_dedup", "semantic_dedup_incremental",
-    # text analysis family
-    "text_token_stats", "text_quality_score",
+    # text analysis family (incl. BPE tokenization)
+    "bpe_tokenize", "text_token_stats", "text_quality_score",
     "gopher_quality_rules", "lm_unigram_surprisal",
     # dataset curation family (splits / decontamination / repetition)
     "split_assign", "shard_shuffle",

@@ -4088,3 +4088,46 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", synth(F.col("doc_id")).alias("media"),
         F.lit("image/png").alias("media_type"))
     return media_features(media)
+
+
+def _bpe_oracle() -> str:
+    from ..datapipe.bpe import _BPE_FIXTURE, bpe_sql_expr
+    expr = bpe_sql_expr("text", dialect="duckdb")
+    return f"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT 9000001, '{_BPE_FIXTURE}'
+      UNION ALL SELECT 9000002, 'aaaa aaa a the lowest newer'),
+    seg AS (SELECT doc_id, {expr} AS s FROM src)
+    SELECT doc_id,
+           CASE WHEN s = '' THEN 0
+                ELSE len(string_split(s, ' ')) END::BIGINT AS n_bpe,
+           md5(s) AS bpe_md5
+    FROM seg
+    """
+
+
+@query("bpe_tokenize", oracle=_bpe_oracle())
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization under the FROZEN merge table (datapipe/bpe.py;
+    trained by the committed reference trainer on the fixture corpus,
+    reproduced in tests): the Spark side runs the CANONICAL greedy
+    per-word kernel (Arrow-batched pandas UDF with a word memo — the
+    production path), the oracle runs the plan-time literal
+    replace-chain form in DuckDB, and the md5 of the full space-
+    joined segmentation must agree per document — so the two
+    formulations certify each other cross-engine, including the
+    self-chaining-run arm ('aaaa aaa a') where naive single-pass
+    replace semantics diverge from canonical BPE, and the fixture
+    arm where every frozen merge fires."""
+    from ..datapipe.bpe import _BPE_FIXTURE, apply_bpe
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(9000001, _BPE_FIXTURE),
+         (9000002, "aaaa aaa a the lowest newer")],
+        "doc_id BIGINT, text STRING")
+    seg = apply_bpe(docs.unionByName(extra))
+    return seg.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe"),
+        F.md5(F.concat_ws(" ", "bpe_tokens")).alias("bpe_md5"))
