@@ -84,10 +84,15 @@ _PRIORITY = [
     "events_asof_join", "events_sessionize", "dedup_bloom_probe",
     "warc_ingest_extract", "streaming_sessionize",
     "events_point_in_session", "multimodal_png_decode", "bpe_tokenize",
+    "hll_register_sketch", "cms_heavy_hitters", "chunk_overlap",
+    "tfidf_top_terms",
     # hardest-to-prove green queries (streaming, extraction core,
-    # dedup family) keep their driver rows
-    "extract_plain_identity", "extract_html_boilerplate_strip",
-    "extract_pdf_success", "quality_gate_routing", "extract_table_cells",
+    # dedup family) keep their driver rows; extract_plain_identity /
+    # extract_html_boilerplate_strip / quality_gate_routing /
+    # extract_table_cells rotated to the tail (r02+r03 double-green,
+    # and the same extraction pipeline is re-proven in-window by
+    # extract_pdf_multipage / skew_salted_extract / warc_ingest_extract)
+    "extract_pdf_success",
     "streaming_extract_availablenow", "streaming_ttl_cache",
     "streaming_review_wait",
     "dedup_incremental", "streaming_dedup_incremental",

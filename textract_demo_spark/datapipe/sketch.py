@@ -1,0 +1,182 @@
+"""Mergeable distributed sketches: HyperLogLog distinct-count
+registers and a count-min frequency sketch with heavy-hitter probe.
+
+Both sketches exist for the 100-TB regime where exact global
+``count(distinct ...)`` / full frequency tables stop being free:
+
+- **HyperLogLog**: a fixed 2^p-register table per group. The build is
+  ONE hash-groupBy whose map-side partial ``max`` collapses every
+  within-partition value before the exchange — the shuffle carries at
+  most (groups × m) register rows regardless of input size, and two
+  register tables merge with the same ``max``, so per-partition /
+  per-day sketches roll up without touching raw data.
+- **Count-min**: a fixed depth×width counter table. The build is a
+  key-count aggregate (map-side partial sum) followed by a tiny
+  (depth × distinct-keys) re-bucket; the probe broadcasts the
+  counter table (≤ depth·width rows) — zero shuffle on the probe
+  side. Estimates only ever over-count (biased high), never under.
+
+Everything is integer algebra over the shared ``hash64`` families
+(``xxhash64`` fast path, ``md5`` cross-engine mode) so the register /
+counter tables themselves are DuckDB-replayable — the driver
+correctness rows compare the sketch CONTENT, not a float estimate.
+The float cardinality estimator (``hll_estimate``, with the standard
+linear-counting small-range correction) is exercised by pytest
+accuracy bounds instead, because cross-engine float ``ln``/``pow``
+equality is not a contract worth betting a hash-compare on.
+
+Reference analog: the demo aggregates per-document metrics into
+DynamoDB counters (textract-demo ``fn-postprocess/main.py`` result
+persistence); at transcript-corpus scale the same "how many distinct
+payloads / how often does each token occur" questions need sketches,
+not counters.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash64
+
+# both hash modes are normalized into [0, 2^60): md5 mode already
+# lands there (15 hex chars), xxhash64 is folded by pmod
+_HASH_SPAN = 1 << 60
+_HASH_BITS = 60
+
+
+def _h60(inner: str, mode: str) -> str:
+    return f"pmod({hash64(inner, mode)}, {_HASH_SPAN}L)"
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+
+
+def hll_registers(df: DataFrame, value_col: str = "text",
+                  group_cols: tuple[str, ...] = ("source",),
+                  p: int = 8, hash_mode: str = "xxhash64") -> DataFrame:
+    """Per-group HLL register table: (group..., bucket, rho).
+
+    bucket = h mod 2^p; rho = leading-zero rank of the remaining
+    w = h div 2^p within its W = 60-p bit budget, i.e.
+    ``W - floor(log2(w))`` (and W+1 when w = 0), computed in exact
+    integer bits as ``length(bin(w)) - 1`` — no float log in either
+    engine. Registers merge under ``max`` (see ``hll_merge``).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p out of range: {p}")
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    h = _h60(value_col, hash_mode)
+    gcols = list(group_cols)
+    return (df
+            .select(*gcols, F.expr(h).alias("_h"))
+            .select(*gcols,
+                    F.expr(f"pmod(_h, {m}L)").cast("long").alias("bucket"),
+                    F.expr(f"_h div {m}L").alias("_w"))
+            .select(*gcols, "bucket",
+                    F.expr(f"CASE WHEN _w = 0 THEN {w_bits + 1}L "
+                           f"ELSE {w_bits}L - (length(bin(_w)) - 1) END")
+                    .cast("long").alias("rho"))
+            .groupBy(*gcols, "bucket")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union register tables and re-max: the sketch's merge operator
+    (per-partition / per-snapshot sketches roll up losslessly —
+    ``merge(build(A), build(B)) == build(A ∪ B)``, asserted in
+    tests/test_sketch.py)."""
+    out = register_tables[0]
+    for other in register_tables[1:]:
+        out = out.unionByName(other)
+    keys = [c for c in out.columns if c != "rho"]
+    return out.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int,
+                 group_cols: tuple[str, ...] = ("source",)) -> DataFrame:
+    """Float cardinality estimate per group from a register table:
+    standard HLL harmonic mean with the linear-counting small-range
+    correction (Flajolet et al. 2007). Float path — accuracy is a
+    pytest bound (σ ≈ 1.04/√m), not a cross-engine hash contract."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    gcols = list(group_cols)
+    agg = (registers.groupBy(*gcols)
+           .agg(F.sum(F.pow(F.lit(0.5), F.col("rho"))).alias("_hsum"),
+                F.count("*").alias("_hit")))
+    zeros = F.lit(m) - F.col("_hit")
+    raw = F.lit(alpha * m * m) / (F.col("_hsum") + zeros)
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lc).otherwise(raw)
+    return agg.select(*gcols, est.alias("n_distinct_est"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min
+
+
+def _salted_hash(inner: str, i_expr: str, mode: str) -> str:
+    """Row i of the hash family: xxhash64 takes the index as an extra
+    seed argument; md5 mode prefixes it into the digested string
+    (DuckDB replay: ('0x' || substr(md5(i || '#' || x), 1, 15))::BIGINT)."""
+    if mode == "xxhash64":
+        return f"xxhash64({inner}, {i_expr})"
+    if mode == "md5":
+        return ("cast(conv(substr(md5(concat(cast(" + i_expr +
+                " AS string), '#', " + inner + ")), 1, 15), 16, 10)"
+                " AS BIGINT)")
+    raise ValueError(f"unknown hash mode: {mode!r}")
+
+
+def cms_build(df: DataFrame, key_col: str, depth: int = 3,
+              width: int = 1024, weight_col: str | None = None,
+              hash_mode: str = "xxhash64") -> DataFrame:
+    """Count-min counter table: (i, bucket, cnt) for i in [0, depth).
+
+    Scale shape: aggregate exact key counts FIRST (one exchange whose
+    map-side partial sum collapses occurrences), then explode each
+    distinct key into its depth rows and re-aggregate into the fixed
+    depth×width table (second, tiny exchange bounded by depth·width).
+    Exploding before the first aggregate would multiply the raw-row
+    shuffle by depth for nothing.
+    """
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    key_counts = (df.groupBy(key_col).agg(F.sum(w).alias("_n")))
+    bucket = f"pmod({_salted_hash(key_col, 'i', hash_mode)}, {width}L)"
+    return (key_counts
+            .select(key_col, "_n",
+                    F.explode(F.expr(f"sequence(0, {depth - 1})"))
+                    .alias("i"))
+            .select(F.col("i").cast("long").alias("i"),
+                    F.expr(bucket).cast("long").alias("bucket"), "_n")
+            .groupBy("i", "bucket")
+            .agg(F.sum("_n").alias("cnt")))
+
+
+def cms_probe(sketch: DataFrame, probes: DataFrame, key_col: str,
+              depth: int = 3, width: int = 1024,
+              hash_mode: str = "xxhash64") -> DataFrame:
+    """Estimate each probe key's count: min over the depth rows of the
+    counter its buckets hold (0 for a never-touched bucket). The
+    counter table is ≤ depth·width rows — broadcast, so the probe is
+    a BroadcastHashJoin + one groupBy(key) partial-min: never a
+    shuffle of the sketch, never an all-pairs anything. CMS guarantee:
+    ``est >= true count`` always (collisions only add)."""
+    bucket = f"pmod({_salted_hash(key_col, 'i', hash_mode)}, {width}L)"
+    exp = (probes
+           .select(key_col,
+                   F.explode(F.expr(f"sequence(0, {depth - 1})"))
+                   .alias("i"))
+           .select(key_col, F.col("i").cast("long").alias("i"),
+                   F.expr(bucket).cast("long").alias("bucket")))
+    joined = exp.join(F.broadcast(sketch), ["i", "bucket"], "left")
+    return (joined
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+                 .alias("cms_est")))

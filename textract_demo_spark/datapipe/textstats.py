@@ -423,3 +423,58 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
                   sequence(0, greatest(size(split({norm}, ' ')) - 3, 0)),
                   i -> xxhash64(array_join(
                        slice(split({norm}, ' '), i + 1, 3), ' '))))""")))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document characteristic terms by TF-IDF with EXACT integer
+    IDF: ``idf_bits = floor(log2(N / df))`` computed as
+    ``length(bin(N div df)) - 1`` (the identity
+    ``floor(log2(a/b)) == floor(log2(a div b))`` holds for integers
+    a >= b > 0, so no float log and no cross-engine boundary risk).
+    ``score = tf * idf_bits``; ties rank deterministically
+    (score desc, token asc). Corpus-wide stopwords (df == N) score 0.
+
+    Scale shape: (1) ONE groupBy((doc, token)) exchange with map-side
+    partial counts — the shuffle carries distinct pairs, not
+    occurrences; (2) document frequency derives from that tf frame
+    (already one row per (doc, token), so ``count per token`` IS df)
+    and joins back as a BROADCAST (the df table is the vocabulary —
+    zipf-bounded, MB-sized even at 10^12 tokens, same argument as
+    ``token_bits_vocab``); (3) N arrives as a broadcast 1-row
+    aggregate, not a driver collect; (4) the per-doc rank runs as
+    WindowGroupLimit — partial top-k before the doc exchange.
+    """
+    from pyspark.sql import Window
+    t = _tokens(text_col)
+    tf = (docs
+          .select(id_col, F.explode(F.expr(t)).alias("token"))
+          .groupBy(id_col, "token")
+          .agg(F.count("*").cast("long").alias("tf")))
+    tf = tf.persist()
+    dfreq = (tf.groupBy("token")
+             .agg(F.count("*").cast("long").alias("df")))
+    # N = number of documents with >= 1 token: derive it from the tf
+    # frame too (distinct doc count) so the whole query reads the
+    # corpus exactly once
+    ndocs = (tf.select(id_col).distinct()
+             .agg(F.count("*").cast("long").alias("n_docs")))
+    scored = (tf
+              .join(F.broadcast(dfreq), "token")
+              .crossJoin(F.broadcast(ndocs))
+              .withColumn("idf_bits",
+                          (F.length(F.expr("bin(n_docs div df)")) - 1)
+                          .cast("long"))
+              .withColumn("score",
+                          (F.col("tf") * F.col("idf_bits")).cast("long")))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("score").desc(), F.col("token")))
+    out = (scored
+           .withColumn("rank", F.row_number().over(w).cast("long"))
+           .filter(F.col("rank") <= k)
+           .select(id_col, "rank", "token", "tf", "df",
+                   "idf_bits", "score"))
+    # release handle consumed by dedup.release_cached
+    out._cached_banded = tf  # noqa: SLF001
+    return out

@@ -4131,3 +4131,161 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("bpe_tokens").cast("long").alias("n_bpe"),
         F.md5(F.concat_ws(" ", "bpe_tokens")).alias("bpe_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Sketch family: HLL distinct registers + count-min heavy hitters
+# (datapipe/sketch.py) — the driver rows compare the sketch CONTENT
+# (pure integer algebra), so approximate operators get exact oracles.
+
+@query(
+    "hll_register_sketch",
+    oracle=r"""
+    WITH h AS (SELECT source,
+        ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+      FROM documents),
+    b AS (SELECT source, h % 256 AS bucket, h // 256 AS w FROM h),
+    r AS (SELECT source, bucket,
+            CASE WHEN w = 0 THEN 53
+                 ELSE 52 - (length(bin(w)) - 1) END AS rho
+          FROM b)
+    SELECT source, bucket::BIGINT AS bucket, max(rho)::BIGINT AS rho
+    FROM r GROUP BY source, bucket
+    """)
+def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table per source (datapipe/sketch.py
+    hll_registers, p=8 -> 256 buckets, md5 hash mode): the full
+    distinct-count sketch state as rows — ONE groupBy((source,
+    bucket)) exchange whose map-side partial max collapses every
+    within-partition value, so the shuffle is bounded by groups x 256
+    regardless of corpus size. rho is exact integer bits
+    (length(bin(w)) - 1), so DuckDB replays the registers
+    bit-for-bit; merge-associativity and the float estimator's
+    accuracy band are pytest properties (tests/test_sketch.py)."""
+    from ..datapipe.sketch import hll_registers
+    docs = _t(spark, sf_dir, "documents")
+    return hll_registers(docs, value_col="text", group_cols=("source",),
+                         p=8, hash_mode="md5").select(
+        "source", "bucket", "rho")
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=r"""
+    WITH tok AS (SELECT unnest(string_split(lower(regexp_replace(
+            trim(text), '\s+', ' ', 'g')), ' ')) AS token
+        FROM documents),
+    ex AS (SELECT token, count(*)::BIGINT AS exact_n
+           FROM tok GROUP BY token),
+    sk AS (SELECT i.i AS i,
+             ('0x' || substr(md5(i.i::VARCHAR || '#' || token), 1, 15)
+              )::BIGINT % 512 AS bucket,
+             sum(exact_n) AS cnt
+           FROM ex, range(0, 3) i(i) GROUP BY 1, 2),
+    pr AS (SELECT token, exact_n,
+             row_number() OVER (ORDER BY exact_n DESC, token)::BIGINT
+               AS rank
+           FROM ex QUALIFY rank <= 20),
+    pe AS (SELECT p.token, i.i AS i,
+             ('0x' || substr(md5(i.i::VARCHAR || '#' || p.token), 1, 15)
+              )::BIGINT % 512 AS bucket
+           FROM pr p, range(0, 3) i(i)),
+    est AS (SELECT pe.token, min(coalesce(sk.cnt, 0))::BIGINT AS cms_est
+            FROM pe LEFT JOIN sk USING (i, bucket) GROUP BY pe.token)
+    SELECT p.token, p.rank, p.exact_n, e.cms_est
+    FROM pr p JOIN est e USING (token)
+    """)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream (datapipe/
+    sketch.py, depth=3 x width=512, md5 mode): build the fixed counter
+    table from exact per-token counts (ONE occurrence-collapsing
+    exchange; the depth-explode touches only distinct keys), then
+    probe the exact top-20 tokens back through the sketch. The driver
+    row certifies the whole counter table's algebra via the probe:
+    cms_est must equal the oracle's replay exactly, and the CMS
+    invariant est >= exact holds by construction (asserted for every
+    key in tests/test_sketch.py)."""
+    from ..datapipe.sketch import cms_build, cms_probe
+    from ..datapipe.textstats import _tokens
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    exact = (docs
+             .select(F.explode(F.expr(_tokens("text"))).alias("token"))
+             .groupBy("token")
+             .agg(F.count("*").cast("long").alias("exact_n"))
+             .persist())
+    sketch = cms_build(exact, "token", depth=3, width=512,
+                       weight_col="exact_n", hash_mode="md5")
+    w = Window.orderBy(F.col("exact_n").desc(), F.col("token"))
+    probes = (exact
+              .withColumn("rank", F.row_number().over(w).cast("long"))
+              .filter(F.col("rank") <= 20))
+    est = cms_probe(sketch, probes.select("token"), "token",
+                    depth=3, width=512, hash_mode="md5")
+    out = (probes.join(est, "token")
+           .select("token", "rank", "exact_n", "cms_est"))
+    out._cached_banded = exact  # noqa: SLF001 — release handle
+    return out
+
+
+@query(
+    "chunk_overlap",
+    oracle=r"""
+    WITH n AS (SELECT doc_id,
+        trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+      FROM documents),
+    tok AS (SELECT doc_id, string_split(t, ' ') AS toks
+            FROM n WHERE t <> ''),
+    st AS (SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, 16)) AS start
+           FROM tok)
+    SELECT doc_id, (start // 16)::BIGINT AS chunk_idx,
+           len(toks[start + 1 : start + 24])::BIGINT AS n_chunk_tokens,
+           array_to_string(toks[start + 1 : start + 24], ' ')
+             AS chunk_text
+    FROM st
+    """)
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (datapipe/chunks.py,
+    size=24 stride=16 -> consecutive chunks share 8 tokens): the
+    context-window precursor stage. Narrow per-row algebra — zero
+    shuffle, scan pruned to (doc_id, text); the oracle replays every
+    chunk token-for-token via the same slice arithmetic."""
+    from ..datapipe.chunks import chunk_with_overlap
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_with_overlap(docs, size=24, stride=16).select(
+        "doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(
+            regexp_replace(trim(text), '\s+', ' ', 'g')), ' '))
+          AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+           FROM tok GROUP BY doc_id, token),
+    dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+    nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
+    sc AS (SELECT t.doc_id, t.token, t.tf, d.df,
+             (length(bin(n.n_docs // d.df)) - 1)::BIGINT AS idf_bits
+           FROM tf t JOIN dfq d USING (token), nd n),
+    r AS (SELECT doc_id, token, tf, df, idf_bits,
+            (tf * idf_bits)::BIGINT AS score,
+            row_number() OVER (PARTITION BY doc_id
+                ORDER BY tf * idf_bits DESC, token)::BIGINT AS rank
+          FROM sc)
+    SELECT doc_id, rank, token, tf, df, idf_bits, score
+    FROM r WHERE rank <= 3
+    """)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document characteristic terms by TF-IDF with exact integer
+    IDF bits (datapipe/textstats.py tfidf_top_terms): floor(log2(N/df))
+    as length(bin(N div df)) - 1 — no float log, so the driver row
+    hash-compares scores exactly. Scale shape: one occurrence-
+    collapsing (doc, token) exchange, document frequency derived from
+    that same frame and joined back as a broadcast (vocabulary is
+    zipf-bounded), per-doc rank as WindowGroupLimit."""
+    from ..datapipe.textstats import tfidf_top_terms as _tfidf
+    docs = _t(spark, sf_dir, "documents")
+    return _tfidf(docs, k=3)
