@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     # multimodal plumbing + real stdlib decode
     "multimodal_frame_features", "multimodal_real_decode",
     "multimodal_png_decode",
+    # mergeable sketches + chunking + tf-idf
+    "hll_register_sketch", "cms_heavy_hitters",
+    "chunk_overlap", "tfidf_top_terms",
     # skew_salted_extract is deliberately NOT here: at sf0.1 it
     # extracts a 10^6-turn hot conversation (a stress run, not a
     # suite row — BENCH/run_skew_probe.py records its histograms)

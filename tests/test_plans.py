@@ -502,3 +502,68 @@ def test_dsir_topk_partial_topk_no_global_sort(spark):
     assert ("TakeOrderedAndProject" in p
             or "WindowGroupLimit" in p), p[:3000]
     assert "Exchange rangepartitioning" not in p, p[:3000]
+
+
+def test_hll_registers_single_partial_max_exchange(spark):
+    """The HLL register build must be ONE exchange whose map-side
+    partial max has already collapsed every within-partition value:
+    the shuffle carries at most (groups x 2^p) register rows no
+    matter how many raw rows feed it. No Python, no join."""
+    from textract_demo_spark.datapipe.sketch import hll_registers
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(hll_registers(docs, value_col="text",
+                           group_cols=("source",), p=8))
+    assert p.count("Exchange") == 1, p[:3000]
+    assert "partial_max" in p, p[:3000]
+    assert "Python" not in p, p[:3000]
+    assert "Join" not in p, p[:3000]
+
+
+def test_cms_probe_broadcast_sketch_no_shuffle_of_counters(spark):
+    """The count-min probe joins a fixed depth x width counter table:
+    it MUST broadcast (a sort-merge join would shuffle the probe
+    stream against a table that fits in one cache line's worth of
+    tasks). The per-key min partial-aggregates before its exchange."""
+    from textract_demo_spark.datapipe.sketch import cms_build, cms_probe
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    keys = docs.select(F.col("source").alias("k"))
+    sketch = cms_build(keys, "k", depth=3, width=64)
+    p = plan(cms_probe(sketch, keys.distinct(), "k", depth=3, width=64))
+    assert "BroadcastHashJoin" in p, p[:3000]
+    assert "SortMergeJoin" not in p, p[:3000]
+    assert "partial_min" in p, p[:3000]
+
+
+def test_chunk_overlap_zero_shuffle_pruned_scan(spark):
+    """Chunking is a map-only stage: zero Exchange, no Python node
+    (higher-order array SQL stays JVM-side), and the scan reads only
+    (doc_id, text) — at 10^12 turns this pipelines straight into
+    pack/tokenize without touching the cluster fabric."""
+    import re
+
+    from textract_demo_spark.datapipe.chunks import chunk_with_overlap
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(chunk_with_overlap(docs, size=24, stride=16))
+    assert "Exchange" not in p, p[:2000]
+    assert "Python" not in p, p[:2000]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p[:2000]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_tfidf_broadcast_vocab_partial_topk(spark):
+    """TF-IDF at corpus scale: the document-frequency table is the
+    vocabulary (zipf-bounded) and MUST come back as a broadcast hash
+    join — never a sort-merge that reshuffles every (doc, token)
+    pair; N arrives as a broadcast one-row aggregate (the BNLJ), and
+    the per-doc rank runs as WindowGroupLimit so each task forwards
+    at most k rows per doc."""
+    from textract_demo_spark.datapipe.textstats import tfidf_top_terms
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = tfidf_top_terms(docs, k=3)
+    p = plan(out)
+    out._cached_banded.unpersist()
+    assert "BroadcastHashJoin" in p, p[:3000]
+    assert "SortMergeJoin" not in p, p[:3000]
+    assert "WindowGroupLimit" in p, p[:3000]
