@@ -414,6 +414,75 @@ def main() -> None:
         " (path, content): zero Exchange between scan and extraction.",
         formatted(read_warc(spark, f"{wtmp}/*.warc"))))
 
+    from textract_demo_spark.datapipe.search import (bm25_topk,
+                                                     build_inverted_index,
+                                                     phrase_search)
+    from textract_demo_spark.datapipe.sketch import (cms_build, cms_probe,
+                                                     hll_registers)
+    from textract_demo_spark.datapipe.textstats import tfidf_top_terms
+    docs_tbl = spark.read.parquet(f"{SF}/documents.parquet")
+
+    sections.append((
+        "HyperLogLog register build (mergeable distinct-count sketch)",
+        "ONE Exchange whose map-side partial_max has already collapsed"
+        " every within-partition value: the shuffle carries at most"
+        " (groups x 2^p) register rows no matter how many raw rows"
+        " feed it, and two register tables merge under the same max —"
+        " per-partition / per-day sketches roll up without touching"
+        " raw data.",
+        formatted(hll_registers(docs_tbl, value_col="text",
+                                group_cols=("source",), p=8))))
+
+    keys = docs_tbl.select(F.col("source").alias("k"))
+    cms = cms_build(keys, "k", depth=3, width=64)
+    sections.append((
+        "Count-min sketch probe (broadcast counter table)",
+        "The fixed depth x width counter table broadcasts; the probe"
+        " is a BroadcastHashJoin plus a partial-aggregated per-key"
+        " min — the sketch is never shuffled and the probe stream"
+        " never expands beyond depth rows per key.",
+        formatted(cms_probe(cms, keys.distinct(), "k",
+                            depth=3, width=64))))
+
+    tfidf = tfidf_top_terms(docs_tbl, k=3)
+    sections.append((
+        "TF-IDF characteristic terms (broadcast vocabulary, integer"
+        " IDF)",
+        "One occurrence-collapsing (doc, token) exchange; the"
+        " document-frequency table IS the vocabulary (zipf-bounded,"
+        " MB-sized at any corpus scale) and returns as a"
+        " BroadcastHashJoin; N arrives as a broadcast one-row"
+        " aggregate; the per-doc rank runs as WindowGroupLimit so"
+        " each task forwards at most k rows per doc.",
+        formatted(tfidf)))
+    tfidf._cached_banded.unpersist()
+
+    idx = build_inverted_index(docs_tbl)
+    sections.append((
+        "Inverted index build (positional postings)",
+        "posexplode then ONE groupBy((token, doc_id)) exchange with"
+        " map-side partial count/collect: occurrences collapse"
+        " in-partition and hot tokens spread over tasks because"
+        " doc_id is in the grouping key — no single-token hotspot.",
+        formatted(idx)))
+
+    sections.append((
+        "BM25 top-k retrieval (integer fixed-point)",
+        "Document length rides the token explode (no corpus-sized"
+        " self-join); document frequency and the corpus N/avgdl"
+        " aggregate come back broadcast; the rank window executes as"
+        " a partial top-k (TakeOrderedAndProject / WindowGroupLimit)"
+        " — every task forwards at most k rows.",
+        formatted(bm25_topk(docs_tbl, "dup merge join", k=10))))
+
+    sections.append((
+        "Phrase search answered from the index",
+        "Candidate starts come from the phrase's tokens only (the IN"
+        " filter pushes into the index scan), offset-aligned via a"
+        " broadcast (i, token) phrase map; ONE groupBy((doc, start))"
+        " checks all offsets are present.",
+        formatted(phrase_search(idx, "hash join"))))
+
     staged = with_part_key(out, 8).hint("rebalance", F.col(PART_COL))
     sections.append((
         "Commit staging write input (REBALANCE on the table partition"

@@ -86,19 +86,25 @@ _PRIORITY = [
     "events_point_in_session", "multimodal_png_decode", "bpe_tokenize",
     "hll_register_sketch", "cms_heavy_hitters", "chunk_overlap",
     "tfidf_top_terms",
+    "search_inverted_index", "search_bm25_topk", "search_phrase",
     # hardest-to-prove green queries (streaming, extraction core,
     # dedup family) keep their driver rows; extract_plain_identity /
     # extract_html_boilerplate_strip / quality_gate_routing /
     # extract_table_cells rotated to the tail (r02+r03 double-green,
     # and the same extraction pipeline is re-proven in-window by
     # extract_pdf_multipage / skew_salted_extract / warc_ingest_extract)
-    "extract_pdf_success",
-    "streaming_extract_availablenow", "streaming_ttl_cache",
+    "streaming_ttl_cache",
     "streaming_review_wait",
     "dedup_incremental", "streaming_dedup_incremental",
     "dedup_simhash_pairs", "dedup_clusters",
-    "dedup_substring_spans", "dedup_substring_stats",
+    "dedup_substring_spans",
     "dedup_substring_rewrite", "gopher_quality_rules",
+    # (extract_pdf_success rotated out for the search family: its PDF
+    # path is re-proven in-window by extract_pdf_multipage, which adds
+    # the indirect-/Length arm on top; streaming_extract_availablenow
+    # is r02+r03 double-green with six streaming queries still in
+    # window; dedup_substring_stats shares its (h0,h1) exchange with
+    # spans + rewrite, both still in window.)
     # (ann_cosine_topk / ann_lsh_topk / text_fingerprint / text_langid
     # / text_token_stats rotated to the tail as the line-operator +
     # DSIR + classifier queries landed, then words_from_lines /

@@ -4289,3 +4289,93 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.textstats import tfidf_top_terms as _tfidf
     docs = _t(spark, sf_dir, "documents")
     return _tfidf(docs, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Search / retrieval family (datapipe/search.py): positional inverted
+# index, integer-exact BM25 ranking, index-answered phrase search.
+
+@query(
+    "search_inverted_index",
+    oracle=r"""
+    WITH n AS (SELECT doc_id, string_split(lower(regexp_replace(
+          trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents),
+    p AS (SELECT doc_id, toks,
+            unnest(generate_series(0, len(toks) - 1)) AS pos
+          FROM n),
+    t AS (SELECT doc_id, pos, toks[pos + 1] AS token
+          FROM p WHERE toks[pos + 1] <> '')
+    SELECT token, doc_id, count(*)::BIGINT AS tf,
+           min(pos)::BIGINT AS first_pos,
+           string_agg(pos::VARCHAR, ',' ORDER BY pos) AS pos_csv
+    FROM t GROUP BY token, doc_id
+    """)
+def search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index over the corpus (datapipe/search.py
+    build_inverted_index): one groupBy((token, doc_id)) exchange with
+    map-side partial aggregation — occurrences collapse in-partition
+    and hot tokens spread over tasks because doc_id is in the key.
+    The oracle replays every posting INCLUDING the full position list
+    (CSV-joined so the hash compare covers order)."""
+    from ..datapipe.search import build_inverted_index
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs)
+    return idx.select(
+        "token", "doc_id", "tf",
+        F.element_at("positions", 1).cast("long").alias("first_pos"),
+        F.array_join("positions", ",").alias("pos_csv"))
+
+
+_BM25_QUERY = "dup merge join"
+
+
+def _bm25_oracle() -> str:
+    from ..datapipe.search import bm25_oracle_sql
+    return bm25_oracle_sql(_BM25_QUERY, k=10)
+
+
+@query("search_bm25_topk", oracle=None)  # oracle attached below
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25 top-10 for a fixed query (datapipe/
+    search.py bm25_topk, k1=1.2 b=0.75 in milli fixed-point, IDF in
+    exact integer bits): document length rides the token explode (no
+    corpus-sized self-join), document frequency and the corpus N /
+    avgdl aggregate come back broadcast, and the rank window executes
+    as a partial top-k. 'dup' is the rare discriminative term
+    (df=25 at sf0.01) — common terms hit idf_bits = 0 and contribute
+    nothing, exactly the BM25 stopword property, so the ranking is
+    decided by rare-term tf x length normalization."""
+    from ..datapipe.search import bm25_topk
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERY, k=10)
+
+
+ORACLES["search_bm25_topk"] = _bm25_oracle()
+
+
+_PHRASE = "hash join"
+
+
+def _phrase_oracle() -> str:
+    from ..datapipe.search import phrase_oracle_sql
+    return phrase_oracle_sql(_PHRASE)
+
+
+@query("search_phrase", oracle=None)  # oracle attached below
+def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase occurrences answered from the positional index
+    ALONE (datapipe/search.py phrase_search): postings of the
+    phrase's tokens offset-align against a broadcast (i, token) map
+    and one groupBy((doc, start)) requires all offsets present. The
+    oracle is an INDEPENDENT algorithm — DuckDB slices the token
+    list at every start and compares with the phrase list — so
+    agreement certifies the index construction, the offset algebra,
+    and the all-present check at once."""
+    from ..datapipe.search import build_inverted_index, phrase_search
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs)
+    return phrase_search(idx, _PHRASE)
+
+
+ORACLES["search_phrase"] = _phrase_oracle()
