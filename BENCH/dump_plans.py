@@ -132,6 +132,27 @@ def main() -> None:
         " text without touching the rebuild path.",
         formatted(QUERIES["dedup_substring_rewrite"](spark, SF))))
 
+    from textract_demo_spark.datapipe.dedup import _star_round
+    star_edges = (spark.range(200)
+                  .select(F.col("id").alias("a"),
+                          (F.col("id") + 1).alias("b"))
+                  .select(F.greatest("a", "b").alias("a"),
+                          F.least("a", "b").alias("b")))
+    sections.append((
+        "Large/small-star contraction round (connected components"
+        " at scale)",
+        "One star_clusters round over the EDGE set only: two"
+        " partial-aggregated groupBy(a) mins and two key-equi joins"
+        " back on a — no cartesian, no broadcast-nested-loop, no"
+        " Window, nothing proportional to docs x docs. Rounds are"
+        " O(log^2 n) on ANY graph shape (label propagation is"
+        " O(diameter) and a templated near-dup chain makes diameter"
+        " O(n)), each round lazily localCheckpoints so the iterative"
+        " plan never grows, and the fixpoint test is an order-free"
+        " (count, xor-fold, xor-fold) signature — one action per"
+        " round.",
+        formatted(_star_round(star_edges))))
+
     sections.append((
         "Exact per-source length percentiles (shared group exchange)",
         "Discrete integer-rank percentile: row_number and the group"

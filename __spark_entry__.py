@@ -98,7 +98,11 @@ _PRIORITY = [
     "dedup_incremental", "streaming_dedup_incremental",
     "dedup_simhash_pairs", "dedup_clusters",
     "dedup_substring_spans",
-    "dedup_substring_rewrite", "gopher_quality_rules",
+    "dedup_substring_rewrite", "dedup_star_clusters",
+    # (gopher_quality_rules rotated out for dedup_star_clusters: it is
+    # r03 driver-green and purely narrow zero-shuffle CASE algebra
+    # whose semantics the pytest perturbation suite pins; star CC is
+    # brand-new iterative code that needs a hard-signal row.)
     # (extract_pdf_success rotated out for the search family: its PDF
     # path is re-proven in-window by extract_pdf_multipage, which adds
     # the indirect-/Length arm on top; streaming_extract_availablenow

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_incremental",
     "dedup_substring_spans", "dedup_substring_rewrite",
+    "dedup_star_clusters",
     # line-level cleaning (C4 hygiene + corpus keep-first line dedup)
     "c4_line_filter", "line_dedup_rewrite",
     # similarity / ANN family

@@ -567,3 +567,25 @@ def test_tfidf_broadcast_vocab_partial_topk(spark):
     assert "BroadcastHashJoin" in p, p[:3000]
     assert "SortMergeJoin" not in p, p[:3000]
     assert "WindowGroupLimit" in p, p[:3000]
+
+
+def test_star_round_equi_joins_only(spark):
+    """One large/small-star contraction round (datapipe/dedup.py
+    _star_round) must execute as key-equi hash/sort joins and
+    partial-aggregated groupBys over the EDGE set — never a
+    cartesian product or broadcast-nested-loop (either would mean
+    the round degraded to all-pairs, which at 10^9 edges is fatal),
+    and never a global Window (rank-free algorithm)."""
+    edges = (spark.range(200)
+             .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+             .select(F.greatest("a", "b").alias("a"),
+                     F.least("a", "b").alias("b")))
+    from textract_demo_spark.datapipe.dedup import _star_round
+    p = plan(_star_round(edges))
+    assert "CartesianProduct" not in p, p[:3000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:3000]
+    assert "Window" not in p, p[:3000]
+    # both groupBy mins must partial-aggregate map-side before their
+    # exchange (the hub-skew defuser: a degree-10^6 node's neighbor
+    # list combines per-partition first)
+    assert "partial_min" in p or "partial_least" in p, p[:3000]

@@ -934,3 +934,110 @@ def remove_duplicated_spans(docs: DataFrame, window: int = 20,
                      .cast("long").alias("n_removed_tokens"),
                     F.coalesce("n_spans_removed", F.lit(0))
                      .cast("long").alias("n_spans_removed")))
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star contraction round over a canonical
+    (a > b) edge frame; returns the next canonical edge frame (not
+    yet checkpointed). Split out of ``star_clusters`` so the plan
+    gate (tests/test_plans.py) can assert the round's physical shape:
+    key-equi joins and partial-aggregated groupBys only — no
+    cartesian product, no broadcast-nested-loop, nothing that touches
+    the doc set or all-pairs."""
+    # large-star: every node points its STRICTLY LARGER neighbors at
+    # min(N(u) + {u}); high-degree hubs shrink here in one round
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = (sym.groupBy("a")
+            .agg(F.least(F.min("b"), F.first("a")).alias("m")))
+    large = (sym.join(mins, "a")
+             .filter(F.col("b") > F.col("a"))
+             .select(F.col("b").alias("a"), F.col("m").alias("b"))
+             .distinct())
+    # small-star (edges from large-star are (v, m) with m < v,
+    # already large->small oriented)
+    smins = large.groupBy("a").agg(F.min("b").alias("m"))
+    return (large.join(smins, "a")
+            .select(F.col("b").alias("v"), F.col("m"))
+            .unionByName(smins.select(F.col("a").alias("v"), "m"))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct())
+
+
+def star_clusters(ids: DataFrame, pairs: DataFrame,
+                  id_col: str = "doc_id",
+                  max_rounds: int = 40) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the scale companion to ``neardup_clusters``: label
+    propagation needs O(diameter) rounds (a chain of templated
+    near-dups makes diameter O(n)), while star contraction converges
+    in O(log^2 n) rounds on ANY graph shape, so a 10^9-doc chain
+    costs ~dozens of rounds instead of 10^9.
+
+    Per round over the edge set E (never the doc set, never
+    all-pairs):
+
+    - **large-star**: every node points its STRICTLY LARGER neighbors
+      at min(N(u) + {u}) — one groupBy(u) min (map-side partial) and
+      one co-partitioned join back on u. High-degree hubs (the skew
+      case: a boilerplate doc near-duping millions) shrink here —
+      their larger neighbors all re-point at the min in one round.
+    - **small-star**: orient edges large->small, point every
+      smaller-or-equal neighbor AND u itself at the min — same
+      shuffle shape.
+
+    Convergence = the canonical edge set is a fixpoint, detected by
+    (count, two independent xxhash64 sums); each round
+    ``localCheckpoint``s to truncate the growing plan lineage (the
+    run_curate lesson: iterative self-referential plans OOM the
+    driver's explain string long before the data hurts). At the
+    fixpoint every component is a star rooted at its min id, so the
+    labels read off the final edges directly; isolated docs label
+    themselves. Output: (id, cluster_id) — identical contract to
+    ``neardup_clusters`` (asserted equal in tests/test_starcc.py).
+    """
+    edges = (pairs
+             .select(F.col("id_a").cast("long").alias("a"),
+                     F.col("id_b").cast("long").alias("b"))
+             .filter(F.col("a") != F.col("b"))
+             .select(F.greatest("a", "b").alias("a"),
+                     F.least("a", "b").alias("b"))
+             .distinct()
+             .localCheckpoint())
+
+    def _sig(e: DataFrame) -> tuple:
+        # order-independent fingerprint of the edge set: count + two
+        # independent 64-bit XOR folds (XOR never overflows ANSI
+        # BIGINT; edges are distinct so no pair can self-cancel)
+        row = e.agg(F.count("*"),
+                    F.expr("bit_xor(xxhash64(a, b))"),
+                    F.expr("bit_xor(xxhash64(b, a))")).collect()[0]
+        return tuple(row)
+
+    sig = _sig(edges)
+    for _ in range(max_rounds):
+        # lazy checkpoint: the _sig aggregate below is the single
+        # action that materializes the round (eager would cost a
+        # second full job per round)
+        small = _star_round(edges).localCheckpoint(eager=False)
+        nsig = _sig(small)
+        edges = small
+        if nsig == sig:
+            break
+        sig = nsig
+    else:
+        raise RuntimeError(
+            f"star_clusters did not reach a fixpoint in {max_rounds} "
+            f"rounds — raise max_rounds (components converge in "
+            f"O(log^2 n); this should not happen below ~2^{max_rounds // 2}"
+            f" nodes)")
+
+    labels = edges.groupBy("a").agg(F.min("b").alias("_cl"))
+    return (ids
+            .select(F.col(id_col).cast("long").alias(id_col))
+            .join(labels, F.col(id_col) == F.col("a"), "left")
+            .select(id_col,
+                    F.coalesce(F.col("_cl"), F.col(id_col))
+                    .cast("long").alias("cluster_id")))

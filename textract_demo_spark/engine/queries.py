@@ -4379,3 +4379,48 @@ def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["search_phrase"] = _phrase_oracle()
+
+
+@query(
+    "dedup_star_clusters",
+    oracle=r"""
+    WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+    e0 AS (
+      SELECT doc_id AS a, doc_id + 1 AS b FROM ids
+      WHERE doc_id % 97 != 96
+        AND EXISTS (SELECT 1 FROM ids i2 WHERE i2.doc_id = ids.doc_id + 1)
+      UNION
+      SELECT doc_id - (doc_id % 97) AS a, doc_id AS b FROM ids
+      WHERE doc_id % 7 = 3 AND doc_id % 97 != 0),
+    e AS (SELECT a, b FROM e0 UNION SELECT b, a AS b FROM e0),
+    comp AS (
+      SELECT doc_id AS v, doc_id AS r FROM ids
+      UNION
+      SELECT e.b, c.r FROM comp c JOIN e ON e.a = c.v)
+    SELECT v AS doc_id, min(r) AS cluster_id FROM comp GROUP BY v
+    """)
+def dedup_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (datapipe/dedup.py star_clusters, Kiveris et al.
+    2014) on the graph shape label propagation CANNOT finish: chains
+    of 97 consecutive doc ids (diameter 96 >> the 25-round LP cap)
+    plus an in-chain hub (every doc_id % 7 == 3 links to its chain
+    head) for the high-degree skew case. Star contraction converges
+    in O(log^2 n) rounds regardless of diameter, so this is the
+    10^9-doc scale path for cluster formation. The oracle recomputes
+    the components independently as a DuckDB recursive CTE over the
+    same edge rules."""
+    from ..datapipe.dedup import star_clusters
+    ids = (_t(spark, sf_dir, "documents")
+           .select(F.col("doc_id").cast("long").alias("doc_id")))
+    exist = ids.select(F.col("doc_id").alias("id_b"))
+    chain = (ids.filter(F.col("doc_id") % 97 != 96)
+             .select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b"))
+             .join(F.broadcast(exist), "id_b", "left_semi"))
+    hub = (ids.filter((F.col("doc_id") % 7 == 3)
+                      & (F.col("doc_id") % 97 != 0))
+           .select((F.col("doc_id") - F.col("doc_id") % 97)
+                   .alias("id_a"),
+                   F.col("doc_id").alias("id_b")))
+    return star_clusters(ids, chain.unionByName(hub))
