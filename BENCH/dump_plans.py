@@ -153,6 +153,56 @@ def main() -> None:
         " round.",
         formatted(_star_round(star_edges))))
 
+    from textract_demo_spark.datapipe.webgraph import (_pr_round,
+                                                       canonical_url,
+                                                       harvest_links,
+                                                       url_domain)
+    docs_scan = spark.read.parquet(f"{SF}/documents.parquet")
+    sections.append((
+        "URL canonicalization (zero-shuffle narrow map)",
+        "canonical_url/url_host/url_domain are pure regexp +"
+        " higher-order-array JVM expressions over a 2-column pruned"
+        " scan — no Exchange, whole-stage codegen. The canonical form"
+        " is a deterministic function of the string, so crawl-level"
+        " URL dedup downstream is an exact hash-groupBy on this"
+        " column (no special operator needed).",
+        formatted(docs_scan.select(
+            "doc_id",
+            canonical_url(F.col("source")).alias("u"),
+            url_domain(F.col("source")).alias("d")))))
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.org/p", '<a href="/x">y</a>')],
+        "doc_id long, url string, html string")
+    sections.append((
+        "Hyperlink harvesting (one Generate, no join)",
+        "One per-row regex pass produces index-aligned (href, anchor)"
+        " arrays; a single Generate explodes them; protocol-relative"
+        " and root-relative resolution is CASE algebra on the base"
+        " URL's parsed parts, which ride the row — so there is NO"
+        " join back to the page table and no exchange anywhere.",
+        formatted(harvest_links(pages))))
+
+    pr_e = (spark.range(100)
+            .select(F.col("id").alias("src"),
+                    ((F.col("id") * 7 + 1) % 100).alias("dst")))
+    pr_nodes = pr_e.select(F.col("src").alias("node")).distinct()
+    pr_ew = pr_e.join(
+        pr_e.groupBy("src").agg(F.count("*").alias("outdeg")), "src")
+    pr_ranks = pr_nodes.select(
+        "node", F.lit(1_000_000).cast("long").alias("rank_micro"))
+    sections.append((
+        "PageRank power-iteration round (integer fixed-point)",
+        "One round = ONE partial-aggregated groupBy(dst) exchange"
+        " (the contribution sum combines map-side, defusing hot-sink"
+        " in-degree skew) plus key-equi joins against the"
+        " once-checkpointed edge+outdeg frame. All arithmetic is"
+        " BIGINT micro-units (damping in milli), so the trajectory"
+        " is bit-identical across engines and partitionings — the"
+        " property that lets the DuckDB oracle replay exact values."
+        " Per-round localCheckpoint bounds the iterative lineage.",
+        formatted(_pr_round(pr_ew, pr_nodes, pr_ranks, 850))))
+
     sections.append((
         "Exact per-source length percentiles (shared group exchange)",
         "Discrete integer-rank percentile: row_number and the group"

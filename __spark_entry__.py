@@ -93,16 +93,22 @@ _PRIORITY = [
     # extract_table_cells rotated to the tail (r02+r03 double-green,
     # and the same extraction pipeline is re-proven in-window by
     # extract_pdf_multipage / skew_salted_extract / warc_ingest_extract)
+    "url_canonicalize", "link_harvest", "pagerank_topk",
     "streaming_ttl_cache",
     "streaming_review_wait",
     "dedup_incremental", "streaming_dedup_incremental",
-    "dedup_simhash_pairs", "dedup_clusters",
-    "dedup_substring_spans",
     "dedup_substring_rewrite", "dedup_star_clusters",
     # (gopher_quality_rules rotated out for dedup_star_clusters: it is
     # r03 driver-green and purely narrow zero-shuffle CASE algebra
     # whose semantics the pytest perturbation suite pins; star CC is
-    # brand-new iterative code that needs a hard-signal row.)
+    # brand-new iterative code that needs a hard-signal row.
+    # dedup_clusters / dedup_substring_spans / dedup_simhash_pairs
+    # rotated out for the web-graph family: all three are r03
+    # driver-green, cluster formation is re-proven in-window by
+    # dedup_star_clusters on a strictly harder graph, the substring
+    # (h0,h1) exchange machinery is re-proven by the in-window
+    # rewrite query, and the banded-equi-join shape of simhash_pairs
+    # stays plan-gated in tests/test_plans.py.)
     # (extract_pdf_success rotated out for the search family: its PDF
     # path is re-proven in-window by extract_pdf_multipage, which adds
     # the indirect-/Length arm on top; streaming_extract_availablenow

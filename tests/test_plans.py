@@ -589,3 +589,55 @@ def test_star_round_equi_joins_only(spark):
     # exchange (the hub-skew defuser: a degree-10^6 node's neighbor
     # list combines per-partition first)
     assert "partial_min" in p or "partial_least" in p, p[:3000]
+
+
+def test_canonical_url_zero_shuffle_pruned_scan(spark):
+    """URL canonicalization must be a narrow whole-stage-codegen map
+    over a pruned scan — zero exchanges (it is the thing that makes
+    crawl URL-dedup a plain hash-groupBy downstream)."""
+    from textract_demo_spark.datapipe.webgraph import (canonical_url,
+                                                       url_domain)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = docs.select("doc_id",
+                      canonical_url(F.col("source")).alias("u"),
+                      url_domain(F.col("source")).alias("d"))
+    p = plan(out)
+    assert "Exchange" not in p, p[:3000]
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "source"}, cols
+
+
+def test_harvest_links_single_generate_no_join(spark):
+    """Link harvesting is one per-row Generate (the href explode) —
+    no join back to the page table (base-URL parts ride the row) and
+    no exchange."""
+    from textract_demo_spark.datapipe.webgraph import harvest_links
+    pages = spark.createDataFrame(
+        [(1, "https://a.org/p", '<a href="/x">y</a>')],
+        "doc_id long, url string, html string")
+    p = plan(harvest_links(pages))
+    assert p.count("Generate") == 1, p[:3000]
+    assert "Join" not in p, p[:3000]
+    assert "Exchange" not in p, p[:3000]
+
+
+def test_pagerank_round_partial_agg_equi_joins(spark):
+    """One PageRank power-iteration round: the contribution groupBy
+    must partial-aggregate map-side before its single exchange, and
+    every join must be key-equi (no cartesian / nested-loop — either
+    would mean the round degraded to nodes x nodes)."""
+    from textract_demo_spark.datapipe.webgraph import _pr_round
+    e = (spark.range(100)
+         .select(F.col("id").alias("src"),
+                 ((F.col("id") * 7 + 1) % 100).alias("dst")))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    ew = e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")),
+                "src")
+    ranks = nodes.select(
+        "node", F.lit(1_000_000).cast("long").alias("rank_micro"))
+    p = plan(_pr_round(ew, nodes, ranks, 850))
+    assert "CartesianProduct" not in p, p[:3000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:3000]
+    assert "partial_sum" in p, p[:3000]

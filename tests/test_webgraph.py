@@ -1,0 +1,116 @@
+"""Web-graph operators (datapipe/webgraph.py): URL canonicalization
+edge cases, link harvesting alignment/resolution, and PageRank vs a
+driver-side pure-Python replay of the identical integer algebra."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from textract_demo_spark.datapipe.webgraph import (canonical_url,
+                                                   harvest_links,
+                                                   pagerank, url_domain,
+                                                   url_host)
+
+
+def _canon1(spark, url: str):
+    return (spark.createDataFrame([(url,)], "u string")
+            .select(canonical_url(F.col("u")).alias("c"))
+            .collect()[0]["c"])
+
+
+def test_canonical_url_cases(spark):
+    cases = {
+        # scheme+host lowercase, default port strip, fragment drop
+        "HTTP://WWW.Ex.COM:80/a#frag": "http://www.ex.com/a",
+        "https://Ex.COM:443/": "https://ex.com/",
+        # non-default port kept; userinfo lowercased but kept
+        "https://U:P@Ex.com:8443/a": "https://u:p@ex.com:8443/a",
+        # duplicate + trailing slashes; empty path -> /
+        "http://ex.com//a///b//": "http://ex.com/a/b",
+        "http://ex.com": "http://ex.com/",
+        # tracking params dropped, survivors sorted, ? dropped if none
+        "http://ex.com/p?utm_source=x&b=2&a=1": "http://ex.com/p?a=1&b=2",
+        "http://ex.com/p?utm_source=x&gclid=1": "http://ex.com/p",
+        "http://ex.com/p?": "http://ex.com/p",
+        # relative / garbage -> NULL
+        "/just/a/path": None,
+        "not a url": None,
+        "mailto:a@b.c": None,  # no ://
+    }
+    for raw, want in cases.items():
+        assert _canon1(spark, raw) == want, raw
+
+
+def test_host_and_domain(spark):
+    row = (spark.createDataFrame(
+        [("HTTPS://User:pw@Sub.Shop.Example.CO:8443/x?q=1",)],
+        "u string")
+        .select(url_host(F.col("u")).alias("h"),
+                url_domain(F.col("u")).alias("d"))
+        .collect()[0])
+    assert row["h"] == "sub.shop.example.co"
+    assert row["d"] == "example.co"
+
+
+def test_harvest_links_alignment_and_resolution(spark):
+    html = ('<html><body>'
+            '<a href="HTTP://A.COM:80/x?utm_source=t&k=1">first</a>'
+            '<a class="z" href="/rel/p">second</a>'
+            '<a href="//cdn.b.net/l.js">third</a>'
+            '<a href="mailto:x@y.z">mail</a>'
+            '<a href="#top">frag</a>'
+            '</body></html>')
+    pages = spark.createDataFrame(
+        [(1, "https://Base.ORG:443/page", html)],
+        "doc_id long, url string, html string")
+    rows = {r["dst_url"]: r["anchor"]
+            for r in harvest_links(pages).collect()}
+    assert rows == {
+        "http://a.com/x?k=1": "first",
+        "https://base.org/rel/p": "second",
+        "https://cdn.b.net/l.js": "third",
+    }
+    src = harvest_links(pages).select("src_url").first()["src_url"]
+    assert src == "https://base.org/page"
+
+
+def _py_pagerank(edges, rounds=6, damping_milli=850):
+    """Driver-side replay of the exact integer algebra."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    base = 1_000_000 - damping_milli * 1000
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(rounds):
+        s = {n: 0 for n in nodes}
+        for a, b in edges:
+            s[b] += rank[a] // outdeg[a]
+        rank = {n: base + (damping_milli * s[n]) // 1000
+                for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_replay(spark):
+    import random
+    rng = random.Random(11)
+    edges = list({(rng.randrange(50), rng.randrange(50))
+                  for _ in range(120)})
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank(df, rounds=6).collect()}
+    assert got == _py_pagerank(edges, rounds=6)
+
+
+def test_pagerank_sink_and_source(spark):
+    # 1 -> 0, 2 -> 0: node 0 is a pure sink (dangling: its mass is
+    # dropped per the documented variant), 1 and 2 settle at base
+    df = spark.createDataFrame([(1, 0), (2, 0)], "src long, dst long")
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank(df, rounds=3).collect()}
+    assert got[1] == 150_000 and got[2] == 150_000
+    # round 1: 0 gets 150000 + 850*2_000_000//1000 = 1_850_000
+    # round 2: contribs now 150_000 each -> 150000+850*300000//1000
+    # round 3: same (1 and 2 are fixed at base)
+    assert got[0] == 150_000 + (850 * 300_000) // 1000

@@ -4424,3 +4424,179 @@ def dedup_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("id_a"),
                    F.col("doc_id").alias("id_b")))
     return star_clusters(ids, chain.unionByName(hub))
+
+
+# ---- web-graph family (datapipe/webgraph.py) -----------------------
+# Shared fixture SQL (valid in BOTH engines: CAST AS STRING, ||, %):
+# five URL shapes per doc covering case, default/explicit ports,
+# userinfo, duplicate slashes, tracking params, fragments, empty
+# query, and a relative (non-canonicalizable -> NULL) arm.
+
+_URL_BUILD = (
+    "CASE doc_id % 5"
+    " WHEN 0 THEN 'HTTP://WWW.Shop' || CAST(doc_id % 23 AS STRING)"
+    " || '.COM:80//catalog//item/' || CAST(doc_id % 101 AS STRING)"
+    " || '/?utm_source=feed&b=' || CAST(doc_id % 7 AS STRING)"
+    " || '&a=1#frag'"
+    " WHEN 1 THEN 'https://Docs.Example' || CAST(doc_id % 13 AS STRING)"
+    " || '.ORG:443/kb/' || CAST(doc_id % 41 AS STRING)"
+    " || '?q=x+y&utm_campaign=mail&fbclid=abc'"
+    " WHEN 2 THEN 'http://cdn' || CAST(doc_id % 9 AS STRING)"
+    " || '.site.net/static/app.js?'"
+    " WHEN 3 THEN 'HTTPS://User:Pw@Portal.Example.COM:8443/a/b///c/"
+    "?z=9&y=2&gclid=1#x'"
+    " ELSE '/relative/path/only' END"
+)
+
+
+def _url_canon_oracle() -> str:
+    from ..datapipe.webgraph import (canonical_url_sql, url_domain_sql,
+                                     url_host_sql)
+    return (f"SELECT doc_id, {canonical_url_sql(_URL_BUILD)} AS"
+            f" url_canon, {url_host_sql(_URL_BUILD)} AS host,"
+            f" {url_domain_sql(_URL_BUILD)} AS domain FROM documents")
+
+
+@query("url_canonicalize", oracle=None)  # oracle attached below
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (datapipe/webgraph.py canonical_url /
+    url_host / url_domain): scheme+authority lowercase, default-port
+    strip, fragment drop, duplicate/trailing-slash normalization,
+    tracking-param removal + param sort — all narrow JVM expressions
+    (zero shuffle, whole-stage codegen), the step that makes URL-level
+    dedup of a crawl an exact hash-groupBy. The oracle REPLAYS the
+    algebra in DuckDB (independent regex engine + list functions);
+    the relative-URL arm exercises the NULL contract."""
+    from ..datapipe.webgraph import canonical_url, url_domain, url_host
+    docs = _t(spark, sf_dir, "documents")
+    u = F.expr(_URL_BUILD)
+    return docs.select(
+        "doc_id",
+        canonical_url(u).alias("url_canon"),
+        url_host(u).alias("host"),
+        url_domain(u).alias("domain"))
+
+
+ORACLES["url_canonicalize"] = _url_canon_oracle()
+
+
+_PAGE_URL = ("'https://portal.example' || CAST(doc_id % 3 AS STRING)"
+             " || '.com/page/' || CAST(doc_id % 17 AS STRING)")
+
+_PAGE_HTML = (
+    "'<html><body>'"
+    " || '<a href=\"HTTP://News.Site' || CAST(doc_id % 13 AS STRING)"
+    " || '.COM:80/story/' || CAST(doc_id % 29 AS STRING)"
+    " || '?utm_medium=rss&id=' || CAST(doc_id % 11 AS STRING)"
+    " || '\">Story ' || CAST(doc_id % 29 AS STRING) || '</a>'"
+    " || '<p>boilerplate filler</p>'"
+    " || '<a class=\"nav\" href=\"/section/'"
+    " || CAST(doc_id % 5 AS STRING) || '/\">Section</a>'"
+    " || '<a href=\"//cdn.assets.net/lib.js\">cdn</a>'"
+    " || '<a href=\"mailto:ops@example.com\">mail</a>'"
+    " || '<a href=\"#top\">top</a>'"
+    " || '</body></html>'"
+)
+
+
+def _link_harvest_oracle() -> str:
+    from ..datapipe.webgraph import (ANCHOR_RE, _auth_sql, _sch_sql,
+                                     canonical_url_sql)
+    return f"""
+    WITH d AS (SELECT doc_id, {_PAGE_URL} AS url, {_PAGE_HTML} AS html
+               FROM documents),
+    m AS (SELECT doc_id, url,
+            regexp_extract_all(html, '{ANCHOR_RE}', 1) AS hs,
+            regexp_extract_all(html, '{ANCHOR_RE}', 2) AS ts FROM d),
+    x AS (SELECT doc_id, url, hs[i] AS href, ts[i] AS anchor
+          FROM m, unnest(range(1, len(hs) + 1)) u(i)),
+    r AS (SELECT doc_id, {canonical_url_sql('url')} AS src_url,
+            CASE WHEN regexp_matches(href, '^(?i)https?://') THEN href
+                 WHEN href LIKE '//%' THEN
+                   {_sch_sql('url')} || ':' || href
+                 WHEN href LIKE '/%' THEN
+                   {_sch_sql('url')} || '://' || {_auth_sql('url')}
+                   || href
+                 ELSE NULL END AS resolved,
+            trim(anchor) AS anchor FROM x),
+    c AS (SELECT doc_id, src_url,
+            {canonical_url_sql('resolved')} AS dst_url, anchor FROM r)
+    SELECT doc_id, src_url, dst_url, anchor FROM c
+    WHERE dst_url IS NOT NULL
+    """
+
+
+@query("link_harvest", oracle=None)  # oracle attached below
+def link_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink harvesting (datapipe/webgraph.py harvest_links): one
+    per-row regex pass aligned over (href, anchor) capture groups, a
+    generate/explode, CASE-algebra resolution of protocol-relative
+    and root-relative references against the page's own URL, then
+    canonicalization — no Python, no join (the base URL's parts ride
+    the row). mailto:/fragment-only links drop per the documented
+    crawl-frontier subset. Oracle = DuckDB replay with its own regex
+    engine, unnest-by-index alignment, and the canonical_url_sql
+    replay of the canonicalization algebra."""
+    from ..datapipe.webgraph import harvest_links
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id",
+                        F.expr(_PAGE_URL).alias("url"),
+                        F.expr(_PAGE_HTML).alias("html"))
+    return harvest_links(pages)
+
+
+ORACLES["link_harvest"] = _link_harvest_oracle()
+
+
+_PR_EDGES = (
+    "SELECT src, dst FROM ("
+    "SELECT doc_id AS src,"
+    " (doc_id * 31 + 7) % (SELECT count(*) FROM documents) AS dst"
+    " FROM documents"
+    " UNION ALL"
+    " SELECT doc_id,"
+    " (doc_id * 17 + 3) % (SELECT count(*) FROM documents)"
+    " FROM documents"
+    " UNION ALL"
+    " SELECT doc_id, 0 FROM documents WHERE doc_id % 10 = 1"
+    ") WHERE src != dst"
+)
+
+
+def _pagerank_oracle() -> str:
+    from ..datapipe.webgraph import pagerank_oracle_sql
+    return pagerank_oracle_sql(
+        _PR_EDGES, rounds=6,
+        final_sql="SELECT node, rank_micro FROM r6"
+                  " ORDER BY rank_micro DESC, node LIMIT 20")
+
+
+@query("pagerank_topk", oracle=None)  # oracle attached below
+def pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (datapipe/webgraph.py pagerank)
+    over a rule-generated link graph (two affine out-links per doc +
+    a hot sink node 0 for the in-degree skew case), 6 rounds at
+    d=0.85, top-20 by (rank desc, node). ALL arithmetic is BIGINT
+    micro-units — bit-identical across engines/partitionings — so the
+    DuckDB oracle replays the exact trajectory as an unrolled
+    WITH-chain of the same integer algebra. Per round: one
+    partial-aggregated groupBy(dst) exchange + one equi join against
+    the once-checkpointed edge+outdeg frame; dangling mass dropped
+    (documented variant, mirrored by the oracle)."""
+    from ..datapipe.webgraph import pagerank
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 31 + 7) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 17 + 3) % n).alias("dst"))
+    e3 = (docs.filter(F.col("doc_id") % 10 == 1)
+          .select(F.col("doc_id").alias("src"),
+                  F.lit(0).cast("long").alias("dst")))
+    edges = (e1.unionByName(e2).unionByName(e3)
+             .filter(F.col("src") != F.col("dst")))
+    pr = pagerank(edges, rounds=6)
+    return pr.orderBy(F.desc("rank_micro"), "node").limit(20)
+
+
+ORACLES["pagerank_topk"] = _pagerank_oracle()
