@@ -203,6 +203,36 @@ def main() -> None:
         " Per-round localCheckpoint bounds the iterative lineage.",
         formatted(_pr_round(pr_ew, pr_nodes, pr_ranks, 850))))
 
+    from textract_demo_spark.datapipe.textstats import (
+        with_dup_ngram_char_frac, with_top_ngram_char_frac)
+    sections.append((
+        "Gopher n-gram repetition fractions (zero-shuffle per-row"
+        " aggregates)",
+        "Top-n-gram char fraction and duplicate-n-gram char COVERAGE"
+        " computed as in-row sorted-run lambda aggregates over a"
+        " 2-column pruned scan — no explode, no groupBy, no join,"
+        " zero exchanges. The driver oracle recomputes the same"
+        " values RELATIONALLY in DuckDB (unnest -> group -> window /"
+        " having -> distinct coverage join): the relational form is"
+        " what a naive Spark implementation would look like, and it"
+        " costs two exchanges per n that this formulation never"
+        " pays.",
+        formatted(with_dup_ngram_char_frac(
+            with_top_ngram_char_frac(
+                docs_scan.select("doc_id", "text"), 2), 5))))
+
+    from textract_demo_spark.datapipe.sketch import logq_sketch
+    sections.append((
+        "Log-bucket quantile sketch build (mergeable rollup)",
+        "One hash-groupBy whose map-side partial count collapses"
+        " every partition's values to <= 64 bucket rows BEFORE the"
+        " exchange — shuffle bounded by groups x 64 regardless of"
+        " input size. Two sketches merge by summing counts, so"
+        " per-partition / per-day sketches roll up without touching"
+        " raw data; the exact percentile operator must re-rank raw"
+        " rows on every update instead.",
+        formatted(logq_sketch(docs_scan, "n_chars"))))
+
     sections.append((
         "Exact per-source length percentiles (shared group exchange)",
         "Discrete integer-rank percentile: row_number and the group"

@@ -96,7 +96,13 @@ _PRIORITY = [
     "url_canonicalize", "link_harvest", "pagerank_topk",
     "streaming_ttl_cache",
     "streaming_review_wait",
-    "dedup_incremental", "streaming_dedup_incremental",
+    "gopher_ngram_fracs", "logq_quantile_sketch",
+    # (dedup_incremental and streaming_dedup_incremental rotated out
+    # for gopher_ngram_fracs + logq_quantile_sketch: both r03
+    # driver-green with code untouched since; four streaming queries
+    # (ttl_cache, review_wait, sessionize, dsir_scoring) stay
+    # in-window, including both applyInPandasWithState operators
+    # whose state.py changed this round.)
     "dedup_substring_rewrite", "dedup_star_clusters",
     # (gopher_quality_rules rotated out for dedup_star_clusters: it is
     # r03 driver-green and purely narrow zero-shuffle CASE algebra

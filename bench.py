@@ -57,7 +57,7 @@ BENCH_QUERIES = [
     "semantic_dedup", "semantic_dedup_incremental",
     # text analysis family (incl. BPE tokenization)
     "bpe_tokenize", "text_token_stats", "text_quality_score",
-    "gopher_quality_rules", "lm_unigram_surprisal",
+    "gopher_quality_rules", "gopher_ngram_fracs", "lm_unigram_surprisal",
     # dataset curation family (splits / decontamination / repetition)
     "split_assign", "shard_shuffle",
     "decontam_ngram_overlap", "text_repetition_stats",
@@ -77,7 +77,7 @@ BENCH_QUERIES = [
     "multimodal_frame_features", "multimodal_real_decode",
     "multimodal_png_decode",
     # mergeable sketches + chunking + tf-idf
-    "hll_register_sketch", "cms_heavy_hitters",
+    "hll_register_sketch", "cms_heavy_hitters", "logq_quantile_sketch",
     "chunk_overlap", "tfidf_top_terms",
     # search / retrieval family
     "search_inverted_index", "search_bm25_topk", "search_phrase",

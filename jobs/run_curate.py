@@ -46,6 +46,10 @@ Stages (each stage's shuffle budget is the design constraint at
                      broadcast vocab + one per-doc aggregate); with
                      --gopher also the named Gopher rule conjunction
                      (Rae et al. Table A1, zero extra shuffles); with
+                     --gopher-ngrams also the Table A1 n-gram
+                     repetition rules (top-2-gram char fraction +
+                     duplicate-5-gram char coverage, per-row sorted-
+                     run aggregates, zero extra shuffles); with
                      --learned-gate also the trained quality scorer
                      (engine/learned_gate.py — one codegen'd
                      projection, zero extra shuffles); with
@@ -138,6 +142,16 @@ def main() -> None:
                     help="integer-bits importance threshold; 0 keeps"
                          " docs at least as target-like as raw-like")
     ap.add_argument("--dsir-buckets", type=int, default=8192)
+    ap.add_argument("--gopher-ngrams", action="store_true",
+                    help="apply the Gopher n-gram repetition rules "
+                         "(top-2-gram char fraction, duplicate-5-gram "
+                         "char coverage) as zero-shuffle per-row stats")
+    ap.add_argument("--max-top-2gram-bp", type=int, default=200000,
+                    help="Gopher threshold: top-2-gram char fraction "
+                         "<= 0.20 (basis points of 1e6)")
+    ap.add_argument("--max-dup-5gram-bp", type=int, default=150000,
+                    help="Gopher threshold: duplicate-5-gram char "
+                         "coverage <= 0.15 (basis points of 1e6)")
     ap.add_argument("--gopher-min-words", type=int, default=50)
     ap.add_argument("--gopher-min-stopwords", type=int, default=2,
                     help="distinct Gopher stop words required; corpora"
@@ -309,6 +323,17 @@ def main() -> None:
                 .filter("gopher_keep").select("doc_id"))
         d = d.join(keep, "doc_id")
         stats["after_gopher"] = d.count()
+    if args.gopher_ngrams:
+        from textract_demo_spark.datapipe.textstats import (
+            with_dup_ngram_char_frac, with_top_ngram_char_frac)
+        d = with_dup_ngram_char_frac(with_top_ngram_char_frac(d, 2), 5)
+        d = (d.filter(
+                (F.col("top_2gram_char_frac_bp")
+                 <= args.max_top_2gram_bp)
+                & (F.col("dup_5gram_char_frac_bp")
+                   <= args.max_dup_5gram_bp))
+             .drop("top_2gram_char_frac_bp", "dup_5gram_char_frac_bp"))
+        stats["after_gopher_ngrams"] = d.count()
     if args.learned_gate:
         from textract_demo_spark.engine.learned_gate import \
             with_learned_quality

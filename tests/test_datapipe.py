@@ -1023,3 +1023,48 @@ def test_temperature_mix_targets_and_apply(spark):
     out2 = apply_temperature_mix(docs).collect()
     assert sorted((r.doc_id, r.kept) for r in out) == \
         sorted((r.doc_id, r.kept) for r in out2)
+
+
+def test_top_ngram_char_frac_closed_form(spark):
+    from textract_demo_spark.datapipe.textstats import \
+        with_top_ngram_char_frac
+    # "a b a b a b": norm len 11; 2-grams 'a b' x3 (len 3), 'b a' x2
+    # -> (1e6 * 3*3) div 11; 3-grams tie 2-2 -> lex-first 'a b a'
+    # (len 5) -> (1e6 * 2*5) div 11
+    df = spark.createDataFrame([(1, "a b a b a b"), (2, "hello")],
+                               "doc_id long, text string")
+    r2 = {r["doc_id"]: r["top_2gram_char_frac_bp"]
+          for r in with_top_ngram_char_frac(df, 2).collect()}
+    assert r2 == {1: (1000000 * 9) // 11, 2: 0}
+    r3 = {r["doc_id"]: r["top_3gram_char_frac_bp"]
+          for r in with_top_ngram_char_frac(df, 3).collect()}
+    assert r3 == {1: (1000000 * 10) // 11, 2: 0}
+    # overlap pathological case: count x len may exceed the text
+    # (documented Gopher/DataTrove semantics, thresholds are <= 0.2)
+    xx = spark.createDataFrame([(1, "x x x x")], "doc_id long, text string")
+    got = with_top_ngram_char_frac(xx, 2).first()["top_2gram_char_frac_bp"]
+    assert got == (1000000 * 3 * 3) // 7
+
+
+def test_dup_ngram_char_frac_coverage(spark):
+    from textract_demo_spark.datapipe.textstats import \
+        with_dup_ngram_char_frac
+    # "a b a b a b": dup 2-gram values {'a b','b a'} cover ALL token
+    # positions -> 6 single-char tokens / norm len 11
+    # "p q r s": no duplicated 2-gram -> 0
+    df = spark.createDataFrame([(1, "a b a b a b"), (2, "p q r s")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["dup_2gram_char_frac_bp"]
+           for r in with_dup_ngram_char_frac(df, 2).collect()}
+    assert got == {1: (1000000 * 6) // 11, 2: 0}
+    # partial coverage, counted once despite 3 occurrences:
+    # 'u v u v u v w z': dup 2-grams 'u v' (x3) and 'v u' (x2) cover
+    # tokens 0..5 but not 'w','z' -> 6 chars / len 15
+    df2 = spark.createDataFrame([(1, "u v u v u v w z")],
+                                "doc_id long, text string")
+    got2 = with_dup_ngram_char_frac(df2, 2).first()["dup_2gram_char_frac_bp"]
+    assert got2 == (1000000 * 6) // 15
+    # doc shorter than n -> 0, never an error
+    df3 = spark.createDataFrame([(1, "one")], "doc_id long, text string")
+    assert with_dup_ngram_char_frac(df3, 5).first()[
+        "dup_5gram_char_frac_bp"] == 0

@@ -392,3 +392,48 @@ def test_run_curate_text_clf_stage(spark, tmp_path, capsys, monkeypatch):
     out = spark.read.parquet(str(tmp_path / "curated" / "data"))
     ids = {r.doc_id for r in out.select("doc_id").collect()}
     assert ids == {1, 2, 3, 4}
+
+
+def test_run_curate_gopher_ngrams_gate(spark, tmp_path, capsys,
+                                       monkeypatch):
+    """--gopher-ngrams drops the keyword-stuffed doc (top-2-gram char
+    fraction over threshold) and the self-repeating doc (duplicate-
+    5-gram coverage over threshold) while clean docs pass."""
+    def filler(d, n, k=0):
+        return " ".join(f"w{d}x{k}n{j}" for j in range(n))
+    block = "the quick brown fox jumps over the lazy dog tonight"
+    rows = []
+    for d in range(6):
+        rows.append((d, f"the calm filler doc with {filler(d, 40)}"))
+    # top-2-gram stuffing: 'buy now' dominates the text
+    rows.append((50, "buy now " * 30 + "unique tail words here"))
+    # duplicate-5-gram coverage: the 10-word block appears twice
+    rows.append((60, f"the later doc with {filler(60, 5)} {block}"
+                     f" {filler(60, 5, 1)} {block}"))
+    docs = spark.createDataFrame(
+        [(i, t, "en", "synth", len(t)) for i, t in rows],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING,"
+        " n_chars BIGINT")
+    in_path = str(tmp_path / "in_ng")
+    docs.write.parquet(in_path)
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_curate.py", "--input", in_path,
+        "--out", str(tmp_path / "curated_ng"),
+        "--gopher-ngrams",
+        "--min-quality-bp", "0", "--max-surprisal-milli", "999999",
+        "--max-dup-2gram-bp", "1000000",
+        "--pack-budget", "256", "--pack-shards", "2",
+    ])
+    import importlib
+    import jobs.run_curate as rc
+    importlib.reload(rc)
+    rc.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    st = json.loads(line)["stats"]
+    out = spark.read.parquet(str(tmp_path / "curated_ng" / "data"))
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 50 not in kept             # top-2-gram stuffing gate
+    assert 60 not in kept             # dup-5-gram coverage gate
+    assert {0, 1, 2, 3, 4, 5} <= kept
+    assert st["after_gopher_ngrams"] == len(kept)

@@ -641,3 +641,33 @@ def test_pagerank_round_partial_agg_equi_joins(spark):
     assert "CartesianProduct" not in p, p[:3000]
     assert "BroadcastNestedLoopJoin" not in p, p[:3000]
     assert "partial_sum" in p, p[:3000]
+
+
+def test_ngram_fracs_zero_shuffle_pruned_scan(spark):
+    """The Gopher n-gram fraction stats are per-row sorted-run
+    aggregates: zero exchanges, 2-column pruned scan — the whole
+    point of the in-row formulation vs the relational (explode +
+    groupBy) one the oracle uses."""
+    from textract_demo_spark.datapipe.textstats import (
+        with_dup_ngram_char_frac, with_top_ngram_char_frac)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = with_dup_ngram_char_frac(
+        with_top_ngram_char_frac(docs.select("doc_id", "text"), 2), 5)
+    p = plan(out)
+    assert "Exchange" not in p, p[:3000]
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_logq_sketch_partial_agg_single_exchange(spark):
+    """The log-bucket quantile sketch build must partial-aggregate
+    map-side (per-partition values collapse to <= 64 bucket rows
+    BEFORE the exchange) with exactly one exchange — the mergeable-
+    rollup property that makes it cheaper than exact ranks."""
+    from textract_demo_spark.datapipe.sketch import logq_sketch
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(logq_sketch(docs, "n_chars"))
+    assert p.count("Exchange") == 1, p[:3000]
+    assert "partial_count" in p, p[:3000]

@@ -171,3 +171,41 @@ class TestTfidf:
                 assert r.df < 4
                 assert r.idf_bits == 2
                 assert r.score == r.tf * r.idf_bits
+
+
+def test_logq_sketch_merge_and_bounds(spark):
+    """Log-bucket quantile sketch: merged shards equal the whole-
+    corpus sketch; quantile upper bounds are >= the exact quantile
+    and within 2x (the log-histogram guarantee); v=0 answers 0."""
+    import random
+
+    from textract_demo_spark.datapipe.sketch import (logq_merge,
+                                                     logq_quantile,
+                                                     logq_sketch)
+    rng = random.Random(5)
+    vals = [rng.randrange(1, 100000) for _ in range(500)] + [0, 1]
+    df = spark.createDataFrame(
+        [("s", v) for v in vals], "source string, v long")
+    whole = logq_sketch(df, "v")
+    parts = logq_merge(
+        logq_sketch(df.filter(F.col("v") % 3 == 0), "v"),
+        logq_sketch(df.filter(F.col("v") % 3 == 1), "v"),
+        logq_sketch(df.filter(F.col("v") % 3 == 2), "v"))
+    assert (sorted(map(tuple, whole.collect()))
+            == sorted(map(tuple, parts.collect())))
+
+    got = {r["q"]: r["q_upper"]
+           for r in logq_quantile(whole, qs=(50, 99)).collect()}
+    sv = sorted(vals)
+    for q in (50, 99):
+        exact = sv[-(-q * len(sv) // 100) - 1]  # ceil-rank exact
+        assert got[q] >= exact
+        assert got[q] <= 2 * max(exact, 1)
+
+
+def test_logq_zero_bucket(spark):
+    from textract_demo_spark.datapipe.sketch import (logq_quantile,
+                                                     logq_sketch)
+    df = spark.createDataFrame([("s", 0)] * 4, "source string, v long")
+    got = logq_quantile(logq_sketch(df, "v"), qs=(50,)).collect()
+    assert got[0]["q_upper"] == 0

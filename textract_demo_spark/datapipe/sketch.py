@@ -38,6 +38,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from .dedup import hash64
 
@@ -180,3 +181,75 @@ def cms_probe(sketch: DataFrame, probes: DataFrame, key_col: str,
             .groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
                  .alias("cms_est")))
+
+
+def logq_sketch(df: DataFrame, value_col: str,
+                group_cols: tuple[str, ...] = ("source",)) -> DataFrame:
+    """Mergeable log-bucket quantile sketch over a positive integer
+    column: per group, a histogram keyed by ``bucket = floor(log2 v)``
+    (computed as ``length(bin(v)) - 1`` — exact integer bits, the
+    same engine-safe trick as the surprisal operator; v=0 gets
+    bucket -1). The sketch is (group, bucket, n) — at most 64 rows
+    per group regardless of input size — and two sketches merge by
+    summing ``n``, so per-partition / per-day sketches roll up
+    without touching raw data (the property the EXACT percentile
+    operator in ``textstats.length_percentiles`` cannot offer: it
+    must re-rank raw rows on every update).
+
+    Quantile answers carry relative error bounded by the bucket
+    width (value within 2x), the usual log-histogram guarantee.
+    Build cost: ONE hash-groupBy whose map-side partial sum collapses
+    every partition's values before the exchange.
+    """
+    b = (f"IF({value_col} <= 0, -1L,"
+         f" CAST(length(bin(CAST({value_col} AS BIGINT))) - 1 AS BIGINT))")
+    return (df
+            .groupBy(*group_cols, F.expr(b).alias("bucket"))
+            .agg(F.count("*").alias("n")))
+
+
+def logq_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge log-bucket sketches built by ``logq_sketch`` (same group
+    columns): union + re-sum — associative, commutative."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "n"]
+    return out.groupBy(*keys).agg(F.sum("n").alias("n"))
+
+
+def logq_quantile(sketch: DataFrame, qs: tuple[int, ...] = (50, 90, 99),
+                  group_cols: tuple[str, ...] = ("source",)) -> DataFrame:
+    """Quantile UPPER BOUNDS from a log-bucket sketch: for each q in
+    percent, the smallest bucket whose running count reaches
+    ``ceil(q * total / 100)`` (integer arithmetic: ``(q*total+99) div
+    100``, the same discrete rank convention as the exact percentile
+    operator), answered as ``2^(bucket+1) - 1`` — the largest value
+    the bucket can hold (v=0's bucket answers 0). All-integer, so
+    the driver oracle hash-compares exact values.
+
+    Cost: the sketch is at most 64 rows per group, so the rank scan
+    is a window over a tiny frame — group count × 64 rows total,
+    never the raw data.
+    """
+    w = (W.partitionBy(*[F.col(c) for c in group_cols])
+         .orderBy("bucket")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot = (W.partitionBy(*[F.col(c) for c in group_cols])
+           .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    cum = (sketch
+           .withColumn("cum", F.sum("n").over(w))
+           .withColumn("total", F.sum("n").over(tot)))
+    qdf = cum.select(
+        *group_cols, "bucket", "cum", "total",
+        F.explode(F.array(*[F.lit(q) for q in qs])).alias("q"))
+    ranked = (qdf
+              .filter(F.col("cum") >=
+                      F.expr("(q * total + 99) div 100"))
+              .groupBy(*group_cols, "q")
+              .agg(F.min("bucket").alias("bucket")))
+    return ranked.select(
+        *group_cols, "q",
+        F.expr("IF(bucket < 0, 0L,"
+               " CAST(shiftleft(1L, CAST(bucket AS INT) + 1) - 1"
+               " AS BIGINT))").alias("q_upper"))

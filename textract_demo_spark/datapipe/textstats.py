@@ -478,3 +478,108 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
     # release handle consumed by dedup.release_cached
     out._cached_banded = tf  # noqa: SLF001
     return out
+
+
+def _norm_sql(text_col: str) -> str:
+    return f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
+
+
+def _grams_sql(toks: str, n: int) -> str:
+    return (f"IF(size({toks}) < {n}, array(),"
+            f" transform(sequence(0, size({toks}) - {n}),"
+            f" i -> array_join(slice({toks}, i + 1, {n}), ' ')))")
+
+
+def with_top_ngram_char_frac(docs: DataFrame, n: int,
+                             text_col: str = "text") -> DataFrame:
+    """Gopher Table A1 "top n-gram character fraction" (Rae et al.
+    2021; n=2..4 in the paper): the fraction of normalized-text
+    characters covered by the single most frequent word n-gram
+    (count x n-gram string length, spaces included, over normalized
+    length). Ties on count break to the lexicographically FIRST
+    n-gram — deterministic, and replayed by the oracle's
+    (count DESC, gram ASC) ranking.
+
+    All-integer value: ``(1_000_000 * count * len(gram)) div len``,
+    so the stat is bit-exact cross-engine (the float
+    ``floor(1e6 * x)`` convention of the older stats is sensitive to
+    operation order; integer div is not). Zero shuffle — one sorted
+    run-length aggregate per row (O(m log m) per doc, same shape as
+    ``with_repetition_stats``); the gram array binds once as a
+    column (an in-lambda reference re-evaluates per element).
+    """
+    col = f"top_{n}gram_char_frac_bp"
+    return (docs
+            .withColumn("_norm", F.expr(_norm_sql(text_col)))
+            .withColumn("_toks", F.expr("split(_norm, ' ')"))
+            .withColumn("_grams", F.expr(_grams_sql("_toks", n)))
+            .withColumn(col, F.expr("""
+                (1000000L * aggregate(array_sort(_grams),
+                   named_struct('prev', cast(null AS string),
+                                'run', 0L, 'best', 0L,
+                                'bg', cast(null AS string)),
+                   (s, w) -> named_struct(
+                     'prev', w,
+                     'run', IF(s.prev IS NOT NULL AND w = s.prev,
+                               s.run + 1L, 1L),
+                     'best', IF(IF(s.prev IS NOT NULL AND w = s.prev,
+                                   s.run + 1L, 1L) > s.best,
+                                IF(s.prev IS NOT NULL AND w = s.prev,
+                                   s.run + 1L, 1L), s.best),
+                     'bg', IF(IF(s.prev IS NOT NULL AND w = s.prev,
+                                 s.run + 1L, 1L) > s.best,
+                              w, s.bg)),
+                   s -> IF(s.bg IS NULL, 0L,
+                           s.best * length(s.bg))))
+                div greatest(length(_norm), 1L)"""))
+            .drop("_norm", "_toks", "_grams"))
+
+
+def with_dup_ngram_char_frac(docs: DataFrame, n: int,
+                             text_col: str = "text") -> DataFrame:
+    """Gopher Table A1 "duplicate n-gram character fraction" (Rae et
+    al. 2021; n=5..10 in the paper): the fraction of normalized-text
+    characters lying inside ANY occurrence of an n-gram that appears
+    at least twice in the document — position-coverage semantics
+    (overlapping occurrences count each character once), the
+    DataTrove/Dolma reading of the rule. Characters are the covered
+    tokens' characters; inter-token spaces are not attributed
+    (documented; the oracle states the identical rule).
+
+    Per row: sorted run-length aggregate collects the duplicated
+    gram VALUES, a position filter marks their occurrences, covered
+    token indices are the distinct flatten of the occurrence windows,
+    and the character sum reads token lengths by index. All-integer
+    output ``(1_000_000 * covered_chars) div len`` — bit-exact
+    cross-engine. Zero shuffle; arrays bind once as columns.
+    """
+    col = f"dup_{n}gram_char_frac_bp"
+    return (docs
+            .withColumn("_norm", F.expr(_norm_sql(text_col)))
+            .withColumn("_toks", F.expr("split(_norm, ' ')"))
+            .withColumn("_grams", F.expr(_grams_sql("_toks", n)))
+            .withColumn("_dupv", F.expr("""
+                aggregate(array_sort(_grams),
+                  named_struct('prev', cast(null AS string),
+                               'run', 0L,
+                               'acc', cast(array() AS array<string>)),
+                  (s, w) -> named_struct(
+                    'prev', w,
+                    'run', IF(s.prev IS NOT NULL AND w = s.prev,
+                              s.run + 1L, 1L),
+                    'acc', IF(s.prev IS NOT NULL AND w = s.prev
+                              AND s.run = 1L,
+                              concat(s.acc, array(w)), s.acc)),
+                  s -> s.acc)"""))
+            .withColumn("_cov", F.expr(f"""
+                array_distinct(flatten(transform(
+                  filter(IF(size(_grams) = 0, array(),
+                            sequence(0, size(_grams) - 1)),
+                         i -> array_contains(_dupv,
+                                             element_at(_grams, i + 1))),
+                  i -> sequence(i, i + {n} - 1))))"""))
+            .withColumn(col, F.expr("""
+                (1000000L * aggregate(_cov, 0L,
+                   (s, j) -> s + length(element_at(_toks, j + 1))))
+                div greatest(length(_norm), 1L)"""))
+            .drop("_norm", "_toks", "_grams", "_dupv", "_cov"))

@@ -4600,3 +4600,142 @@ def pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["pagerank_topk"] = _pagerank_oracle()
+
+
+# ---- Gopher n-gram repetition fractions (datapipe/textstats.py) ----
+# Perturbation shared verbatim by both engines: one arm plants a
+# duplicated 9-word block (drives the dup-5/6-gram coverage), one
+# arm plants a repeated 2-gram (drives the top-n-gram stat), the
+# rest keep the raw corpus text so natural values are exercised too.
+
+_NGRAM_PERTURB = (
+    "CASE WHEN doc_id % 4 = 0 THEN text ||"
+    " ' the quick brown fox jumps over the lazy dog"
+    " the quick brown fox jumps over the lazy dog'"
+    " WHEN doc_id % 4 = 1 THEN text ||"
+    " ' buy now buy now buy now best price'"
+    " ELSE text END"
+)
+
+_NGRAM_FRACS_ORACLE = r"""
+    WITH corpus AS (SELECT doc_id, """ + _NGRAM_PERTURB + r""" AS text
+                    FROM documents),
+    t AS (SELECT doc_id,
+            lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+          FROM corpus),
+    tok AS (SELECT doc_id, string_split(norm, ' ') AS toks,
+                   length(norm) AS L FROM t),
+    g2 AS (SELECT doc_id, i, array_to_string(toks[i+1:i+2], ' ') AS gram
+           FROM tok, unnest(range(0, greatest(len(toks) - 1, 0))) u(i)),
+    g3 AS (SELECT doc_id, i, array_to_string(toks[i+1:i+3], ' ') AS gram
+           FROM tok, unnest(range(0, greatest(len(toks) - 2, 0))) u(i)),
+    g5 AS (SELECT doc_id, i, array_to_string(toks[i+1:i+5], ' ') AS gram
+           FROM tok, unnest(range(0, greatest(len(toks) - 4, 0))) u(i)),
+    g6 AS (SELECT doc_id, i, array_to_string(toks[i+1:i+6], ' ') AS gram
+           FROM tok, unnest(range(0, greatest(len(toks) - 5, 0))) u(i)),
+    top2 AS (SELECT doc_id, c * length(gram) AS chars FROM
+      (SELECT doc_id, gram, count(*) AS c, row_number() OVER
+         (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+       FROM g2 GROUP BY doc_id, gram) WHERE rn = 1),
+    top3 AS (SELECT doc_id, c * length(gram) AS chars FROM
+      (SELECT doc_id, gram, count(*) AS c, row_number() OVER
+         (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+       FROM g3 GROUP BY doc_id, gram) WHERE rn = 1),
+    d5 AS (SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram
+           HAVING count(*) >= 2),
+    d6 AS (SELECT doc_id, gram FROM g6 GROUP BY doc_id, gram
+           HAVING count(*) >= 2),
+    cov5 AS (SELECT DISTINCT g.doc_id, j FROM g5 g
+             JOIN d5 USING (doc_id, gram),
+             unnest(range(g.i, g.i + 5)) r(j)),
+    cov6 AS (SELECT DISTINCT g.doc_id, j FROM g6 g
+             JOIN d6 USING (doc_id, gram),
+             unnest(range(g.i, g.i + 6)) r(j)),
+    ch5 AS (SELECT c.doc_id, sum(length(tok.toks[c.j + 1])) AS cc
+            FROM cov5 c JOIN tok USING (doc_id) GROUP BY c.doc_id),
+    ch6 AS (SELECT c.doc_id, sum(length(tok.toks[c.j + 1])) AS cc
+            FROM cov6 c JOIN tok USING (doc_id) GROUP BY c.doc_id)
+    SELECT tok.doc_id,
+      CAST((1000000 * coalesce(top2.chars, 0)) // greatest(tok.L, 1)
+           AS BIGINT) AS top_2gram_char_frac_bp,
+      CAST((1000000 * coalesce(top3.chars, 0)) // greatest(tok.L, 1)
+           AS BIGINT) AS top_3gram_char_frac_bp,
+      CAST((1000000 * coalesce(ch5.cc, 0)) // greatest(tok.L, 1)
+           AS BIGINT) AS dup_5gram_char_frac_bp,
+      CAST((1000000 * coalesce(ch6.cc, 0)) // greatest(tok.L, 1)
+           AS BIGINT) AS dup_6gram_char_frac_bp
+    FROM tok
+    LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+    LEFT JOIN ch5 USING (doc_id) LEFT JOIN ch6 USING (doc_id)
+"""
+
+
+@query("gopher_ngram_fracs", oracle=_NGRAM_FRACS_ORACLE)
+def gopher_ngram_fracs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table A1 n-gram repetition rules (Rae et al. 2021),
+    completing the repetition family beyond top-token/dup-2gram: the
+    top-2/3-gram character fraction (count x gram length over
+    normalized length, count-ties broken to the lex-first gram) and
+    the duplicate-5/6-gram character COVERAGE fraction (characters
+    inside any occurrence of an n-gram appearing twice or more,
+    overlaps counted once). Spark computes all four as zero-shuffle
+    per-row sorted-run aggregates in exact integers
+    ((1e6 * chars) div len); the oracle recomputes them RELATIONALLY
+    (unnest -> group -> window/having -> distinct coverage join) —
+    two independent algorithms agreeing on every value. The
+    perturbation plants a duplicated 9-word block and a repeated
+    2-gram so both stats flip on known arms."""
+    from ..datapipe.textstats import (with_dup_ngram_char_frac,
+                                      with_top_ngram_char_frac)
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.expr(_NGRAM_PERTURB).alias("text")))
+    out = with_top_ngram_char_frac(docs, 2)
+    out = with_top_ngram_char_frac(out, 3)
+    out = with_dup_ngram_char_frac(out, 5)
+    out = with_dup_ngram_char_frac(out, 6)
+    return out.select("doc_id",
+                      "top_2gram_char_frac_bp", "top_3gram_char_frac_bp",
+                      "dup_5gram_char_frac_bp", "dup_6gram_char_frac_bp")
+
+
+@query(
+    "logq_quantile_sketch",
+    oracle="""
+    WITH s AS (SELECT source,
+                 CASE WHEN n_chars <= 0 THEN -1
+                      ELSE length(bin(CAST(n_chars AS BIGINT))) - 1
+                 END AS bucket,
+                 count(*) AS n
+               FROM documents GROUP BY source, bucket),
+    c AS (SELECT source, bucket,
+            sum(n) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+            sum(n) OVER (PARTITION BY source) AS total
+          FROM s),
+    qx AS (SELECT source, bucket, cum, total, q
+           FROM c, unnest([50, 90, 99]) u(q)),
+    r AS (SELECT source, q, min(bucket) AS bucket FROM qx
+          WHERE cum >= (q * total + 99) // 100 GROUP BY source, q)
+    SELECT source, q,
+           CAST(CASE WHEN bucket < 0 THEN 0
+                ELSE (CAST(1 AS BIGINT) << (CAST(bucket AS INTEGER)
+                      + 1)) - 1 END AS BIGINT) AS q_upper
+    FROM r
+    """)
+def logq_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-bucket quantile sketch (datapipe/sketch.py
+    logq_sketch/logq_merge/logq_quantile): per-source doc-length
+    histogram keyed by floor(log2 v) via the exact-integer
+    length(bin(v))-1 trick, <= 64 rows per group, mergeable by
+    summing counts. The query PROVES mergeability in-line: the corpus
+    is split by doc_id parity, sketched independently, merged with
+    logq_merge, and the quantile upper bounds (discrete rank
+    (q*total+99) div 100, answer 2^(b+1)-1 — all-integer both
+    engines) must equal the whole-corpus oracle. This is the one-pass
+    rollup path the exact percentile operator
+    (length_percentiles_by_source) cannot offer at 100 TB: exact
+    ranks must re-shuffle raw rows on every update; sketches merge."""
+    from ..datapipe.sketch import logq_merge, logq_quantile, logq_sketch
+    docs = _t(spark, sf_dir, "documents")
+    even = logq_sketch(docs.filter(F.col("doc_id") % 2 == 0), "n_chars")
+    odd = logq_sketch(docs.filter(F.col("doc_id") % 2 == 1), "n_chars")
+    return logq_quantile(logq_merge(even, odd))
