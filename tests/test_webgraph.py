@@ -114,3 +114,36 @@ def test_pagerank_sink_and_source(spark):
     # round 2: contribs now 150_000 each -> 150000+850*300000//1000
     # round 3: same (1 and 2 are fixed at base)
     assert got[0] == 150_000 + (850 * 300_000) // 1000
+
+
+def test_canonical_url_idempotent_and_total(spark):
+    """The canonicalization contract: applying canonical_url to its
+    own output is a fixpoint (idempotency — what makes the canonical
+    column a valid dedup key), and the expression is total (never
+    throws) on adversarial inputs. Batched: one Spark pass over ~900
+    generated URLs, comparing canon(u) with canon(canon(u))."""
+    import itertools
+    import random
+    rng = random.Random(3)
+    schemes = ["http", "HTTP", "https", "HtTpS", "ftp", ""]
+    auths = ["Ex.COM", "ex.com:80", "Ex.com:443", "a.b.c:8080",
+             "U:p@Host.NET:80", "ex.com:", "xn--bcher-kva.de", ""]
+    paths = ["", "/", "//a//b//", "/a/b/", "/a%20b/c", "/." , "///"]
+    queries = ["", "?", "?b=2&a=1", "?utm_source=x", "?a=1&&b=2",
+               "?a=1&utm_a=2&A=3", "?=v&k="]
+    frags = ["", "#f", "#a?b=1"]
+    urls = ["", "not a url", "http:/one-slash.com", "//proto.rel/x",
+            "/rel/only", "mailto:a@b.c", "https://"]
+    pool = list(itertools.product(schemes, auths, paths, queries, frags))
+    for s, a, p, q, f in rng.sample(pool, 880):
+        urls.append(f"{s}://{a}{p}{q}{f}")
+    from textract_demo_spark.datapipe.webgraph import canonical_url
+    df = (spark.createDataFrame([(u,) for u in urls], "u string")
+          .select("u", canonical_url(F.col("u")).alias("c1"))
+          .select("u", "c1", canonical_url(F.col("c1")).alias("c2")))
+    rows = df.collect()  # totality: no expression error on any input
+    bad = [(r["u"], r["c1"], r["c2"]) for r in rows
+           if r["c1"] is not None and r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
+    # and NULL inputs stay NULL through a second application
+    assert all(r["c2"] is None for r in rows if r["c1"] is None)
