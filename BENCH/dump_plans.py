@@ -584,6 +584,36 @@ def main() -> None:
         " checks all offsets are present.",
         formatted(phrase_search(idx, "hash join"))))
 
+    sections.append((
+        "Hybrid retrieval fusion (RRF over BM25 + cosine arms)",
+        "Both arms keep their own scale shapes (BM25's broadcast df"
+        " table, the dense arm's broadcast query vectors); the corpus"
+        " restriction to documents-with-embedding is a broadcast semi"
+        " join; the fusion union + groupBy(id) exchanges at most 2*k'"
+        " rows and the fused rank is a partial top-k. No"
+        " SortMergeJoin anywhere.",
+        formatted(QUERIES["search_hybrid_rrf"](spark, SF))))
+
+    sections.append((
+        "Tool-transition mining (agent-trajectory bigrams)",
+        "Per-conversation lead window = ONE conv-keyed exchange (never"
+        " a global window over the corpus); the pair-count groupBy"
+        " partial-aggregates map-side into ~|tools|^2 rows; the final"
+        " top-k executes as TakeOrderedAndProject.",
+        formatted(QUERIES["transcript_tool_bigrams"](spark, SF))))
+
+    sections.append((
+        "Conversation integrity stats (shared conv_id exchange)",
+        "The lag window (gaps, role runs) and the per-conv groupBy"
+        " SHARE one hash(conv_id) exchange — EnsureRequirements sees"
+        " the window's output partitioning already satisfies the"
+        " aggregate, so the whole per-conversation pass is scan ->"
+        " shuffle(conv_id) -> narrow. (The query's turn synthesis from"
+        " events adds its own user_id window exchange ahead of it;"
+        " the operator itself is the one-exchange segment, gated on a"
+        " pre-shaped turns input in tests/test_plans.py.)",
+        formatted(QUERIES["transcript_conv_stats"](spark, SF))))
+
     staged = with_part_key(out, 8).hint("rebalance", F.col(PART_COL))
     sections.append((
         "Commit staging write input (REBALANCE on the table partition"

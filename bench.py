@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "search_inverted_index", "search_bm25_topk", "search_phrase",
     # web-graph family (URL canon, link harvest, fixed-point PageRank)
     "url_canonicalize", "link_harvest", "pagerank_topk",
+    # hybrid retrieval fusion + transcript analytics
+    "search_hybrid_rrf", "transcript_tool_bigrams",
+    "transcript_conv_stats",
     # skew_salted_extract is deliberately NOT here: at sf0.1 it
     # extracts a 10^6-turn hot conversation (a stress run, not a
     # suite row — BENCH/run_skew_probe.py records its histograms)

@@ -44,6 +44,14 @@ def main() -> None:
     ap.add_argument("--fail-after", type=int, default=None,
                     help="inject a crash after N partition commits"
                          " (resume testing)")
+    ap.add_argument("--conv-report", action="store_true",
+                    help="also write a conversation-integrity report"
+                         " next to the table: per-conv stats + keep"
+                         " verdict (<out>/conv_stats) and the top-50"
+                         " tool-transition bigrams"
+                         " (<out>/tool_transitions)")
+    ap.add_argument("--conv-max-gap-minutes", type=int, default=120)
+    ap.add_argument("--conv-max-role-runs", type=int, default=3)
     ap.add_argument("--streaming", action="store_true",
                     help="treat --input as a file-arrival stream:"
                          " drain new files (availableNow) into a"
@@ -96,6 +104,20 @@ def main() -> None:
     snapshot = table.write(results, metrics_fn=partition_metrics,
                            input_fingerprint=fingerprint,
                            fail_after=args.fail_after)
+    conv_report: dict | None = None
+    if args.conv_report:
+        from textract_demo_spark.datapipe.transcripts import (
+            conversation_stats, tool_transitions)
+        stats = conversation_stats(
+            transcripts, max_gap_minutes=args.conv_max_gap_minutes,
+            max_role_runs=args.conv_max_role_runs)
+        stats.write.mode("overwrite").parquet(f"{args.out}/conv_stats")
+        (tool_transitions(transcripts, k=50)
+         .write.mode("overwrite").parquet(f"{args.out}/tool_transitions"))
+        stats = spark.read.parquet(f"{args.out}/conv_stats")
+        kept = stats.filter("keep").count()
+        conv_report = {"n_convs": stats.count(), "convs_kept": kept}
+
     wall = time.time() - t0
     rows = sum(m["metrics"].get("rows", 0)
                for k in snapshot["committed_keys"]
@@ -108,6 +130,7 @@ def main() -> None:
         "rows_total": rows,
         "wall_sec": round(wall, 2),
         "phase_sec": snapshot.get("phase_sec", {}),
+        **({"conv_report": conv_report} if conv_report else {}),
     }))
 
 

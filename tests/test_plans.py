@@ -671,3 +671,48 @@ def test_logq_sketch_partial_agg_single_exchange(spark):
     p = plan(logq_sketch(docs, "n_chars"))
     assert p.count("Exchange") == 1, p[:3000]
     assert "partial_count" in p, p[:3000]
+
+
+def test_conversation_stats_single_exchange(spark):
+    """conversation_stats on an already-shaped turns table: the
+    per-conv lag window and the groupBy(conv_id) must SHARE one
+    hash(conv_id) exchange — EnsureRequirements sees the window's
+    output partitioning already satisfies the aggregate, so the whole
+    per-conversation pass is scan -> shuffle(conv_id) -> narrow."""
+    from textract_demo_spark.datapipe.transcripts import conversation_stats
+    turns = spark.createDataFrame(
+        [("c1", i, "user" if i % 2 else "assistant", "t",) for i in range(6)],
+        "conv_id string, turn_idx int, role string, tool string"
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    p = plan(conversation_stats(turns))
+    assert p.count("Exchange") == 1, p[:3000]
+    assert "Window" in p
+
+
+def test_tool_transitions_no_corpus_global_window(spark):
+    """tool_transitions: the only global (unpartitioned) window is the
+    final top-k over the tiny pair-count table, and it must execute
+    as a partial top-k — TakeOrderedAndProject (Catalyst pushes the
+    rank<=k filter into a limit) or WindowGroupLimit — never a full
+    global sort; the pair counting itself partial-aggregates
+    map-side."""
+    from textract_demo_spark.datapipe.transcripts import tool_transitions
+    turns = spark.createDataFrame(
+        [("c1", i, "r", f"t{i % 3}") for i in range(9)],
+        "conv_id string, turn_idx int, role string, tool string")
+    p = plan(tool_transitions(turns, k=5))
+    assert ("TakeOrderedAndProject" in p) or ("WindowGroupLimit" in p), \
+        p[:3000]
+    assert "partial_count" in p, p[:3000]
+
+
+def test_rrf_corp_join_broadcast_and_tiny_fusion(spark):
+    """search_hybrid_rrf: the documents-with-embedding corpus
+    restriction must be a broadcast (semi) join — the corpus side
+    never shuffles for it — and no SortMergeJoin appears anywhere
+    (both retrieval arms keep their broadcast shapes through the
+    fusion union)."""
+    from textract_demo_spark.engine.queries import QUERIES
+    p = plan(QUERIES["search_hybrid_rrf"](spark, SF))
+    assert "SortMergeJoin" not in p, p[:3000]
+    assert "Broadcast" in p, p[:3000]

@@ -201,6 +201,46 @@ def bm25_oracle_sql(query: str, k: int = 10,
     """
 
 
+def rrf_fuse(rankings: list[DataFrame], k0: int = 60, k: int = 10,
+             id_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists
+    over one id space — the standard way to combine a lexical (BM25)
+    and a dense (embedding-cosine) retrieval arm without score
+    calibration, since only RANKS cross the arm boundary.
+
+    Input frames carry (id_col, rank_col); output is
+    (id_col, rrf_micro, n_arms, fused_rank) where
+    ``rrf_micro = sum over arms of 1_000_000 div (k0 + rank)`` —
+    integer floor division, so DuckDB replays the fused scores
+    bit-for-bit. Ties rank deterministically (score desc, arms desc,
+    id asc).
+
+    Scale shape: each arm is already top-k' (tiny — k' rows per arm,
+    not corpus-sized), so the union + groupBy(id) is a few-row
+    exchange and the final window is a WindowGroupLimit over at most
+    N*k' rows. The expensive work stays inside the arms, which keep
+    their own scale paths (BM25's broadcast df table, ANN's
+    LSH/IVF bucketing).
+    """
+    from functools import reduce
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    arms = [r.select(F.col(id_col), F.col(rank_col).cast("long")
+                     .alias(rank_col)) for r in rankings]
+    u = reduce(DataFrame.unionByName, arms)
+    scored = (u.groupBy(id_col)
+              .agg(F.sum(F.expr(f"1000000 div ({k0} + {rank_col})"))
+                   .cast("long").alias("rrf_micro"),
+                   F.count("*").cast("long").alias("n_arms")))
+    w = Window.orderBy(F.col("rrf_micro").desc(),
+                       F.col("n_arms").desc(), F.col(id_col))
+    return (scored
+            .withColumn("fused_rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("fused_rank") <= k))
+
+
 def phrase_search(index: DataFrame, phrase: str,
                   id_col: str = "doc_id") -> DataFrame:
     """Exact consecutive-token phrase matches answered from the

@@ -4739,3 +4739,162 @@ def logq_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     even = logq_sketch(docs.filter(F.col("doc_id") % 2 == 0), "n_chars")
     odd = logq_sketch(docs.filter(F.col("doc_id") % 2 == 1), "n_chars")
     return logq_quantile(logq_merge(even, odd))
+
+
+# ---------------------------------------------------------------------------
+# Transcript-analytics family (datapipe/transcripts.py): conversation-
+# level integrity signals over the north rule's turn-table shape.
+# Turns are synthesized from the driver's events table in SHARED
+# semantics (conv = user, order = (ts, event_id), role from the event
+# type) so both engines analyze the identical corpus.
+
+def _events_turns_sql() -> str:
+    """The DuckDB arm of the shared turn synthesis."""
+    return """
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+      row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS turn_idx,
+      CASE WHEN event_type IN ('click', 'view') THEN 'user'
+           ELSE 'assistant' END AS role,
+      event_type AS tool, ts
+    FROM events"""
+
+
+def _events_as_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark arm: same synthesis, same total order."""
+    from pyspark.sql.window import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string"))
+         .alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type").isin("click", "view"), "user")
+         .otherwise("assistant").alias("role"),
+        F.col("event_type").alias("tool"),
+        "ts")
+
+
+@query(
+    "transcript_tool_bigrams",
+    oracle=f"""
+    WITH t AS ({_events_turns_sql()}),
+    p AS (SELECT conv_id, tool AS tool_a,
+            lead(tool) OVER (PARTITION BY conv_id
+                             ORDER BY turn_idx) AS tool_b
+          FROM t),
+    c AS (SELECT tool_a, tool_b, count(*)::BIGINT AS cnt FROM p
+          WHERE tool_b IS NOT NULL GROUP BY tool_a, tool_b)
+    SELECT tool_a, tool_b, cnt, rank FROM (
+      SELECT tool_a, tool_b, cnt,
+        row_number() OVER (ORDER BY cnt DESC, tool_a, tool_b
+          )::BIGINT AS rank
+      FROM c) WHERE rank <= 20
+    """)
+def transcript_tool_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide (tool -> next tool) transition counts in turn
+    order (datapipe/transcripts.py tool_transitions) — the behavioral
+    bigram table of an agent-transcript corpus, used to spot
+    degenerate tool loops and trajectory drift between snapshots.
+    Per-conv lead window (ONE conv-keyed exchange, never a global
+    window), pair-key groupBy with map-side partial agg, top-k as
+    WindowGroupLimit. The oracle replays transitions relationally."""
+    from ..datapipe.transcripts import tool_transitions
+    return tool_transitions(_events_as_turns(spark, sf_dir), k=20)
+
+
+@query(
+    "transcript_conv_stats",
+    oracle=f"""
+    WITH t AS ({_events_turns_sql()}),
+    g AS (SELECT conv_id, role,
+        lag(role) OVER (PARTITION BY conv_id
+                        ORDER BY turn_idx) AS prev_role,
+        epoch_us(ts) - lag(epoch_us(ts))
+          OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+      FROM t),
+    a AS (SELECT conv_id, count(*)::BIGINT AS n_turns,
+        sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+        sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END
+          )::BIGINT AS role_runs,
+        coalesce(max(gap_us), 0)::BIGINT AS max_gap_us,
+        coalesce(sum(gap_us), 0)::BIGINT AS sum_gap_us
+      FROM g GROUP BY conv_id)
+    SELECT conv_id, n_turns, n_user, role_runs, max_gap_us, sum_gap_us,
+           (max_gap_us <= 180000000000 AND role_runs <= 34) AS keep
+    FROM a
+    """)
+def transcript_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation integrity rollup + keep verdict
+    (datapipe/transcripts.py conversation_stats): role counts,
+    adjacent same-role runs (broken user/assistant alternation =
+    merged/truncated transcripts), and microsecond inter-turn gap
+    extremes (a multi-hour gap inside one conv = two sessions glued
+    under one id). The lag window and the groupBy share ONE conv_id
+    exchange (plan-gated). Thresholds (50 h max gap, 34 runs) are
+    calibrated to the fixture corpus so BOTH verdict branches are
+    populated at every sf (3/12 keep at sf0.001, 40/110 at sf0.01).
+    All arithmetic integer microseconds -> bit-exact oracle."""
+    from ..datapipe.transcripts import conversation_stats
+    return conversation_stats(_events_as_turns(spark, sf_dir),
+                              max_gap_minutes=3000, max_role_runs=34)
+
+
+def _rrf_oracle() -> str:
+    from ..datapipe.search import bm25_oracle_sql
+    bm25 = bm25_oracle_sql(_BM25_QUERY, k=20, table="corp")
+    return f"""
+    WITH corp AS (SELECT d.doc_id, d.text FROM documents d
+                  JOIN embeddings e ON d.doc_id = e.vec_id),
+    lex AS (SELECT doc_id, rank FROM ({bm25})),
+    sem0 AS (SELECT e.vec_id AS doc_id,
+               list_cosine_similarity(e.embedding, q.qv) AS cos
+             FROM embeddings e,
+                  (SELECT embedding AS qv FROM embeddings
+                   WHERE vec_id = 0) q
+             WHERE e.vec_id != 0),
+    sem AS (SELECT doc_id, rank FROM (
+              SELECT doc_id,
+                row_number() OVER (ORDER BY cos DESC, doc_id
+                  )::BIGINT AS rank
+              FROM sem0) WHERE rank <= 20),
+    u AS (SELECT doc_id, rank FROM lex
+          UNION ALL SELECT doc_id, rank FROM sem),
+    f AS (SELECT doc_id,
+            sum(1000000 // (60 + rank))::BIGINT AS rrf_micro,
+            count(*)::BIGINT AS n_arms FROM u GROUP BY doc_id)
+    SELECT doc_id, rrf_micro, n_arms, fused_rank FROM (
+      SELECT doc_id, rrf_micro, n_arms,
+        row_number() OVER (ORDER BY rrf_micro DESC, n_arms DESC, doc_id
+          )::BIGINT AS fused_rank FROM f) WHERE fused_rank <= 10
+    """
+
+
+@query("search_hybrid_rrf", oracle=None)  # oracle attached below
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (datapipe/search.py
+    rrf_fuse, Cormack et al. 2009) of a lexical arm (integer-exact
+    BM25 top-20 for the fixed query) and a dense arm (exact cosine
+    top-20 around the vec_id=0 embedding) over the SAME id space —
+    the documents that carry an embedding (doc_id = vec_id). Only
+    RANKS cross the arm boundary, so no score calibration and the
+    fused score is pure integer floor division — DuckDB replays both
+    arms and the fusion bit-for-bit. Each arm keeps its own scale
+    path; the fusion itself exchanges at most 2*k' rows."""
+    from ..datapipe.search import bm25_topk, rrf_fuse
+    from ..datapipe.similarity import cosine_topk
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    corp = docs.join(
+        F.broadcast(emb.select(F.col("vec_id").alias("doc_id"))),
+        "doc_id", "left_semi").select("doc_id", "text")
+    lex = bm25_topk(corp, _BM25_QUERY, k=20).select("doc_id", "rank")
+    q0 = (emb.filter(F.col("vec_id") == 0)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("qv")))
+    sem = (cosine_topk(emb, q0, k=20)
+           .select(F.col("vec_id").alias("doc_id"), "rank"))
+    return rrf_fuse([lex, sem], k0=60, k=10)
+
+
+ORACLES["search_hybrid_rrf"] = _rrf_oracle()
