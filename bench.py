@@ -170,11 +170,20 @@ def main() -> None:
      .write.mode("overwrite").parquet(tmp_in))
     transcripts = spark.read.parquet(tmp_in)
     n_turns = transcripts.count()
-    t0 = time.time()
-    out = run_pipeline(transcripts, reviews=None, salt=16)
-    n_rows = out.count()
-    dt = time.time() - t0
+    # best of 2 timed reps: this host drifts up to 2x between
+    # identical runs on multi-minute timescales (BENCH/BASELINE.md
+    # error bars), so a single-shot headline conflates host phase
+    # with code. Both reps are recorded; best-of is the headline,
+    # matching the scaling sweep's protocol.
+    reps = []
+    for _ in range(2):
+        t0 = time.time()
+        out = run_pipeline(transcripts, reviews=None, salt=16)
+        n_rows = out.count()
+        reps.append(time.time() - t0)
+    dt = min(reps)
     timings["extract_pipeline"] = round(dt, 3)
+    extras["extract_pipeline_reps"] = [round(r, 3) for r in reps]
     extras["turns_per_sec"] = round(n_rows / dt, 1)
     extras["n_turns"] = n_turns
     shutil.rmtree(tmp_in, ignore_errors=True)

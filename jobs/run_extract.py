@@ -44,6 +44,13 @@ def main() -> None:
     ap.add_argument("--fail-after", type=int, default=None,
                     help="inject a crash after N partition commits"
                          " (resume testing)")
+    ap.add_argument("--compact", action="store_true",
+                    help="after committing, rewrite small-file"
+                         " partitions (>= --compact-min-files parquet"
+                         " files) into ~--compact-target-mb files —"
+                         " the Iceberg rewrite_data_files analog")
+    ap.add_argument("--compact-min-files", type=int, default=2)
+    ap.add_argument("--compact-target-mb", type=int, default=128)
     ap.add_argument("--conv-report", action="store_true",
                     help="also write a conversation-integrity report"
                          " next to the table: per-conv stats + keep"
@@ -104,6 +111,14 @@ def main() -> None:
     snapshot = table.write(results, metrics_fn=partition_metrics,
                            input_fingerprint=fingerprint,
                            fail_after=args.fail_after)
+    compaction: dict | None = None
+    if args.compact:
+        c = table.compact(spark, min_files=args.compact_min_files,
+                          target_mb=args.compact_target_mb)
+        compaction = {"compacted_partitions": len(c["compacted_keys"]),
+                      "files_before": c["files_before"],
+                      "files_after": c["files_after"]}
+
     conv_report: dict | None = None
     if args.conv_report:
         from textract_demo_spark.datapipe.transcripts import (
@@ -130,6 +145,7 @@ def main() -> None:
         "rows_total": rows,
         "wall_sec": round(wall, 2),
         "phase_sec": snapshot.get("phase_sec", {}),
+        **({"compaction": compaction} if compaction else {}),
         **({"conv_report": conv_report} if conv_report else {}),
     }))
 

@@ -62,6 +62,28 @@ class IcebergLike:
         self.staging_dir = os.path.join(root, "_staging")
         for d in (self.data_dir, self.manifest_dir, self.staging_dir):
             os.makedirs(d, exist_ok=True)
+        self._recover_compaction()
+
+    def _recover_compaction(self) -> None:
+        """Repair a compaction killed between its two renames.
+
+        ``compact`` swaps a partition dir via rename(dst -> dst.old-*)
+        then rename(staged -> dst); a kill between them leaves the
+        partition present only as ``.old``. Opening the table restores
+        it (the compaction is simply redone later — idempotent). A
+        leftover ``.old`` WITH a live dst means the kill happened
+        after the swap completed: the old files are garbage, drop
+        them. Runs before any read so the ``part_key=*`` glob never
+        sees ``.old`` dirs."""
+        for d in os.listdir(self.data_dir):
+            if ".old-" not in d:
+                continue
+            src = os.path.join(self.data_dir, d)
+            dst = os.path.join(self.data_dir, d.split(".old-", 1)[0])
+            if os.path.exists(dst):
+                shutil.rmtree(src)
+            else:
+                os.rename(src, dst)
 
     # -- manifest bookkeeping ------------------------------------------------
 
@@ -217,6 +239,114 @@ class IcebergLike:
         self._write_json_atomic(
             os.path.join(self.manifest_dir, f"snapshot-{snap_id:05d}.json"),
             snapshot)
+        return snapshot
+
+    def compact(self, spark: SparkSession,
+                part_keys: list[int] | None = None,
+                min_files: int = 2, target_mb: int = 128,
+                run_id: str | None = None,
+                fail_after_first_rename: int | None = None) -> dict:
+        """Rewrite small-file partitions into few large files — the
+        Iceberg ``rewrite_data_files`` (binpack) analog. At 10^5
+        commits/day a streaming or incremental writer accretes
+        thousands of small files per partition; scan cost then tracks
+        file COUNT, not byte count, and compaction is the standard
+        operational fix.
+
+        Scale shape: ONE Spark job reads every selected partition and
+        re-stages it with an AQE REBALANCE(part_key) whose advisory
+        size is ``target_mb`` — output file count per partition tracks
+        bytes/target (and a hot partition splits instead of
+        straggling), never tasks x partitions. The swap is per
+        partition and crash-safe WITHOUT ever copying data: atomic
+        rename(dst -> dst.old-run), rename(staged -> dst), rm old; a
+        kill between the renames is repaired by
+        ``_recover_compaction`` on the next open (restore the old
+        dir, redo the compaction later). Committed ROWS are never
+        mutated — manifests keep their metrics and record
+        files_before; a ``compact`` snapshot is appended. Deviation
+        from real Iceberg, documented: partitions are rewritten in
+        place, so time travel preserves the partition SET of an old
+        snapshot, not its physical file list.
+
+        ``fail_after_first_rename=N`` injects a crash right after the
+        N-th partition's first rename (kill/recovery tests).
+        """
+        committed = self.committed_keys()
+        keys = sorted(committed if part_keys is None else
+                      [k for k in part_keys if k in committed])
+        todo: dict[int, list[str]] = {}
+        for k in keys:
+            dst = os.path.join(self.data_dir, f"{PART_COL}={k}")
+            files = sorted(f for f in os.listdir(dst)
+                           if f.endswith(".parquet"))
+            if len(files) >= min_files:
+                todo[k] = files
+        run_id = run_id or f"compact-{int(time.time() * 1000)}"
+        if not todo:
+            return {"run_id": run_id, "compacted_keys": [],
+                    "files_before": 0, "files_after": 0}
+
+        staging = os.path.join(self.staging_dir, run_id)
+        schema = self._stored_schema(
+            self.snapshots()[-1] if self.snapshots() else None)
+        reader = spark.read.option("basePath", self.data_dir)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*[os.path.join(self.data_dir,
+                                           f"{PART_COL}={k}")
+                              for k in todo])
+        advisory_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        prev_advisory = spark.conf.get(advisory_key, None)
+        spark.conf.set(advisory_key, str(target_mb * 1024 * 1024))
+        try:
+            (df.hint("rebalance", F.col(PART_COL))
+             .write.mode("overwrite").partitionBy(PART_COL)
+             .parquet(staging))
+        finally:
+            if prev_advisory is None:
+                spark.conf.unset(advisory_key)
+            else:
+                spark.conf.set(advisory_key, prev_advisory)
+
+        compacted, files_before, files_after = [], 0, 0
+        for i, (k, old_files) in enumerate(sorted(todo.items())):
+            src = os.path.join(staging, f"{PART_COL}={k}")
+            dst = os.path.join(self.data_dir, f"{PART_COL}={k}")
+            old = dst + f".old-{run_id}"
+            os.rename(dst, old)
+            if (fail_after_first_rename is not None
+                    and i >= fail_after_first_rename):
+                raise RuntimeError(
+                    "injected failure between compaction renames")
+            os.rename(src, dst)
+            shutil.rmtree(old)
+            new_files = sorted(f for f in os.listdir(dst)
+                               if f.endswith(".parquet"))
+            m = self.manifest(k) or {"part_key": k}
+            m.update({"files": new_files, "compacted_by": run_id,
+                      "files_before_compaction": len(old_files)})
+            self._write_json_atomic(
+                os.path.join(self.manifest_dir, f"part-{k:05d}.json"), m)
+            compacted.append(k)
+            files_before += len(old_files)
+            files_after += len(new_files)
+
+        shutil.rmtree(staging, ignore_errors=True)
+        snaps = self.snapshots()
+        snap_id = (max((s.get("snapshot_id", -1) for s in snaps),
+                       default=-1) + 1)
+        snapshot = {
+            "snapshot_id": snap_id, "op": "compact", "run_id": run_id,
+            "committed_keys": sorted(self.committed_keys()),
+            "compacted_keys": compacted,
+            "files_before": files_before, "files_after": files_after,
+            **({"schema_json": schema.json()} if schema is not None
+               else {}),
+        }
+        self._write_json_atomic(
+            os.path.join(self.manifest_dir,
+                         f"snapshot-{snap_id:05d}.json"), snapshot)
         return snapshot
 
     def _stored_schema(self, snap: dict | None) -> T.StructType | None:
