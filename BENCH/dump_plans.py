@@ -585,6 +585,17 @@ def main() -> None:
         formatted(phrase_search(idx, "hash join"))))
 
     sections.append((
+        "HITS round (hubs/authorities, integer fixed-point)",
+        "Both raw-sum exchanges partial-aggregate map-side against the"
+        " once-checkpointed edge frame; the rescale denominators are"
+        " one-row max aggregates broadcast back (BroadcastNestedLoop"
+        " of a single row — never a cartesian of data frames);"
+        " node-keyed equi joins SMJ here and AQE broadcasts small"
+        " sides at runtime; per-round localCheckpoint bounds the"
+        " iterative lineage.",
+        formatted(QUERIES["hits_topk"](spark, SF))))
+
+    sections.append((
         "Hybrid retrieval fusion (RRF over BM25 + cosine arms)",
         "Both arms keep their own scale shapes (BM25's broadcast df"
         " table, the dense arm's broadcast query vectors); the corpus"

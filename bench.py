@@ -82,7 +82,7 @@ BENCH_QUERIES = [
     # search / retrieval family
     "search_inverted_index", "search_bm25_topk", "search_phrase",
     # web-graph family (URL canon, link harvest, fixed-point PageRank)
-    "url_canonicalize", "link_harvest", "pagerank_topk",
+    "url_canonicalize", "link_harvest", "pagerank_topk", "hits_topk",
     # hybrid retrieval fusion + transcript analytics
     "search_hybrid_rrf", "transcript_tool_bigrams",
     "transcript_conv_stats",

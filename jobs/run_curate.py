@@ -324,9 +324,9 @@ def main() -> None:
         d = d.join(keep, "doc_id")
         stats["after_gopher"] = d.count()
     if args.gopher_ngrams:
-        from textract_demo_spark.datapipe.textstats import (
-            with_dup_ngram_char_frac, with_top_ngram_char_frac)
-        d = with_dup_ngram_char_frac(with_top_ngram_char_frac(d, 2), 5)
+        from textract_demo_spark.datapipe.textstats import \
+            with_gopher_ngram_fracs
+        d = with_gopher_ngram_fracs(d, tops=(2,), dups=(5,))
         d = (d.filter(
                 (F.col("top_2gram_char_frac_bp")
                  <= args.max_top_2gram_bp)

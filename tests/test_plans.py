@@ -716,3 +716,32 @@ def test_rrf_corp_join_broadcast_and_tiny_fusion(spark):
     p = plan(QUERIES["search_hybrid_rrf"](spark, SF))
     assert "SortMergeJoin" not in p, p[:3000]
     assert "Broadcast" in p, p[:3000]
+
+
+def test_hits_round_partial_agg_no_cartesian(spark):
+    """One HITS round: both sum exchanges must partial-aggregate
+    map-side, the only nested-loop joins are the TWO one-row max
+    broadcasts (rescale denominators), and nothing is a cartesian
+    product. Node-keyed equi joins may plan as SortMergeJoin here —
+    that IS the scale shape for two graph-sized frames (AQE converts
+    small sides to broadcast at runtime)."""
+    from textract_demo_spark.datapipe.webgraph import _hits_round
+    from pyspark.sql import functions as F
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 20) for i in range(20)], "src long, dst long"
+    ).localCheckpoint()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    state = nodes.select(
+        "node", F.lit(0).cast("long").alias("auth_micro"),
+        F.lit(1_000_000).cast("long").alias("hub_micro"))
+    p = plan(_hits_round(e, nodes, state))
+    assert "partial_sum" in p, p[:3000]
+    assert "CartesianProduct" not in p, p[:3000]
+    # 2 genuine one-row max broadcasts; the auths subtree (carrying
+    # one of them) is textually embedded twice inside the hub half
+    # (raw-sum + its max), so the STRING count is 4 — identical
+    # subtrees share exchanges at runtime (ReuseExchange), and the
+    # per-round localCheckpoint stops any growth across rounds.
+    assert p.count("BroadcastNestedLoopJoin") <= 4, p[:3000]

@@ -147,3 +147,56 @@ def test_canonical_url_idempotent_and_total(spark):
     assert not bad, bad[:5]
     # and NULL inputs stay NULL through a second application
     assert all(r["c2"] is None for r in rows if r["c1"] is None)
+
+
+def _hits_replay(edges, rounds):
+    """Pure-Python mirror of the integer HITS algebra."""
+    nodes = sorted({u for e in edges for u in e})
+    hub = {v: 1_000_000 for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(rounds):
+        raw = {v: 0 for v in nodes}
+        for s, d in edges:
+            raw[d] += hub[s]
+        m = max(max(raw.values(), default=0), 1)
+        auth = {v: (raw[v] * 1_000_000) // m for v in nodes}
+        raw = {v: 0 for v in nodes}
+        for s, d in edges:
+            raw[s] += auth[d]
+        m = max(max(raw.values(), default=0), 1)
+        hub = {v: (raw[v] * 1_000_000) // m for v in nodes}
+    return auth, hub
+
+
+def test_hits_closed_form_two_hubs(spark):
+    from textract_demo_spark.datapipe.webgraph import hits
+    e = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    got = {r["node"]: (r["auth_micro"], r["hub_micro"])
+           for r in hits(e, rounds=3).collect()}
+    # 3 is the only authority (max-normalized to 1e6); 1 and 2 are
+    # equal hubs; nothing else carries score
+    assert got == {1: (0, 1_000_000), 2: (0, 1_000_000),
+                   3: (1_000_000, 0)}
+
+
+def test_hits_matches_python_replay(spark):
+    import random
+    from textract_demo_spark.datapipe.webgraph import hits
+    rng = random.Random(7)
+    edges = sorted({(rng.randrange(30), rng.randrange(30))
+                    for _ in range(120)})
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["auth_micro"], r["hub_micro"])
+           for r in hits(df, rounds=5).collect()}
+    auth, hub = _hits_replay(edges, 5)
+    assert got == {v: (auth[v], hub[v]) for v in auth}
+
+
+def test_hits_multi_edges_count_multiply(spark):
+    from textract_demo_spark.datapipe.webgraph import hits
+    # 1->3 twice vs 2->4 once: 3 outranks 4 as authority
+    e = spark.createDataFrame([(1, 3), (1, 3), (2, 4)],
+                              "src long, dst long")
+    got = {r["node"]: r["auth_micro"] for r in hits(e, rounds=1).collect()}
+    assert got[3] == 1_000_000 and got[4] == 500_000

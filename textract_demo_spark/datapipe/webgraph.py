@@ -219,6 +219,122 @@ def _pr_round(ew: DataFrame, nodes: DataFrame, ranks: DataFrame,
                     .cast("long").alias("rank_micro")))
 
 
+def hits(edges: DataFrame, rounds: int = 6,
+         src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Integer fixed-point HITS (Kleinberg 1999) hubs/authorities over
+    (src, dst) edges — PageRank's companion centrality: authorities
+    are what hub pages point AT, hubs are pages that point at good
+    authorities (for a crawl corpus: directory/index pages vs content
+    pages — a useful curation split PageRank alone cannot make).
+
+    Mutual recursion per round: ``auth'(v) = sum of hub(u) over edges
+    u->v`` then ``hub'(u) = sum of auth'(v) over edges u->v``, each
+    rescaled so max = 1_000_000 (max-normalization replaces the
+    classic L2 norm: same fixpoint DIRECTION, but integer-exact —
+    ``(s * 1_000_000) div max(s)`` is pure BIGINT, so the trajectory
+    is bit-identical across engines/partitionings and the DuckDB
+    oracle replays exact values; float L2 could only compare
+    approximately). Multi-edges count multiply (documented; the
+    oracle replays the same). Overflow bound: raw sums reach
+    n_neighbors * 10^6 and the rescale multiplies by 10^6, so BIGINT
+    holds through ~9 * 10^6 in-neighbors per node; beyond that,
+    pre-divide the raw sums (deployment note, not needed at any
+    realistic in-degree).
+
+    Per round: TWO partial-aggregated exchanges (groupBy dst, groupBy
+    src) against the once-checkpointed edge frame, plus two one-row
+    max aggregates that broadcast back — no global window, no
+    cartesian. Per-round localCheckpoint bounds the iterative plan
+    lineage exactly like ``pagerank``.
+
+    Output: (node, auth_micro, hub_micro) for every node.
+    """
+    e = edges.select(F.col(src_col).cast("long").alias("src"),
+                     F.col(dst_col).cast("long").alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    e = e.localCheckpoint()
+    state = nodes.select(
+        "node", F.lit(0).cast("long").alias("auth_micro"),
+        F.lit(1_000_000).cast("long").alias("hub_micro"))
+    for _ in range(rounds):
+        state = _hits_round(e, nodes, state).localCheckpoint()
+    return state
+
+
+def _rescale_max(raw: DataFrame, nodes: DataFrame, key: str,
+                 out: str) -> DataFrame:
+    """(key, s) raw sums -> (node, out) with max rescaled to 1e6;
+    nodes absent from ``raw`` get 0. The max is a one-row aggregate
+    broadcast back (never a collect)."""
+    m = raw.agg(F.expr("greatest(coalesce(max(s), 1), 1)").alias("m"))
+    return (nodes
+            .join(raw, nodes.node == F.col(key), "left")
+            .crossJoin(F.broadcast(m))
+            .select("node",
+                    F.expr("coalesce((s * 1000000) div m, 0)")
+                    .cast("long").alias(out)))
+
+
+def _hits_round(e: DataFrame, nodes: DataFrame,
+                state: DataFrame) -> DataFrame:
+    """One auth-then-hub update (split out for the plan gate)."""
+    araw = (e.join(state.select("node", "hub_micro"),
+                   e.src == F.col("node"))
+            .groupBy("dst").agg(F.sum("hub_micro").alias("s")))
+    auths = _rescale_max(araw, nodes, "dst", "auth_micro")
+    hraw = (e.join(auths, e.dst == auths.node)
+            .groupBy("src").agg(F.sum("auth_micro").alias("s")))
+    hubs = _rescale_max(hraw, nodes, "src", "hub_micro")
+    return auths.join(hubs, "node")
+
+
+def hits_oracle_sql(edges_cte: str, rounds: int = 6,
+                    final_sql: str | None = None) -> str:
+    """DuckDB replay of ``hits``: unrolled WITH-chain of the same
+    integer algebra (same unroll rationale as
+    ``pagerank_oracle_sql``). Every chain CTE is ``AS MATERIALIZED``:
+    each raw-sum CTE is referenced TWICE (by its max CTE and by the
+    rescale), so DuckDB's default inlining would re-expand the whole
+    prefix at every reference — ~4^rounds blowup (measured: minutes
+    at 10k nodes; materialized: milliseconds). ``final_sql``
+    (referencing ``a{rounds}`` and ``h{rounds}``) overrides the
+    default final SELECT."""
+    parts = [f"e AS MATERIALIZED ({edges_cte})",
+             "n AS MATERIALIZED (SELECT src AS node FROM e UNION "
+             "SELECT dst AS node FROM e)",
+             "h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT)"
+             " AS hub_micro FROM n)"]
+    for i in range(rounds):
+        parts += [
+            f"a{i + 1}r AS MATERIALIZED (SELECT e.dst AS k,"
+            f" sum(h.hub_micro) AS s"
+            f" FROM e JOIN h{i} h ON h.node = e.src GROUP BY e.dst)",
+            f"a{i + 1}m AS MATERIALIZED (SELECT"
+            f" greatest(coalesce(max(s), 1), 1)"
+            f" AS m FROM a{i + 1}r)",
+            f"a{i + 1} AS MATERIALIZED (SELECT n.node, CAST(coalesce("
+            f"(r.s * 1000000) // q.m, 0) AS BIGINT) AS auth_micro"
+            f" FROM n LEFT JOIN a{i + 1}r r ON r.k = n.node,"
+            f" a{i + 1}m q)",
+            f"h{i + 1}r AS MATERIALIZED (SELECT e.src AS k,"
+            f" sum(a.auth_micro) AS s"
+            f" FROM e JOIN a{i + 1} a ON a.node = e.dst"
+            f" GROUP BY e.src)",
+            f"h{i + 1}m AS MATERIALIZED (SELECT"
+            f" greatest(coalesce(max(s), 1), 1)"
+            f" AS m FROM h{i + 1}r)",
+            f"h{i + 1} AS MATERIALIZED (SELECT n.node, CAST(coalesce("
+            f"(r.s * 1000000) // q.m, 0) AS BIGINT) AS hub_micro"
+            f" FROM n LEFT JOIN h{i + 1}r r ON r.k = n.node,"
+            f" h{i + 1}m q)"]
+    final = final_sql or (
+        f"SELECT a.node, a.auth_micro, h.hub_micro"
+        f" FROM a{rounds} a JOIN h{rounds} h ON h.node = a.node")
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
 def _sch_sql(u: str) -> str:
     return f"lower(regexp_extract(trim({u}), '{URL_RE}', 1))"
 
