@@ -585,6 +585,16 @@ def main() -> None:
         formatted(phrase_search(idx, "hash join"))))
 
     sections.append((
+        "Robots frontier gating (broadcast rule dim, per-row fold)",
+        "The rules dim collapses to one (host, rule-array) row per"
+        " host and BROADCASTS; precedence (longest prefix, allow wins"
+        " ties, default-allow) is an aggregate fold over the matched"
+        " rules INSIDE the row — the frontier side is scanned once"
+        " and never re-partitioned (the only shuffle exchange is the"
+        " tiny rules groupBy(host)).",
+        formatted(QUERIES["frontier_robots_filter"](spark, SF))))
+
+    sections.append((
         "HITS round (hubs/authorities, integer fixed-point)",
         "Both raw-sum exchanges partial-aggregate map-side against the"
         " once-checkpointed edge frame; the rescale denominators are"

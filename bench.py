@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     # web-graph family (URL canon, link harvest, fixed-point PageRank)
     "url_canonicalize", "link_harvest", "pagerank_topk", "hits_topk",
     # hybrid retrieval fusion + transcript analytics
+    "frontier_robots_filter",
     "search_hybrid_rrf", "transcript_tool_bigrams",
     "transcript_conv_stats",
     # skew_salted_extract is deliberately NOT here: at sf0.1 it

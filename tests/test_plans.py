@@ -745,3 +745,16 @@ def test_hits_round_partial_agg_no_cartesian(spark):
     # subtrees share exchanges at runtime (ReuseExchange), and the
     # per-round localCheckpoint stops any growth across rounds.
     assert p.count("BroadcastNestedLoopJoin") <= 4, p[:3000]
+
+
+def test_robots_filter_broadcast_dim_no_frontier_shuffle(spark):
+    """Robots gating must broadcast the (host -> rules) dim and fold
+    precedence per row: the frontier side is scanned once, never
+    shuffled — the only exchange is the tiny rules groupBy(host)."""
+    from textract_demo_spark.engine.queries import QUERIES
+    p = plan(QUERIES["frontier_robots_filter"](spark, SF))
+    assert "BroadcastHashJoin" in p, p[:3000]
+    assert "SortMergeJoin" not in p, p[:3000]
+    # shuffle exchanges (BroadcastExchange excluded): only the rules
+    # groupBy(host) — the frontier side never re-partitions
+    assert p.count("Exchange hashpartitioning") <= 1, p[:3000]

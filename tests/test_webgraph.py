@@ -200,3 +200,25 @@ def test_hits_multi_edges_count_multiply(spark):
                               "src long, dst long")
     got = {r["node"]: r["auth_micro"] for r in hits(e, rounds=1).collect()}
     assert got[3] == 1_000_000 and got[4] == 500_000
+
+
+def test_robots_filter_precedence_arms(spark):
+    from textract_demo_spark.datapipe.webgraph import robots_filter
+    rules = spark.createDataFrame(
+        [("ex.com", "/a", False), ("ex.com", "/a/b", True),
+         ("ex.com", "/c", False), ("ex.com", "/c", True),
+         ("deny.com", "/", False)],
+        "host string, prefix string, allow boolean")
+    urls = spark.createDataFrame(
+        [(1, "https://ex.com/a/x"),        # /a deny
+         (2, "https://ex.com/a/b/x"),      # longer /a/b allow wins
+         (3, "https://ex.com/c/x"),        # equal-length tie -> allow
+         (4, "https://ex.com/free"),       # no match -> default allow
+         (5, "https://deny.com"),          # empty path -> '/' -> deny
+         (6, "https://norules.com/x"),     # host without rules
+         (7, "https://EX.com/a/x")],       # host casefold
+        "id long, url string")
+    got = {r["id"]: r["robots_allowed"]
+           for r in robots_filter(urls, rules).collect()}
+    assert got == {1: False, 2: True, 3: True, 4: True,
+                   5: False, 6: True, 7: False}

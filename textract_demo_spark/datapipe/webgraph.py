@@ -290,6 +290,58 @@ def _hits_round(e: DataFrame, nodes: DataFrame,
     return auths.join(hubs, "node")
 
 
+def robots_filter(urls: DataFrame, rules: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """Crawl-frontier robots gating: mark each URL allowed/denied by
+    its host's path-prefix rules, longest-match-wins, allow wins
+    length ties, default-allow when nothing matches (the
+    Google/RFC 9309 precedence rules for the plain-prefix subset;
+    wildcards are out of scope — documented).
+
+    ``rules``: (host, prefix, allow) — the parsed robots corpus (a
+    few rules per host; a DIMENSION, not data). Scale shape: rules
+    collapse to one (host, array<struct>) row per host, broadcast,
+    and the precedence fold is a per-row ``aggregate`` over the
+    (tiny) matched-rule array — ZERO shuffle of the frontier, which
+    is the 10^12-row side. Matching applies to path+query of the
+    URL (path '' treated as '/'), hosts compared lowercased.
+
+    Output: input columns + ``robots_allowed`` boolean.
+    """
+    rdim = (rules
+            .groupBy(F.lower(F.col("host")).alias("_rhost"))
+            .agg(F.collect_list(
+                F.struct(F.col("prefix"),
+                         F.col("allow").cast("boolean").alias("allow"))
+            ).alias("_rules")))
+    _, _, path, query = _parts(F.col(url_col))
+    pathq = F.concat(F.when(path == "", F.lit("/")).otherwise(path),
+                     query)
+    # precedence fold: start at (len=-1, allow=true) = default-allow;
+    # a matched rule replaces the accumulator iff strictly longer, or
+    # equal-length upgrading deny->allow
+    decide = F.expr("""
+        aggregate(
+          filter(_rules, r -> startswith(_pq, r.prefix)),
+          named_struct('len', -1, 'allow', true),
+          (acc, r) -> IF(length(r.prefix) > acc.len
+                         OR (length(r.prefix) = acc.len AND r.allow
+                             AND NOT acc.allow),
+                         named_struct('len', length(r.prefix),
+                                      'allow', r.allow),
+                         acc),
+          acc -> acc.allow)""")
+    return (urls
+            .withColumn("_uhost", url_host(F.col(url_col)))
+            .join(F.broadcast(rdim),
+                  F.col("_uhost") == F.col("_rhost"), "left")
+            .withColumn("_pq", pathq)
+            .withColumn("robots_allowed",
+                        F.when(F.col("_rules").isNull(), F.lit(True))
+                        .otherwise(decide))
+            .drop("_uhost", "_rhost", "_rules", "_pq"))
+
+
 def hits_oracle_sql(edges_cte: str, rounds: int = 6,
                     final_sql: str | None = None) -> str:
     """DuckDB replay of ``hits``: unrolled WITH-chain of the same

@@ -4935,3 +4935,75 @@ def hits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["hits_topk"] = _hits_oracle()
+
+
+# ---- robots.txt frontier gating (datapipe/webgraph.py) -------------
+# Shared URL synthesis (Spark expr == DuckDB SQL): 7 hosts x 5 path
+# shapes, covering nested prefixes, an equal-length allow/deny tie,
+# a root-deny host, an empty path (-> '/'), a query-string arm, and
+# two hosts with no rules at all (default-allow left-join arm).
+
+_ROBOTS_URL = (
+    "'https://h' || (doc_id % 7) || '.example' ||"
+    " CASE doc_id % 5 WHEN 0 THEN '/a/page' WHEN 1 THEN '/a/b/page'"
+    " WHEN 2 THEN '/c/page?q=1' WHEN 3 THEN '/d/x' ELSE '' END")
+
+_ROBOTS_RULES = [
+    ("h0.example", "/a", False), ("h0.example", "/a/b", True),
+    ("h1.example", "/a", False),
+    ("h2.example", "/c", False), ("h2.example", "/c", True),  # tie
+    ("h3.example", "/d", False),
+    ("h4.example", "/", False),                         # root deny
+]
+
+
+def _robots_oracle() -> str:
+    from ..datapipe.webgraph import URL_RE, url_host_sql
+    vals = ", ".join(f"('{h}', '{p}', {str(a).lower()})"
+                     for h, p, a in _ROBOTS_RULES)
+    path0 = f"regexp_extract(trim(url), '{URL_RE}', 3)"
+    q0 = f"regexp_extract(trim(url), '{URL_RE}', 4)"
+    return f"""
+    WITH u AS (SELECT doc_id, {_ROBOTS_URL.replace("doc_id % 5",
+                                                   "doc_id % 5")} AS url
+               FROM documents),
+    r AS (SELECT * FROM (VALUES {vals}) t(host, prefix, allow)),
+    p AS (SELECT doc_id, url, {url_host_sql('url')} AS host,
+            (CASE WHEN {path0} = '' THEN '/' ELSE {path0} END)
+              || {q0} AS pq
+          FROM u),
+    m AS (SELECT p.doc_id, r.prefix, r.allow FROM p
+          JOIN r ON r.host = p.host AND starts_with(p.pq, r.prefix)),
+    best AS (SELECT doc_id, allow FROM (
+               SELECT doc_id, allow, row_number() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY length(prefix) DESC, allow DESC) AS rn
+               FROM m) WHERE rn = 1)
+    SELECT p.doc_id, p.url,
+           coalesce(b.allow, true) AS robots_allowed
+    FROM p LEFT JOIN best b USING (doc_id)
+    """
+
+
+@query("frontier_robots_filter", oracle=None)  # oracle attached below
+def frontier_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier robots gating (datapipe/webgraph.py
+    robots_filter): longest-prefix-wins, allow-wins-ties,
+    default-allow — RFC 9309 precedence on the plain-prefix subset.
+    Spark folds precedence per row over a broadcast (host ->
+    rule-array) dim: ZERO shuffle of the frontier side. The oracle is
+    an INDEPENDENT relational algorithm (join rules, rank by
+    (length desc, allow desc), pick first, default on no match) — the
+    two agreeing certifies the fold, the host/path parsing, and every
+    precedence arm (nested prefixes, equal-length tie, root-deny,
+    empty path, query string, rule-less hosts)."""
+    from ..datapipe.webgraph import robots_filter
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", F.expr(_ROBOTS_URL).alias("url"))
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, prefix string, allow boolean")
+    return (robots_filter(urls, rules)
+            .select("doc_id", "url", "robots_allowed"))
+
+
+ORACLES["frontier_robots_filter"] = _robots_oracle()
