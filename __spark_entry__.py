@@ -70,7 +70,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r03) rotates to the tail.
 _PRIORITY = [
     # never driver-verified before round 4 (r03 positions 51-67)
-    "ann_ivf_topk", "multimodal_media_meta", "multimodal_frame_features",
+    "ann_ivf_topk", "multimodal_media_meta",
     "text_repetition_stats", "split_assign", "shard_shuffle",
     "mix_resample", "temperature_mix_targets", "decontam_ngram_overlap",
     "token_topk_by_source", "length_percentiles_by_source",
@@ -94,7 +94,16 @@ _PRIORITY = [
     # and the same extraction pipeline is re-proven in-window by
     # extract_pdf_multipage / skew_salted_extract / warc_ingest_extract)
     "url_canonicalize", "link_harvest", "pagerank_topk",
-    "streaming_ttl_cache",
+    "hits_topk", "search_hybrid_rrf", "frontier_robots_filter",
+    # (streaming_ttl_cache / multimodal_frame_features /
+    # dedup_substring_rewrite rotated out for the three newest-machinery
+    # queries above: ttl_cache is r03 driver-green and its re-park
+    # hazard guard is pinned by tests/test_ttl_state.py while
+    # streaming_review_wait — the larger state.py change — stays
+    # in-window; frame_features' plumbing is re-proven in-window by
+    # multimodal_media_meta + multimodal_real_decode +
+    # multimodal_png_decode; substring_rewrite is r03 driver-green on
+    # since-untouched code with spans/stats sharing its exchange.)
     "streaming_review_wait",
     "gopher_ngram_fracs", "logq_quantile_sketch",
     # (dedup_incremental and streaming_dedup_incremental rotated out
@@ -103,7 +112,7 @@ _PRIORITY = [
     # (ttl_cache, review_wait, sessionize, dsir_scoring) stay
     # in-window, including both applyInPandasWithState operators
     # whose state.py changed this round.)
-    "dedup_substring_rewrite", "dedup_star_clusters",
+    "dedup_star_clusters",
     # (gopher_quality_rules rotated out for dedup_star_clusters: it is
     # r03 driver-green and purely narrow zero-shuffle CASE algebra
     # whose semantics the pytest perturbation suite pins; star CC is
