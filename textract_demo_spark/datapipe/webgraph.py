@@ -188,7 +188,9 @@ def pagerank(edges: DataFrame, rounds: int = 8,
                      F.col(dst_col).cast("long").alias("dst"))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct()
+             .localCheckpoint())  # referenced every round: without the
+    # cut, each round's plan re-runs the edge-wide distinct exchange
     ew = (e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")),
                  "src")
           .localCheckpoint())  # reused every round: cut once
@@ -253,7 +255,9 @@ def hits(edges: DataFrame, rounds: int = 6,
                      F.col(dst_col).cast("long").alias("dst"))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct()
+             .localCheckpoint())  # same cut as pagerank: nodes is
+    # referenced twice per round (both rescales)
     e = e.localCheckpoint()
     state = nodes.select(
         "node", F.lit(0).cast("long").alias("auth_micro"),
