@@ -1,0 +1,159 @@
+"""Iceberg-v2 parity pieces of the IcebergLike layer: equality
+deletes (merge-on-read + sequence-number scoping + materialization),
+incremental snapshot reads, and manifest-stats scan pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from textract_demo_spark.engine.tables import (PART_COL, IcebergLike,
+                                               with_part_key)
+
+
+def _wave(spark, lo, hi, bucket_offset=0, buckets=4):
+    df = (spark.range(lo, hi)
+          .select(F.concat(F.lit("c"), F.col("id").cast("string"))
+                  .alias("conv_id"),
+                  F.col("id").cast("long").alias("doc_id"),
+                  (F.col("id") % 7).cast("long").alias("v")))
+    df = with_part_key(df, buckets)
+    if bucket_offset:
+        df = df.withColumn(
+            PART_COL, (F.col(PART_COL) + bucket_offset).cast("int"))
+    return df
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = IcebergLike(str(tmp_path / "t"))
+    t.write(_wave(spark, 0, 100), stat_cols=["doc_id"])
+    return t
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_delete_rows_merge_on_read(spark, table):
+    keys = spark.createDataFrame(
+        [(i,) for i in range(0, 100, 10)], "doc_id long")
+    snap = table.delete_rows(keys, ["doc_id"])
+    assert snap["op"] == "delete" and snap["n_delete_tuples"] == 10
+    # no data file was touched (merge-on-read)
+    assert _ids(table.read(spark)) == [
+        i for i in range(100) if i % 10 != 0]
+    # raw read still holds every row
+    assert len(_ids(table.read(spark, apply_deletes=False))) == 100
+
+
+def test_delete_time_travel_pre_delete(spark, table):
+    pre = table.snapshots()[-1]["snapshot_id"]
+    table.delete_rows(spark.createDataFrame([(5,)], "doc_id long"),
+                      ["doc_id"])
+    assert 5 not in _ids(table.read(spark))
+    assert 5 in _ids(table.read(spark, snapshot_id=pre))
+
+
+def test_delete_sequence_scoping_spares_later_appends(spark, table):
+    # delete tuples cover ids that a LATER wave will re-add
+    table.delete_rows(
+        spark.createDataFrame([(i,) for i in range(90, 110)],
+                              "doc_id long"), ["doc_id"])
+    table.write(_wave(spark, 100, 150, bucket_offset=4))
+    ids = _ids(table.read(spark))
+    # 90..99 (committed before the delete) are gone;
+    # 100..109 (committed after) survive despite matching tuples
+    assert all(i not in ids for i in range(90, 100))
+    assert all(i in ids for i in range(100, 150))
+
+
+def test_multi_column_and_stacked_deletes(spark, table):
+    table.delete_rows(
+        spark.createDataFrame([(3, 3), (4, 999)], "doc_id long, v long"),
+        ["doc_id", "v"])  # (4, 999) matches nothing
+    table.delete_rows(
+        spark.createDataFrame([(7,)], "doc_id long"), ["doc_id"])
+    ids = _ids(table.read(spark))
+    assert 3 not in ids and 7 not in ids and 4 in ids
+    assert len(ids) == 98
+
+
+def test_materialize_deletes_rewrites_and_expires(spark, table):
+    table.delete_rows(
+        spark.createDataFrame([(i,) for i in range(0, 100, 3)],
+                              "doc_id long"), ["doc_id"])
+    expect = [i for i in range(100) if i % 3 != 0]
+    snap = table.materialize_deletes(spark)
+    assert snap["op"] == "materialize_deletes"
+    assert snap["rewritten_keys"]  # every bucket held multiples of 3
+    assert os.listdir(table.delete_dir) == []
+    # rows physically gone: raw read agrees with logical read
+    assert _ids(table.read(spark, apply_deletes=False)) == expect
+    assert _ids(table.read(spark)) == expect
+    # rewritten partitions outsequence the folded delete
+    for k in snap["rewritten_keys"]:
+        assert table.manifest(k)["data_snapshot_id"] == snap["snapshot_id"]
+    # idempotent when nothing is pending
+    again = table.materialize_deletes(spark)
+    assert again["rewritten_keys"] == [] and again["folded_deletes"] == []
+
+
+def test_materialize_crash_between_renames_recovers(spark, table, tmp_path):
+    table.delete_rows(
+        spark.createDataFrame([(1,)], "doc_id long"), ["doc_id"])
+    # simulate the kill window: partition dir swapped away but the
+    # staged replacement not yet promoted
+    k = sorted(table.committed_keys())[0]
+    dst = os.path.join(table.data_dir, f"{PART_COL}={k}")
+    os.rename(dst, dst + ".old-crashed")
+    t2 = IcebergLike(table.root)  # reopen repairs
+    assert os.path.isdir(dst)
+    assert 1 not in _ids(t2.read(spark))  # merge-on-read still holds
+
+
+def test_read_incremental_returns_only_appends(spark, table):
+    s0 = table.snapshots()[-1]["snapshot_id"]
+    table.write(_wave(spark, 100, 160, bucket_offset=4))
+    s1 = table.snapshots()[-1]["snapshot_id"]
+    inc = table.read_incremental(spark, s0, s1)
+    assert _ids(inc) == list(range(100, 160))
+    # empty diff
+    assert table.read_incremental(spark, s1, s1).count() == 0
+    with pytest.raises(ValueError):
+        table.read_incremental(spark, 999)
+
+
+def test_read_where_prunes_from_manifest_stats(spark, tmp_path):
+    t = IcebergLike(str(tmp_path / "t"))
+    # range-partitioned keys: bucket i holds doc_id in [100i, 100i+100)
+    df = (spark.range(0, 800)
+          .select(F.concat(F.lit("c"), F.col("id").cast("string"))
+                  .alias("conv_id"),
+                  F.col("id").cast("long").alias("doc_id"))
+          .withColumn(PART_COL, (F.col("doc_id") / 100).cast("int")))
+    t.write(df, stat_cols=["doc_id"])
+    out, report = t.read_where(spark, "doc_id", lo=250, hi=349)
+    assert _ids(out) == list(range(250, 350))
+    assert sorted(report["partitions_kept"]) == [2, 3]
+    assert len(report["partitions_pruned"]) == 6
+    # pruning happened at planning time: no file outside kept dirs
+    touched = {f.split(f"{PART_COL}=")[1].split("/")[0]
+               for f in out.inputFiles()}
+    assert touched == {"2", "3"}
+    # deletes still apply through the pruned scan
+    t.delete_rows(spark.createDataFrame([(300,)], "doc_id long"),
+                  ["doc_id"])
+    out2, _ = t.read_where(spark, "doc_id", lo=250, hi=349)
+    assert 300 not in _ids(out2)
+
+
+def test_stats_written_in_manifest(spark, table):
+    ks = sorted(table.committed_keys())
+    mins = [table.manifest(k)["col_stats"]["doc_id"]["min"] for k in ks]
+    maxs = [table.manifest(k)["col_stats"]["doc_id"]["max"] for k in ks]
+    assert min(mins) == 0 and max(maxs) == 99
+    for k in ks:
+        assert table.manifest(k)["data_snapshot_id"] == 0

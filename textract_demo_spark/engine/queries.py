@@ -5007,3 +5007,127 @@ def frontier_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["frontier_robots_filter"] = _robots_oracle()
+
+
+# ---- IcebergLike v2 parity: equality deletes / incremental scan /
+# stats-pruned scan (engine/tables.py) --------------------------------
+# Each query drives the table layer end-to-end in a temp dir: write
+# real partitioned commits, run the table operation, and return rows
+# the DuckDB oracle can predict from the documents table alone. Rows
+# are materialized before the temp table is deleted (tiny subsets).
+
+
+def _docs_kv(spark: SparkSession, sf_dir: str, lo: int,
+             hi: int) -> DataFrame:
+    """(conv_id, doc_id, n_chars) rows for doc_id in [lo, hi) — the
+    minimal payload the table queries commit."""
+    return (_t(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .select(F.concat(F.lit("c"), F.col("doc_id").cast("string"))
+                    .alias("conv_id"),
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.length("text").cast("long").alias("n_chars")))
+
+
+def _offset_parts(df: DataFrame, offset: int, buckets: int = 4):
+    from .tables import PART_COL, with_part_key
+    out = with_part_key(df, buckets)
+    if offset:
+        out = out.withColumn(PART_COL,
+                             (F.col(PART_COL) + offset).cast("int"))
+    return out
+
+
+@query("table_equality_delete", oracle="""
+    SELECT doc_id::BIGINT AS doc_id, length(text)::BIGINT AS n_chars
+    FROM documents WHERE doc_id < 200 AND doc_id % 10 != 3
+    UNION ALL
+    SELECT doc_id::BIGINT, length(text)::BIGINT
+    FROM documents WHERE doc_id >= 200 AND doc_id < 300
+""")
+def table_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-v2 equality deletes, merge-on-read with sequence
+    scoping (engine/tables.py delete_rows/_apply_deletes): wave 1 is
+    committed, a delete file covering doc_id % 10 == 3 over the FULL
+    0..300 range lands, then wave 2 (200..300, later partitions)
+    appends. The read must drop matching rows from wave 1 only —
+    wave-2 rows with matching keys outsequence the delete and
+    survive, the Iceberg data/delete sequence-number rule. No data
+    partition is rewritten (merge-on-read: the delete is a broadcast
+    anti-join at scan time)."""
+    import shutil
+    import tempfile
+
+    from .tables import IcebergLike
+    base = tempfile.mkdtemp(prefix="table_del_q_")
+    try:
+        t = IcebergLike(base)
+        t.write(_offset_parts(_docs_kv(spark, sf_dir, 0, 200), 0))
+        dels = (_docs_kv(spark, sf_dir, 0, 300)
+                .filter(F.col("doc_id") % 10 == 3).select("doc_id"))
+        t.delete_rows(dels, ["doc_id"])
+        t.write(_offset_parts(_docs_kv(spark, sf_dir, 200, 300), 4))
+        rows = (t.read(spark).select("doc_id", "n_chars").collect())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
+@query("table_incremental_read", oracle="""
+    SELECT doc_id::BIGINT AS doc_id, length(text)::BIGINT AS n_chars
+    FROM documents WHERE doc_id >= 150 AND doc_id < 250
+""")
+def table_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot scan (engine/tables.py read_incremental):
+    two append commits, then read exactly what the second added —
+    the Iceberg incremental-scan analog (committed partitions are
+    immutable, so the committed-key diff IS the append set). The
+    downstream-consumer pattern at 10^12 rows: process only the new
+    partitions, never re-scan the corpus."""
+    import shutil
+    import tempfile
+
+    from .tables import IcebergLike
+    base = tempfile.mkdtemp(prefix="table_inc_q_")
+    try:
+        t = IcebergLike(base)
+        s0 = t.write(_offset_parts(_docs_kv(spark, sf_dir, 0, 150), 0))
+        t.write(_offset_parts(_docs_kv(spark, sf_dir, 150, 250), 4))
+        inc = t.read_incremental(spark, s0["snapshot_id"])
+        rows = inc.select("doc_id", "n_chars").collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
+@query("table_stats_pruned_scan", oracle="""
+    SELECT doc_id::BIGINT AS doc_id, length(text)::BIGINT AS n_chars
+    FROM documents WHERE doc_id >= 120 AND doc_id <= 279
+""")
+def table_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats scan pruning (engine/tables.py write(stat_cols)
+    + read_where): commits record per-partition doc_id min/max, and a
+    range scan eliminates non-overlapping partitions from the
+    manifests BEFORE any file listing (planning-time data skipping —
+    the report is asserted here so a silent prune-nothing regression
+    fails the query, and tests/test_table_deletes.py pins the
+    inputFiles evidence). Rows equal a plain range filter."""
+    import shutil
+    import tempfile
+
+    from .tables import PART_COL, IcebergLike
+    base = tempfile.mkdtemp(prefix="table_prune_q_")
+    try:
+        t = IcebergLike(base)
+        df = (_docs_kv(spark, sf_dir, 0, 400)
+              .withColumn(PART_COL,
+                          (F.col("doc_id") / 100).cast("int")))
+        t.write(df, stat_cols=["doc_id"])
+        out, report = t.read_where(spark, "doc_id", lo=120, hi=279)
+        if not report["partitions_pruned"]:
+            raise RuntimeError(
+                f"stats pruning eliminated nothing: {report}")
+        rows = out.select("doc_id", "n_chars").collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")

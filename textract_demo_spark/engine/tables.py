@@ -23,6 +23,31 @@ Layout:
     {root}/_manifests/part-{k}.json        -- per-partition manifest
     {root}/_manifests/snapshot-{n}.json    -- table snapshot
     {root}/_staging/{run_id}/...           -- pre-commit scratch
+    {root}/_deletes/delete-{n}.parquet     -- equality-delete files
+
+Iceberg-v2 parity pieces beyond the commit protocol:
+
+- **Equality deletes (merge-on-read)**: ``delete_rows`` writes a
+  delete FILE (the tuples to drop), never touches data. Sequence
+  semantics match Iceberg: every data partition records the snapshot
+  id it was committed under (``data_snapshot_id``), and a delete
+  applies only to partitions committed AT OR BEFORE it — rows
+  appended later with the same key survive. Reads apply deletes as a
+  broadcast anti-join (delete sets are dimension-sized next to 100 TB
+  of data); ``materialize_deletes`` is the ``rewrite_data_files``-
+  style compaction that folds them in. This is the takedown/PII-purge
+  path: deleting 10^4 documents from a 10^12-row corpus must not
+  rewrite the corpus.
+- **Incremental reads**: ``read_incremental(a, b)`` returns exactly
+  the rows appended between two snapshots (committed partitions are
+  immutable, so the diff of their committed-key sets IS the append
+  set) — the Iceberg incremental-scan analog that lets downstream
+  consumers process only what's new.
+- **Scan pruning from manifest column stats**: ``write(...,
+  stat_cols=[...])`` records per-partition min/max in the manifests;
+  ``read_where`` prunes partitions whose range cannot match BEFORE
+  Spark ever lists their files — at 10^5 partitions the planning-time
+  skip is the difference between touching 10^5 directories and 10^1.
 """
 
 from __future__ import annotations
@@ -60,7 +85,9 @@ class IcebergLike:
         self.data_dir = os.path.join(root, "data")
         self.manifest_dir = os.path.join(root, "_manifests")
         self.staging_dir = os.path.join(root, "_staging")
-        for d in (self.data_dir, self.manifest_dir, self.staging_dir):
+        self.delete_dir = os.path.join(root, "_deletes")
+        for d in (self.data_dir, self.manifest_dir, self.staging_dir,
+                  self.delete_dir):
             os.makedirs(d, exist_ok=True)
         self._recover_compaction()
 
@@ -117,9 +144,14 @@ class IcebergLike:
 
     # -- commit protocol -----------------------------------------------------
 
+    def _next_snapshot_id(self) -> int:
+        return (max((s.get("snapshot_id", -1) for s in self.snapshots()),
+                    default=-1) + 1)
+
     def write(self, df: DataFrame, metrics_fn=None, run_id: str | None = None,
               input_fingerprint: str = "", fail_after: int | None = None,
-              rebalance: bool = True) -> dict:
+              rebalance: bool = True,
+              stat_cols: list[str] | None = None) -> dict:
         """Commit all not-yet-committed partitions of ``df`` (must
         carry PART_COL).
 
@@ -142,9 +174,20 @@ class IcebergLike:
         (file count ~= bucket count, independent of parallelism) and
         AQE splits oversized buckets so a hot bucket doesn't become a
         straggler.
+
+        ``stat_cols`` names columns whose per-partition min/max go
+        into the manifests (the Iceberg data-file stats analog) for
+        ``read_where`` scan pruning — computed in the SAME staged
+        read as the row metrics, so stats cost no extra pass.
         """
         committed = self.committed_keys()
         run_id = run_id or f"run-{int(time.time() * 1000)}"
+        # the snapshot id this commit WILL append — computed up front
+        # so partition manifests can record it (data_snapshot_id: the
+        # Iceberg data-sequence-number analog that scopes equality
+        # deletes to data committed at-or-before them). A crashed run
+        # re-derives the same id (no snapshot file was appended).
+        snap_id = self._next_snapshot_id()
         # sweep staging left by dead runs (their committed partitions
         # are already promoted; staging is recomputed idempotently)
         for stale in os.listdir(self.staging_dir):
@@ -167,6 +210,7 @@ class IcebergLike:
             int(d.split("=", 1)[1]) for d in os.listdir(staging)
             if d.startswith(f"{PART_COL}="))
         metrics_by_key: dict[int, dict] = {}
+        stats_by_key: dict[int, dict] = {}
         t_metrics0 = time.time()
         if staged_keys:
             staged = spark.read.parquet(staging)
@@ -176,6 +220,15 @@ class IcebergLike:
                 rows = (staged.groupBy(PART_COL).count().collect())
                 metrics_by_key = {r[PART_COL]: {"rows": r["count"]}
                                   for r in rows}
+            if stat_cols:
+                aggs = []
+                for c in stat_cols:
+                    aggs += [F.min(c).alias(f"_mn_{c}"),
+                             F.max(c).alias(f"_mx_{c}")]
+                for r in staged.groupBy(PART_COL).agg(*aggs).collect():
+                    stats_by_key[r[PART_COL]] = {
+                        c: {"min": r[f"_mn_{c}"], "max": r[f"_mx_{c}"]}
+                        for c in stat_cols}
         t_metrics = time.time() - t_metrics0
 
         t_promote0 = time.time()
@@ -195,11 +248,14 @@ class IcebergLike:
             m = {
                 "part_key": k,
                 "run_id": run_id,
+                "data_snapshot_id": snap_id,
                 "committed_at": time.time(),
                 "input_fingerprint": input_fingerprint,
                 "files": sorted(f for f in os.listdir(dst)
                                 if f.endswith(".parquet")),
                 "metrics": metrics_by_key.get(k, {}),
+                **({"col_stats": stats_by_key[k]}
+                   if k in stats_by_key else {}),
             }
             self._write_json_atomic(
                 os.path.join(self.manifest_dir, f"part-{k:05d}.json"), m)
@@ -219,9 +275,6 @@ class IcebergLike:
                 promoted = sorted(pool.map(_promote, staged_keys))
 
         shutil.rmtree(staging, ignore_errors=True)
-        snaps = self.snapshots()
-        snap_id = (max((s.get("snapshot_id", -1) for s in snaps),
-                       default=-1) + 1)
         snapshot = {
             "snapshot_id": snap_id,
             "run_id": run_id,
@@ -356,12 +409,20 @@ class IcebergLike:
         return T.StructType.fromJson(json.loads(sj))
 
     def read(self, spark: SparkSession,
-             snapshot_id: int | None = None) -> DataFrame:
+             snapshot_id: int | None = None,
+             apply_deletes: bool = True) -> DataFrame:
         """Read the table; with ``snapshot_id``, time-travel to the
         partition set committed as of that snapshot (Iceberg
         ``VERSION AS OF`` analog). Committed partitions are immutable
         (resume never rewrites them), so an old snapshot is exactly
         the subset of partition directories it recorded.
+
+        Equality-delete files at-or-before the requested snapshot are
+        applied (``apply_deletes=False`` reads raw data rows) as a
+        broadcast anti-join scoped by sequence number: a delete drops
+        a row only when ``delete.snapshot_id >= partition.
+        data_snapshot_id`` — rows appended after the delete survive,
+        matching Iceberg's data/delete sequence-number rule.
 
         Scale design: one glob scan of the partitioned layout + a
         partition-column filter — Spark prunes directories from the
@@ -397,7 +458,238 @@ class IcebergLike:
         if snapshot_id is not None:
             df = df.filter(F.col(PART_COL).isin(
                 [int(k) for k in snap["committed_keys"]]))
+        if apply_deletes:
+            df = self._apply_deletes(spark, df, snapshot_id)
         return df
+
+    # -- equality deletes (merge-on-read) -------------------------------------
+
+    def _delete_snapshots(self, upto: int | None = None) -> list[dict]:
+        return [s for s in self.snapshots()
+                if s.get("op") == "delete"
+                and os.path.exists(os.path.join(
+                    self.delete_dir, s["delete_file"]))
+                and (upto is None or s["snapshot_id"] <= upto)]
+
+    def _part_seq_df(self, spark: SparkSession) -> DataFrame:
+        """(part_key, data_snapshot_id) dimension from the manifests —
+        partitions predating the field read as 0 (oldest: every delete
+        applies to them)."""
+        rows = [(k, int((self.manifest(k) or {})
+                        .get("data_snapshot_id", 0)))
+                for k in sorted(self.committed_keys())]
+        return spark.createDataFrame(
+            rows or [(None, None)],
+            f"{PART_COL} int, _dseq long").filter(
+            F.col(PART_COL).isNotNull())
+
+    def _apply_deletes(self, spark: SparkSession, df: DataFrame,
+                       snapshot_id: int | None) -> DataFrame:
+        dels = self._delete_snapshots(upto=snapshot_id)
+        if not dels:
+            return df
+        df = (df.join(F.broadcast(self._part_seq_df(spark)),
+                      PART_COL, "left")
+              .withColumn("_dseq", F.coalesce(F.col("_dseq"),
+                                              F.lit(0).cast("long"))))
+        by_cols: dict[tuple[str, ...], list[dict]] = {}
+        for s in dels:
+            by_cols.setdefault(tuple(s["eq_cols"]), []).append(s)
+        for eq_cols, group in by_cols.items():
+            frames = []
+            for s in group:
+                frames.append(
+                    spark.read.parquet(os.path.join(
+                        self.delete_dir, s["delete_file"]))
+                    .select(*[F.col(c).alias(f"_del_{c}")
+                              for c in eq_cols],
+                            F.lit(int(s["snapshot_id"])).cast("long")
+                            .alias("_delseq")))
+            d = frames[0]
+            for f in frames[1:]:
+                d = d.unionByName(f)
+            cond = F.col("_delseq") >= F.col("_dseq")
+            for c in eq_cols:
+                cond = cond & (F.col(c) == F.col(f"_del_{c}"))
+            df = df.join(F.broadcast(d), cond, "left_anti")
+        return df.drop("_dseq")
+
+    def delete_rows(self, keys_df: DataFrame, eq_cols: list[str],
+                    run_id: str | None = None) -> dict:
+        """Commit an equality delete: persist the distinct ``eq_cols``
+        tuples of ``keys_df`` as a delete FILE and append a ``delete``
+        snapshot — no data partition is touched (merge-on-read). The
+        delete applies to every partition committed at-or-before this
+        snapshot; rows appended later survive even if their keys
+        match. Delete sets are dimension-sized (a takedown list, a PII
+        scan's hit list), so reads apply them as broadcast anti-joins;
+        fold them into the data with ``materialize_deletes`` when the
+        accumulated delete count warrants a rewrite.
+        """
+        run_id = run_id or f"delete-{int(time.time() * 1000)}"
+        snap_id = self._next_snapshot_id()
+        name = f"delete-{snap_id:05d}.parquet"
+        path = os.path.join(self.delete_dir, name)
+        tuples = keys_df.select(*eq_cols).distinct()
+        tuples.coalesce(1).write.mode("overwrite").parquet(path)
+        n = keys_df.sparkSession.read.parquet(path).count()
+        snapshot = {
+            "snapshot_id": snap_id, "op": "delete", "run_id": run_id,
+            "committed_keys": sorted(self.committed_keys()),
+            "eq_cols": list(eq_cols), "delete_file": name,
+            "n_delete_tuples": int(n),
+        }
+        self._write_json_atomic(
+            os.path.join(self.manifest_dir,
+                         f"snapshot-{snap_id:05d}.json"), snapshot)
+        return snapshot
+
+    def materialize_deletes(self, spark: SparkSession,
+                            run_id: str | None = None) -> dict:
+        """Fold pending equality deletes into the data (the
+        ``rewrite_data_files``-with-deletes analog): rewrite ONLY the
+        partitions that actually hold matching rows, bump their
+        ``data_snapshot_id`` past every folded delete (so re-applying
+        those deletes is a no-op by the sequence rule), then drop the
+        delete files. Crash-safe like ``compact``: the per-partition
+        swap is the same rename pair ``_recover_compaction`` repairs,
+        and a kill before the delete files are removed just leaves
+        merge-on-read in force (idempotent — the rows are already
+        gone, and rewritten partitions outsequence the deletes).
+
+        Documented deviation from real Iceberg (same family as
+        ``compact``'s): materializing EXPIRES the folded delete files
+        immediately — a later time-travel read to a snapshot between
+        the delete and the materialize sees raw rows (Iceberg keeps
+        delete files until ``expire_snapshots``). Reads at-or-after
+        the materialize snapshot are exact.
+        """
+        dels = self._delete_snapshots()
+        run_id = run_id or f"materialize-{int(time.time() * 1000)}"
+        snap_id = self._next_snapshot_id()
+        if not dels:
+            return {"run_id": run_id, "rewritten_keys": [],
+                    "folded_deletes": []}
+        raw = self.read(spark, apply_deletes=False)
+        clean = self._apply_deletes(spark, raw, None)
+        # partitions with rows to drop: raw minus clean, per key —
+        # driver-side list bounded by the partition count
+        hit = (raw.groupBy(PART_COL).count()
+               .join(clean.groupBy(PART_COL).count()
+                     .withColumnRenamed("count", "c2"),
+                     PART_COL, "left")
+               .filter(F.col("count") != F.coalesce("c2", F.lit(0)))
+               .select(PART_COL).collect())
+        keys = sorted(int(r[PART_COL]) for r in hit)
+        staging = os.path.join(self.staging_dir, run_id)
+        if keys:
+            (clean.filter(F.col(PART_COL).isin(keys))
+             .hint("rebalance", F.col(PART_COL))
+             .write.mode("overwrite").partitionBy(PART_COL)
+             .parquet(staging))
+            for k in keys:
+                src = os.path.join(staging, f"{PART_COL}={k}")
+                dst = os.path.join(self.data_dir, f"{PART_COL}={k}")
+                old = dst + f".old-{run_id}"
+                os.rename(dst, old)
+                os.rename(src, dst)
+                shutil.rmtree(old)
+                m = self.manifest(k) or {"part_key": k}
+                m.update({
+                    "files": sorted(f for f in os.listdir(dst)
+                                    if f.endswith(".parquet")),
+                    "data_snapshot_id": snap_id,
+                    "deletes_materialized_by": run_id,
+                })
+                self._write_json_atomic(
+                    os.path.join(self.manifest_dir,
+                                 f"part-{k:05d}.json"), m)
+            shutil.rmtree(staging, ignore_errors=True)
+        folded = [s["snapshot_id"] for s in dels]
+        for s in dels:
+            shutil.rmtree(os.path.join(self.delete_dir,
+                                       s["delete_file"]),
+                          ignore_errors=True)
+        snapshot = {
+            "snapshot_id": snap_id, "op": "materialize_deletes",
+            "run_id": run_id,
+            "committed_keys": sorted(self.committed_keys()),
+            "rewritten_keys": keys, "folded_deletes": folded,
+        }
+        self._write_json_atomic(
+            os.path.join(self.manifest_dir,
+                         f"snapshot-{snap_id:05d}.json"), snapshot)
+        return snapshot
+
+    # -- incremental scan ------------------------------------------------------
+
+    def read_incremental(self, spark: SparkSession, from_snapshot_id: int,
+                         to_snapshot_id: int | None = None) -> DataFrame:
+        """Rows appended AFTER ``from_snapshot_id`` up to
+        ``to_snapshot_id`` (default: latest) — the Iceberg
+        incremental-scan analog. Committed partitions are immutable,
+        so the diff of the two snapshots' committed-key sets is
+        exactly the appended data; deletes in the window apply under
+        the same sequence rule as ``read``."""
+        snaps = {s["snapshot_id"]: s for s in self.snapshots()}
+        if from_snapshot_id not in snaps:
+            raise ValueError(f"no snapshot {from_snapshot_id}")
+        if to_snapshot_id is None:
+            to_snapshot_id = max(snaps)
+        if to_snapshot_id not in snaps:
+            raise ValueError(f"no snapshot {to_snapshot_id}")
+        before = set(snaps[from_snapshot_id]["committed_keys"])
+        after = set(snaps[to_snapshot_id]["committed_keys"])
+        new_keys = sorted(after - before)
+        full = self.read(spark, snapshot_id=to_snapshot_id)
+        return full.filter(F.col(PART_COL).isin(
+            [int(k) for k in new_keys]) if new_keys else F.lit(False))
+
+    # -- stats-pruned scan -----------------------------------------------------
+
+    def read_where(self, spark: SparkSession, col: str,
+                   lo=None, hi=None) -> tuple[DataFrame, dict]:
+        """Scan with manifest-stats partition pruning: keep only
+        partitions whose recorded [min, max] for ``col`` overlaps
+        [lo, hi] (missing stats keep the partition — pruning is an
+        optimization, never a filter), then apply the residual
+        predicate. Returns (df, prune_report); the report records how
+        many partitions the manifests eliminated BEFORE any file
+        listing — the Iceberg planning-time data-skipping analog.
+        """
+        kept, pruned = [], []
+        for k in sorted(self.committed_keys()):
+            st = (self.manifest(k) or {}).get("col_stats", {}).get(col)
+            if st is None or st["min"] is None:
+                kept.append(k)
+                continue
+            if ((lo is not None and st["max"] < lo)
+                    or (hi is not None and st["min"] > hi)):
+                pruned.append(k)
+            else:
+                kept.append(k)
+        report = {"col": col, "lo": lo, "hi": hi,
+                  "partitions_kept": kept, "partitions_pruned": pruned}
+        if not kept:
+            schema = self._stored_schema(
+                self.snapshots()[-1] if self.snapshots() else None)
+            if schema is None:
+                raise ValueError("nothing to scan and no stored schema")
+            return spark.createDataFrame([], schema=schema), report
+        reader = spark.read.option("basePath", self.data_dir)
+        schema = self._stored_schema(
+            self.snapshots()[-1] if self.snapshots() else None)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*[os.path.join(self.data_dir,
+                                           f"{PART_COL}={k}")
+                              for k in kept])
+        df = self._apply_deletes(spark, df, None)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df, report
 
 
 def write_bucketed(df: DataFrame, table: str, path: str,
