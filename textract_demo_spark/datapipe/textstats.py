@@ -664,3 +664,155 @@ def with_dup_ngram_char_frac(docs: DataFrame, n: int,
                    (s, j) -> s + length(element_at(_toks, j + 1))))
                 div greatest(length(_norm), 1L)"""))
             .drop("_norm", "_toks", "_grams", "_dupv", "_cov"))
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring (Stupid Backoff)
+
+BACKOFF_PENALTY_BITS = 2  # ~= -log2(0.25): integer stand-in for the
+# Stupid-Backoff alpha=0.4 (-1.32 bits) — chosen whole so every score
+# stays in exact integer bits (documented, mirrored by the oracle)
+
+
+def _nonempty_tokens(text_col: str) -> str:
+    return f"filter({_tokens(text_col)}, x -> x <> '')"
+
+
+def _bigram_pairs(text_col: str) -> str:
+    """Per-row adjacent token pairs as array<struct<w1,w2>> — built
+    NARROWLY inside the row (no positional self-join of an exploded
+    token table, which would shuffle the corpus twice)."""
+    t = _nonempty_tokens(text_col)
+    return (f"IF(size({t}) >= 2,"
+            f" transform(sequence(1, size({t}) - 1),"
+            f" i -> named_struct('w1', element_at({t}, i),"
+            f" 'w2', element_at({t}, i + 1))),"
+            f" array())")
+
+
+def bigram_counts(docs: DataFrame, text_col: str = "text",
+                  min_count: int = 2) -> DataFrame:
+    """Corpus bigram table (w1, w2, n12) with count >= ``min_count``:
+    one explode of per-row pair arrays + ONE groupBy((w1, w2))
+    exchange with map-side partial counts. The cutoff bounds the
+    table the same zipfian way ``token_bits_vocab`` does (bigram
+    types are heavier-tailed than unigrams, so the cutoff matters
+    MORE here: singleton bigrams — the vast majority — never leave
+    the map side's partial count)."""
+    return (docs
+            .select(F.explode(F.expr(_bigram_pairs(text_col)))
+                    .alias("p"))
+            .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+            .groupBy("w1", "w2")
+            .agg(F.count("*").cast("long").alias("n12"))
+            .filter(F.col("n12") >= min_count))
+
+
+def unigram_counts(docs: DataFrame, text_col: str = "text",
+                   min_count: int = 2) -> DataFrame:
+    """(token, n, bits) over NON-EMPTY tokens (the bigram family's
+    vocabulary; ``token_bits_vocab`` keeps the raw-split convention
+    for compatibility with the unigram scorer's driver oracle)."""
+    return (docs
+            .select(F.explode(F.expr(_nonempty_tokens(text_col)))
+                    .alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").cast("long").alias("n"))
+            .filter(F.col("n") >= min_count)
+            .withColumn("bits",
+                        (F.length(F.expr("bin(n)")) - 1).cast("long")))
+
+
+def with_bigram_surprisal(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", min_count: int = 2,
+                          bigrams: DataFrame | None = None,
+                          vocab: DataFrame | None = None) -> DataFrame:
+    """Bigram language-model scoring with Stupid Backoff (Brants et
+    al. 2007) — the order-2 step from ``with_unigram_surprisal``
+    toward the KenLM-style perplexity filter of CCNet-grade curation
+    (a unigram LM cannot see word order; a bigram LM scores
+    "the the the" as the garbage it is).
+
+    Per transition (w1 -> w2), in EXACT integer bits (no float log —
+    ``floor(log2(a/b)) == floor(log2(a div b))`` for integers
+    a >= b > 0, computed via ``length(bin(.)) - 1``):
+
+    - bigram seen (n12 >= min_count):
+      ``bits = floor(log2(c(w1) div c(w1,w2)))`` — the conditional
+      ``-log2 p(w2|w1)``;
+    - backoff: ``BACKOFF_PENALTY_BITS + bits(total) - bits(c(w2))``
+      (the unigram surprisal of w2 plus a whole-bit penalty; OOV w2
+      takes the rarest bucket, bits = 0, like the unigram scorer).
+
+    Output per doc: ``n_transitions``, ``hit_bp`` (bigram hit rate in
+    basis points x100), ``bits_milli`` (mean transition bits x1000,
+    floor) — docs with < 2 tokens emit zeros (explode_outer keeps
+    them). Pass precomputed ``bigrams``/``vocab`` to score a stream
+    or a second corpus against a frozen model.
+
+    Scale shape: pair arrays are built in-row (zero shuffle); the
+    model tables join back broadcast (min_count's zipf cutoff keeps
+    them MB-scale; at extreme corpus sizes drop the hint and let the
+    (w1, w2) equi-join shuffle-partition — the algebra is unchanged);
+    the per-doc aggregate is ONE exchange whose map-side partials
+    collapse each doc's transitions."""
+    if vocab is None:
+        vocab = unigram_counts(docs, text_col, min_count)
+        # self-scoring: total = every corpus token (incl. cut
+        # singletons), the unigram scorer's/oracle's convention
+        total = (docs
+                 .select(F.expr(f"size({_nonempty_tokens(text_col)})")
+                         .alias("_n"))
+                 .agg(F.sum("_n").cast("long").alias("_total")))
+    else:
+        # frozen model: total = the token mass the MODEL saw (sum of
+        # its vocab counts) — the batch's own size must not move the
+        # model's probabilities
+        total = vocab.agg(F.sum("n").cast("long").alias("_total"))
+    if bigrams is None:
+        bigrams = bigram_counts(docs, text_col, min_count)
+    total = (total
+             .withColumn("total_bits",
+                         (F.length(F.expr("bin(_total)")) - 1)
+                         .cast("long"))
+             .select("total_bits"))
+    pe = (docs
+          .select(F.col(id_col),
+                  F.explode_outer(F.expr(_bigram_pairs(text_col)))
+                  .alias("p"))
+          .select(id_col, F.col("p.w1").alias("w1"),
+                  F.col("p.w2").alias("w2")))
+    scored = (pe
+              .join(F.broadcast(bigrams), ["w1", "w2"], "left")
+              .join(F.broadcast(vocab.select(F.col("token").alias("w1"),
+                                             F.col("n").alias("_n1"))),
+                    "w1", "left")
+              .join(F.broadcast(vocab.select(F.col("token").alias("w2"),
+                                             F.col("bits")
+                                             .alias("_bits2"))),
+                    "w2", "left")
+              .crossJoin(F.broadcast(total)))
+    # n12 non-null implies _n1 non-null: c(w1) >= c(w1,w2) >= min_count
+    bits_t = (F.when(F.col("w1").isNull(), F.lit(None).cast("long"))
+              .when(F.col("n12").isNotNull(),
+                    (F.length(F.expr("bin(_n1 div n12)")) - 1)
+                    .cast("long"))
+              .otherwise(F.lit(BACKOFF_PENALTY_BITS)
+                         + F.col("total_bits")
+                         - F.coalesce(F.col("_bits2"),
+                                      F.lit(0).cast("long"))))
+    return (scored
+            .withColumn("_b", bits_t)
+            .groupBy(id_col)
+            .agg(F.sum(F.when(F.col("w1").isNotNull(), 1).otherwise(0))
+                 .cast("long").alias("n_transitions"),
+                 F.sum(F.when(F.col("n12").isNotNull(), 1).otherwise(0))
+                 .cast("long").alias("_hits"),
+                 F.sum("_b").cast("long").alias("_sum_bits"))
+            .select(id_col, "n_transitions",
+                    F.expr("IF(n_transitions = 0, 0L,"
+                           " 10000 * _hits div n_transitions)")
+                    .cast("long").alias("hit_bp"),
+                    F.expr("IF(n_transitions = 0, 0L,"
+                           " 1000 * _sum_bits div n_transitions)")
+                    .cast("long").alias("bits_milli")))

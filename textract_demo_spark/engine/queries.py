@@ -5131,3 +5131,62 @@ def table_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
+# ---- bigram LM with Stupid Backoff (datapipe/textstats.py) ----------
+
+
+@query(
+    "lm_bigram_surprisal",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+        list_filter(string_split(lower(regexp_replace(trim(text),
+            '\s+', ' ', 'g')), ' '), x -> x <> '') AS ts
+        FROM documents),
+    tok AS (SELECT doc_id, unnest(ts) AS token FROM t),
+    vocab AS (SELECT token, count(*)::BIGINT AS n,
+                length(bin(count(*)))::BIGINT - 1 AS bits
+              FROM tok GROUP BY token HAVING count(*) >= 2),
+    tot AS (SELECT length(bin(count(*)))::BIGINT - 1 AS total_bits
+            FROM tok),
+    pr AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+           FROM (SELECT doc_id, ts,
+                   unnest(generate_series(1, len(ts) - 1)) AS i
+                 FROM t WHERE len(ts) >= 2)),
+    bg AS (SELECT w1, w2, count(*)::BIGINT AS n12
+           FROM pr GROUP BY w1, w2 HAVING count(*) >= 2),
+    sc AS (SELECT pr.doc_id,
+             CASE WHEN bg.n12 IS NOT NULL
+                  THEN length(bin(v1.n // bg.n12))::BIGINT - 1
+                  ELSE 2 + tot.total_bits - coalesce(v2.bits, 0)
+             END AS b,
+             CASE WHEN bg.n12 IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM pr LEFT JOIN bg ON bg.w1 = pr.w1 AND bg.w2 = pr.w2
+                LEFT JOIN vocab v1 ON v1.token = pr.w1
+                LEFT JOIN vocab v2 ON v2.token = pr.w2, tot),
+    agg AS (SELECT doc_id, count(*)::BIGINT AS n_transitions,
+              sum(hit)::BIGINT AS h, sum(b)::BIGINT AS s
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_transitions, 0)::BIGINT AS n_transitions,
+           (CASE WHEN a.n_transitions IS NULL THEN 0
+                 ELSE (10000 * a.h) // a.n_transitions
+            END)::BIGINT AS hit_bp,
+           (CASE WHEN a.n_transitions IS NULL THEN 0
+                 ELSE (1000 * a.s) // a.n_transitions
+            END)::BIGINT AS bits_milli
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """)
+def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM scoring with Stupid Backoff (datapipe/textstats.py
+    with_bigram_surprisal): per-doc mean transition bits under the
+    corpus's own bigram distribution — the order-2 perplexity filter
+    (CCNet trains KenLM; this is the engine-native integer-exact
+    analog). Bigram hit: -log2 p(w2|w1) as floor-log2 of the count
+    ratio; miss: whole-bit penalty + unigram surprisal of w2 (OOV =
+    rarest bucket). All arithmetic integer bits via length(bin(.))-1,
+    so the oracle replays every value. Docs with < 2 tokens emit
+    zeros."""
+    from ..datapipe.textstats import with_bigram_surprisal
+    docs = _t(spark, sf_dir, "documents")
+    return with_bigram_surprisal(docs)
