@@ -758,3 +758,46 @@ def test_robots_filter_broadcast_dim_no_frontier_shuffle(spark):
     # shuffle exchanges (BroadcastExchange excluded): only the rules
     # groupBy(host) — the frontier side never re-partitions
     assert p.count("Exchange hashpartitioning") <= 1, p[:3000]
+
+
+def test_bigram_lm_broadcast_models_single_doc_exchange(spark):
+    """Frozen-model bigram scoring: pair arrays build IN-ROW (no
+    positional self-join of an exploded token table), the three model
+    joins (bigrams, w1-counts, w2-bits) are all broadcast, and the
+    only row-shuffling exchange is the final per-doc aggregate."""
+    from textract_demo_spark.datapipe.textstats import (
+        with_bigram_surprisal)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = spark.createDataFrame(
+        [("the", 10, 3), ("a", 4, 2)], "token string, n long, bits long")
+    bigrams = spark.createDataFrame(
+        [("the", "a", 2)], "w1 string, w2 string, n12 long")
+    p = plan(with_bigram_surprisal(docs.select("doc_id", "text"),
+                                   vocab=vocab, bigrams=bigrams))
+    assert "SortMergeJoin" not in p, p[:3000]
+    assert p.count("BroadcastHashJoin") >= 3, p[:3000]
+    # one hash exchange: the doc-keyed aggregate (the model total is
+    # a one-row SinglePartition agg, not a data shuffle)
+    assert p.count("Exchange hashpartitioning") == 1, p[:3000]
+
+
+def test_equality_delete_read_is_broadcast_anti_join(spark, tmp_path):
+    """Merge-on-read equality deletes: the scan-time application must
+    be a broadcast ANTI join (delete sets are dimension-sized next to
+    the data) — never a sort-merge join or a cartesian of the corpus
+    against its tombstones."""
+    from textract_demo_spark.engine.tables import (IcebergLike,
+                                                   with_part_key)
+    t = IcebergLike(str(tmp_path / "t"))
+    df = with_part_key(
+        spark.range(0, 50).select(
+            F.concat(F.lit("c"), F.col("id").cast("string"))
+            .alias("conv_id"), F.col("id").cast("long").alias("doc_id")),
+        4)
+    t.write(df)
+    t.delete_rows(spark.createDataFrame([(3,)], "doc_id long"),
+                  ["doc_id"])
+    p = plan(t.read(spark))
+    assert "LeftAnti" in p, p[:3000]
+    assert "BroadcastHashJoin" in p, p[:3000]
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
