@@ -1068,3 +1068,53 @@ def test_dup_ngram_char_frac_coverage(spark):
     df3 = spark.createDataFrame([(1, "one")], "doc_id long, text string")
     assert with_dup_ngram_char_frac(df3, 5).first()[
         "dup_5gram_char_frac_bp"] == 0
+
+
+# ---- bottom-k group sampling ----------------------------------------
+
+
+def _bk_docs(spark, n, sources=("a", "b")):
+    return spark.createDataFrame(
+        [(i, sources[i % len(sources)]) for i in range(n)],
+        "doc_id long, source string")
+
+
+def test_bottomk_exact_size_and_determinism(spark):
+    from textract_demo_spark.datapipe.splits import group_sample_bottomk
+    docs = _bk_docs(spark, 200)
+    out = group_sample_bottomk(docs, k=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append((r.sample_rank, r.doc_id))
+    assert {s: len(v) for s, v in by_src.items()} == {"a": 5, "b": 5}
+    # re-run (different partitioning) -> identical members and ranks
+    out2 = group_sample_bottomk(docs.repartition(7), k=5).collect()
+    assert sorted((r.source, r.sample_rank, r.doc_id) for r in out) == \
+        sorted((r.source, r.sample_rank, r.doc_id) for r in out2)
+
+
+def test_bottomk_growth_evicts_at_most_one(spark):
+    from textract_demo_spark.datapipe.splits import group_sample_bottomk
+    small = _bk_docs(spark, 100, sources=("a",))
+    grown = _bk_docs(spark, 101, sources=("a",))
+    k = 10
+    s0 = {r.doc_id for r in group_sample_bottomk(small, k).collect()}
+    s1 = {r.doc_id for r in group_sample_bottomk(grown, k).collect()}
+    assert len(s0) == len(s1) == k
+    assert len(s0 - s1) <= 1  # one insert evicts at most one member
+
+
+def test_bottomk_merge_of_disjoint_corpora(spark):
+    from textract_demo_spark.datapipe.splits import group_sample_bottomk
+    a = _bk_docs(spark, 80, sources=("a",))
+    b = spark.createDataFrame([(i, "a") for i in range(80, 160)],
+                              "doc_id long, source string")
+    k = 6
+    union_sample = {r.doc_id for r in
+                    group_sample_bottomk(a.unionByName(b), k).collect()}
+    merged = {r.doc_id for r in group_sample_bottomk(
+        group_sample_bottomk(a, k).drop("sample_rank").unionByName(
+            group_sample_bottomk(b, k).drop("sample_rank")),
+        k).collect()}
+    assert union_sample == merged  # bottom-k sketches merge
+

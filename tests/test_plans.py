@@ -801,3 +801,14 @@ def test_equality_delete_read_is_broadcast_anti_join(spark, tmp_path):
     assert "LeftAnti" in p, p[:3000]
     assert "BroadcastHashJoin" in p, p[:3000]
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_bottomk_sample_partial_topk(spark):
+    """Bottom-k group sampling must execute as WindowGroupLimit:
+    every task forwards at most k rows per group BEFORE the one
+    group-keyed exchange — never rank-everything-then-filter."""
+    from textract_demo_spark.datapipe.splits import group_sample_bottomk
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(group_sample_bottomk(docs.select("doc_id", "source"), k=5))
+    assert "WindowGroupLimit" in p, p[:3000]
+    assert p.count("Exchange hashpartitioning") == 1, p[:3000]

@@ -226,3 +226,42 @@ def shuffle_shards(docs: DataFrame, n_shards: int = 1024,
                 in_shard.rowsBetween(W.unboundedPreceding, -1)),
                 F.lit(0)).cast("long"))
     return out.drop("_ho")
+
+
+def group_sample_bottomk(docs: DataFrame, k: int,
+                         group_cols: tuple[str, ...] = ("source",),
+                         salt: str = "bk1", id_col: str = "doc_id",
+                         hash_mode: str = "xxhash64") -> DataFrame:
+    """EXACTLY-k uniform sample without replacement per group: keep
+    the k rows with the smallest hash of (salt, id) — "bottom-k /
+    consistent sampling". The fraction-based ``with_hash_sample``
+    gives each group a BINOMIAL size (fine corpus-wide, wrong when a
+    stratum needs exactly k — eval-set carving, per-domain caps,
+    inspection pulls); bottom-k pins the size while staying a pure
+    function of the id:
+
+    - deterministic across runs, engines, partitionings;
+    - CONSISTENT under corpus growth: a new row enters the sample
+      only by evicting the current max-hash member — expected k/n
+      churn per insert, never a reshuffle of the whole sample (the
+      property Broder's min-wise/bottom-k sketches are built on);
+    - samples of two disjoint corpora MERGE: bottom-k of the union =
+      bottom-k of the concatenated samples (asserted in tests).
+
+    Scale shape: rank-within-group executes as WindowGroupLimit —
+    every task forwards at most k rows per group before the ONE
+    group-keyed exchange; ties cannot occur (the hash input embeds
+    the unique id, and the id itself tie-breaks defensively).
+
+    Output: input columns + ``sample_rank`` (1-based by hash order —
+    a stable sub-sampling handle: rank <= j is the bottom-j sample).
+    """
+    from pyspark.sql import Window
+    keyed = f"concat('{salt}', '-', cast({id_col} AS STRING))"
+    h = hash64(keyed, hash_mode)
+    w = (Window.partitionBy(*[F.col(c) for c in group_cols])
+         .orderBy(F.expr(h).asc(), F.col(id_col).asc()))
+    return (docs
+            .withColumn("sample_rank",
+                        F.row_number().over(w).cast("long"))
+            .filter(F.col("sample_rank") <= k))

@@ -5190,3 +5190,35 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..datapipe.textstats import with_bigram_surprisal
     docs = _t(spark, sf_dir, "documents")
     return with_bigram_surprisal(docs)
+
+
+# ---- bottom-k group sampling (datapipe/splits.py) --------------------
+
+
+@query(
+    "group_sample_bottomk",
+    oracle="""
+    WITH h AS (SELECT doc_id, source,
+        ('0x' || substr(md5('bk1-' || CAST(doc_id AS VARCHAR)), 1, 15))
+          ::BIGINT AS hv
+        FROM documents),
+    r AS (SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source
+              ORDER BY hv, doc_id)::BIGINT AS sample_rank
+          FROM h)
+    SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 7
+    """)
+def group_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group uniform sampling without replacement
+    (datapipe/splits.py group_sample_bottomk): bottom-k by a pure
+    hash of the id — deterministic, consistent under corpus growth
+    (an insert evicts at most one member), mergeable across disjoint
+    corpora; the per-stratum carve the fraction sampler (binomial
+    sizes) cannot do. Executes as WindowGroupLimit: each task
+    forwards at most k rows per group before the single group-keyed
+    exchange (plan-gated). md5 mode so DuckDB replays the exact
+    ranks; xxhash64 is the production default."""
+    from ..datapipe.splits import group_sample_bottomk
+    docs = _t(spark, sf_dir, "documents")
+    return (group_sample_bottomk(docs, k=7, hash_mode="md5")
+            .select("doc_id", "source", "sample_rank"))
