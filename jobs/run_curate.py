@@ -56,6 +56,11 @@ Stages (each stage's shuffle budget is the design constraint at
                      --text-clf also the trained hashed-ngram text
                      classifier (datapipe/classifier.py — literal-
                      array weights, zero joins, one narrow exchange)
+                     ; with --bigram-lm also the Stupid-Backoff
+                     bigram-LM band filter (order-2 perplexity:
+                     broadcast count tables + one per-doc aggregate —
+                     catches ordered repetition the unigram cap
+                     cannot see)
 3b. DSIR selection   optional (--dsir-target): keep docs whose
                      importance log-weight vs a small target corpus
                      clears --dsir-min-bits (Xie et al. 2023; two
@@ -66,6 +71,9 @@ Stages (each stage's shuffle budget is the design constraint at
                      one domain-count aggregate + broadcast
                      thresholds + per-row hash — corpus rows never
                      shuffle)
+3d. per-source cap   optional (--cap-per-source K): bottom-k
+                     consistent sampling — exact K-doc strata as a
+                     WindowGroupLimit, one source-keyed exchange
 4. PII redaction     narrow per-row regex — zero shuffles
 5. decontamination   optional (--eval-input): broadcast shingle probe
 6. split assignment  pure (salt, id) hash — zero shuffles
@@ -100,6 +108,20 @@ def main() -> None:
     ap.add_argument("--max-surprisal-milli", type=int, default=30000,
                     help="drop docs whose mean unigram surprisal"
                          " exceeds this (x1000 bits): rare-token noise")
+    ap.add_argument("--bigram-lm", action="store_true",
+                    help="also score docs with the Stupid-Backoff"
+                         " bigram LM (order-2 perplexity band filter:"
+                         " sees word order the unigram cap cannot)")
+    ap.add_argument("--max-bigram-bits-milli", type=int, default=30000)
+    ap.add_argument("--min-bigram-bits-milli", type=int, default=0,
+                    help="lower band edge: ordered repetition scores"
+                         " NEAR-ZERO under the bigram LM, so a floor"
+                         " drops looping/boilerplate docs")
+    ap.add_argument("--cap-per-source", type=int, default=0,
+                    help="keep at most K docs per source via bottom-k"
+                         " consistent sampling (0 = off): exact"
+                         " deterministic strata, at-most-one-member"
+                         " churn when the corpus grows")
     ap.add_argument("--max-dup-frac-milli", type=int, default=900,
                     help="drop docs whose corpus-wide duplicated-span"
                          " token coverage exceeds this (x1000);"
@@ -313,6 +335,18 @@ def main() -> None:
         (F.col("quality_score_bp") >= args.min_quality_bp)
         & (F.col("dup_2gram_frac_bp") <= args.max_dup_2gram_bp)
         & (F.col("surprisal_milli_bits") <= args.max_surprisal_milli))
+    if args.bigram_lm:
+        from textract_demo_spark.datapipe.textstats import \
+            with_bigram_surprisal
+        bi = with_bigram_surprisal(d.select("doc_id", "text")).select(
+            "doc_id", "bits_milli")
+        d = (d.join(bi, "doc_id")
+             .filter((F.col("bits_milli")
+                      <= args.max_bigram_bits_milli)
+                     & (F.col("bits_milli")
+                        >= args.min_bigram_bits_milli))
+             .drop("bits_milli"))
+        stats["after_bigram_lm"] = d.count()
     if args.gopher:
         from textract_demo_spark.datapipe.textstats import \
             with_gopher_rules
@@ -375,6 +409,17 @@ def main() -> None:
         d = (apply_temperature_mix(d)
              .filter("kept").drop("kept", "keep_thr"))
         stats["after_temperature_mix"] = d.count()
+
+    # 3d. optional hard per-source cap: bottom-k consistent sampling
+    # (exact strata, deterministic, minimal churn as the corpus grows
+    # — see splits.group_sample_bottomk); runs as WindowGroupLimit so
+    # tasks forward at most K rows per source before the one exchange
+    if args.cap_per_source > 0:
+        from textract_demo_spark.datapipe.splits import \
+            group_sample_bottomk
+        d = group_sample_bottomk(d, k=args.cap_per_source) \
+            .drop("sample_rank")
+        stats["after_source_cap"] = d.count()
 
     # 4. PII redaction: the curated text IS the redacted text
     d = (redact_pii(d)

@@ -437,3 +437,51 @@ def test_run_curate_gopher_ngrams_gate(spark, tmp_path, capsys,
     assert 60 not in kept             # dup-5-gram coverage gate
     assert {0, 1, 2, 3, 4, 5} <= kept
     assert st["after_gopher_ngrams"] == len(kept)
+
+
+def test_run_curate_bigram_lm_and_source_cap(spark, tmp_path, capsys,
+                                             monkeypatch):
+    """--bigram-lm drops an ordered-repetition doc via the LOWER band
+    edge (near-zero transition bits: every bigram is the corpus's
+    dominant one) that the unigram surprisal cap cannot see, and
+    --cap-per-source enforces exact per-source strata."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def filler(d, n):
+        return " ".join(f"w{d}n{j} common{j % 7}" for j in range(n))
+    rows = [(d, f"the doc number {d} with calm words {filler(d, 30)}",
+             "src_a" if d % 2 else "src_b") for d in range(12)]
+    # looping doc: "x y x y ..." -- unigram-balanced, bigram-trivial
+    rows.append((100, "x y " * 40, "src_a"))
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING,"
+        " n_chars BIGINT")
+    in_path = str(tmp_path / "in")
+    docs.write.parquet(in_path)
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_curate.py", "--input", in_path,
+        "--out", str(tmp_path / "curated"),
+        "--bigram-lm", "--min-bigram-bits-milli", "1500",
+        "--cap-per-source", "4",
+        "--min-quality-bp", "0", "--max-surprisal-milli", "999999",
+        "--max-dup-2gram-bp", "1000000",
+        "--max-dup-frac-milli", "1000",
+        "--pack-budget", "256", "--pack-shards", "2",
+    ])
+    import importlib
+    import jobs.run_curate as rc
+    importlib.reload(rc)
+    rc.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    st = json.loads(line)["stats"]
+    assert "after_bigram_lm" in st and "after_source_cap" in st
+    assert st["after_source_cap"] <= 8  # 4 per source max
+
+    out = spark.read.parquet(str(tmp_path / "curated" / "data"))
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 100 not in ids  # the looping doc fell to the bigram floor
+    per_src = {r.source: r["count"] for r in
+               out.groupBy("source").count().collect()}
+    assert all(v <= 4 for v in per_src.values()), per_src
