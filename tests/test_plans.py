@@ -812,3 +812,35 @@ def test_bottomk_sample_partial_topk(spark):
     p = plan(group_sample_bottomk(docs.select("doc_id", "source"), k=5))
     assert "WindowGroupLimit" in p, p[:3000]
     assert p.count("Exchange hashpartitioning") == 1, p[:3000]
+
+
+def test_pq_encode_zero_shuffle_literal_codebooks(spark):
+    """PQ encode is ONE narrow projection: codebooks are plan-time
+    literals, so the compressed representation costs zero joins and
+    zero exchanges over the corpus."""
+    from textract_demo_spark.datapipe.similarity import (pq_codebooks,
+                                                         pq_encode)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = pq_codebooks(emb, m=8, ksub=16, iters=0)
+    p = plan(pq_encode(emb, cb))
+    assert "Exchange" not in p, p[:3000]
+    assert "Join" not in p, p[:3000]
+
+
+def test_pq_scan_broadcast_queries_partial_topk(spark):
+    """The ADC scan broadcasts the query side and ranks as
+    WindowGroupLimit — the corpus never shuffles by content and never
+    sort-merge-joins anything."""
+    from pyspark.sql import functions as F
+
+    from textract_demo_spark.datapipe.similarity import (pq_codebooks,
+                                                         pq_topk)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = pq_codebooks(emb, m=8, ksub=16, iters=0)
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    p = plan(pq_topk(emb, q, k=5, cb=cb, refine=20))
+    assert "SortMergeJoin" not in p, p[:3000]
+    assert "WindowGroupLimit" in p, p[:3000]
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

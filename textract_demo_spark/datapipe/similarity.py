@@ -364,3 +364,182 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k)
             .select(F.col(qid_col), F.col("rank").cast("long"),
                     F.col(id_col), F.round("cos", 4).alias("cos")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): compressed-domain ANN
+
+PQ_GRID = 1024  # embeddings snap to the 2^-10 grid BEFORE any PQ
+# arithmetic: floor(x * 1024) is unambiguous on identical doubles in
+# every engine, and from there the whole operator — codebook seeds,
+# Lloyd means (integer div), encode argmins, ADC distances — is pure
+# BIGINT, so the DuckDB oracle replays EXACT distances (the repo's
+# standard move for oracling float-looking operators). The grid is
+# ~3 decimal digits — far below PQ's own quantization error, so
+# recall is unaffected (gated in tests).
+
+
+def _quant_expr(vec_col: str) -> str:
+    return (f"transform({vec_col},"
+            f" x -> cast(floor(cast(x AS DOUBLE) * {PQ_GRID}.0d)"
+            f" AS BIGINT))")
+
+
+def _arr_lit(vals) -> str:
+    return "array(" + ", ".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def _cb_lit(cb_s) -> str:
+    return "array(" + ", ".join(_arr_lit(c) for c in cb_s) + ")"
+
+
+def pq_codebooks(corpus: DataFrame, m: int = 8, ksub: int = 16,
+                 iters: int = 0, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 hash_mode: str = "xxhash64") -> list[list[list[int]]]:
+    """Per-subspace PQ codebooks as a DRIVER-SIDE literal structure
+    ``cb[s][j] = grid-quantized sub-centroid`` (m * ksub * d/m ints —
+    KB-sized at any corpus scale; like the LSH hyperplanes, codebooks
+    inline into plans as literals, so encode/ADC are narrow
+    expressions with ZERO joins).
+
+    Seeds = the ksub corpus rows with the smallest hash64(id) (the
+    same deterministic, driver-randomness-free sample as
+    ``ivf_centroids``; ``hash_mode='md5'`` makes it DuckDB-
+    replayable), split into m sub-vectors. ``iters`` integer-exact
+    Lloyd steps refine each subspace independently: assignment is the
+    BIGINT argmin the encoder uses, the mean is ``sum div count``
+    (exact integer division — no float, no grid re-snap needed), and
+    empty clusters keep their previous centroid. Each step is ONE
+    exchange of (id, s, code, subvec) narrow rows.
+    """
+    from ..datapipe.dedup import hash64
+    dim_row = corpus.select(F.expr(f"size({vec_col})").alias("d")).first()
+    d = dim_row["d"]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    seeds = (corpus
+             .select(F.expr(_quant_expr(vec_col)).alias("_xq"),
+                     F.expr(hash64(f"cast({id_col} AS STRING)",
+                                   hash_mode)).alias("_h"),
+                     F.col(id_col).alias("_id"))
+             .orderBy("_h", "_id").limit(ksub).collect())
+    cb = [[list(r["_xq"][s * dsub:(s + 1) * dsub]) for r in seeds]
+          for s in range(m)]
+    for _ in range(iters):
+        enc = pq_encode(corpus, cb, id_col, vec_col)
+        exploded = (corpus
+                    .join(enc, id_col)
+                    .select(F.expr(_quant_expr(vec_col)).alias("_xq"),
+                            F.posexplode("codes").alias("s", "code"))
+                    .select("s", "code",
+                            F.expr(f"slice(_xq, s * {dsub} + 1, {dsub})")
+                            .alias("_sv")))
+        rows = (exploded
+                .groupBy("s", "code")
+                .agg(F.count("*").alias("n"),
+                     *[F.sum(F.expr(f"element_at(_sv, {i + 1})"))
+                       .alias(f"_s{i}") for i in range(dsub)])
+                .collect())
+        for r in rows:
+            cb[r["s"]][r["code"]] = [
+                int(r[f"_s{i}"]) // int(r["n"]) for i in range(dsub)]
+    return cb
+
+
+def _pq_code_expr(cb, xq: str) -> str:
+    """codes array: per subspace, the BIGINT-exact argmin over the
+    literal codebook (strict < keeps the smallest index on ties)."""
+    m, ksub = len(cb), len(cb[0])
+    dsub = len(cb[0][0])
+    big = 1 << 62
+    outs = []
+    for s in range(m):
+        dist = (f"aggregate(zip_with(slice({xq}, {s * dsub + 1},"
+                f" {dsub}), element_at({_cb_lit(cb[s])}, j + 1),"
+                f" (a, b) -> (a - b) * (a - b)), 0L,"
+                f" (acc, v) -> acc + v)")
+        outs.append(
+            f"aggregate(sequence(0, {ksub - 1}),"
+            f" named_struct('j', -1, 'd', {big}L),"
+            f" (acc, j) -> IF({dist} < acc.d,"
+            f" named_struct('j', j, 'd', {dist}), acc),"
+            f" acc -> acc.j)")
+    return "array(" + ", ".join(outs) + ")"
+
+
+def pq_encode(corpus: DataFrame, cb, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>): the m-byte compressed representation —
+    ONE narrow projection (codebooks are plan-time literals; zero
+    joins, zero shuffles). At 10^12 x 64-dim float32 this is the
+    256 GB-instead-of-256 TB working set that makes corpus-scale ANN
+    memory-resident."""
+    return corpus.select(
+        F.col(id_col),
+        F.expr(_pq_code_expr(cb, _quant_expr(vec_col))).alias("codes"))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            m: int = 8, ksub: int = 16, iters: int = 0,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            qid_col: str = "qid", qvec_col: str = "qv",
+            hash_mode: str = "xxhash64", refine: int = 0,
+            cb=None) -> DataFrame:
+    """PQ approximate top-k by L2 distance, scanned in the COMPRESSED
+    domain (asymmetric distance computation): each candidate's
+    distance is the sum over subspaces of ||q_sub - codebook[s][code]||^2
+    — codes and literal codebooks only, the original vectors are
+    never touched during the scan. Corpus side stays narrow
+    (broadcast queries, WindowGroupLimit top-k); every distance is
+    BIGINT on the PQ grid, so ranks AND distances are cross-engine
+    exact.
+
+    ``refine=N`` adds the FAISS IndexRefineFlat arm: the ADC scan
+    keeps top-N CANDIDATES per query, and only those (queries x N
+    rows — tiny next to the corpus) join back to the true vectors
+    for an exact grid-L2 re-rank to top-k. This is the production
+    shape: the compressed scan prices the corpus pass, the refine
+    prices queries x N exact distances — recall is then bounded by
+    candidate recall, not by PQ reconstruction error (gated in
+    tests/test_datapipe.py).
+
+    Output: (qid, rank, vec_id, dist) — dist = grid-quantized
+    squared L2 (ADC, or exact when refined), ties by vec_id."""
+    from pyspark.sql.window import Window
+    if cb is None:
+        cb = pq_codebooks(corpus, m, ksub, iters, id_col, vec_col,
+                          hash_mode)
+    m, dsub = len(cb), len(cb[0][0])
+    enc = pq_encode(corpus, cb, id_col, vec_col)
+    qq = (queries.select(F.col(qid_col),
+                         F.expr(_quant_expr(qvec_col)).alias("_qq")))
+    adc = " + ".join(
+        f"aggregate(zip_with(slice(_qq, {s * dsub + 1}, {dsub}),"
+        f" element_at({_cb_lit(cb[s])},"
+        f" element_at(codes, {s + 1}) + 1),"
+        f" (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"
+        for s in range(m))
+    w = Window.partitionBy(qid_col).orderBy("dist", id_col)
+    scan = (enc.crossJoin(F.broadcast(qq))
+            .filter(F.col(id_col) != F.col(qid_col))
+            .withColumn("dist", F.expr(adc).cast("long"))
+            .withColumn("rank", F.row_number().over(w).cast("long")))
+    if not refine:
+        return (scan.filter(F.col("rank") <= k)
+                .select(qid_col, "rank", id_col, "dist"))
+    cand = (scan.filter(F.col("rank") <= refine)
+            .select(qid_col, "_qq", id_col))
+    exact = (corpus
+             .select(F.col(id_col),
+                     F.expr(_quant_expr(vec_col)).alias("_xq"))
+             .join(F.broadcast(cand), id_col)
+             .withColumn("dist",
+                         F.expr("aggregate(zip_with(_qq, _xq,"
+                                " (a, b) -> (a - b) * (a - b)), 0L,"
+                                " (acc, v) -> acc + v)").cast("long")))
+    return (exact.withColumn("rank",
+                             F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, "rank", id_col, "dist"))

@@ -5222,3 +5222,81 @@ def group_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (group_sample_bottomk(docs, k=7, hash_mode="md5")
             .select("doc_id", "source", "sample_rank"))
+
+
+# ---- product quantization ANN (datapipe/similarity.py) --------------
+
+
+@query(
+    "ann_pq_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> floor(x * 1024)::BIGINT) AS eq
+        FROM embeddings),
+    sd AS (SELECT eq, (row_number() OVER (ORDER BY hv, vid) - 1)::INT
+             AS cid
+           FROM (SELECT e.vec_id AS vid, eq,
+                   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1,
+                    15))::BIGINT AS hv
+                 FROM e ORDER BY hv, vid LIMIT 16)),
+    ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+    dists AS (SELECT e.vec_id, ss.s, sd.cid,
+        (list_inner_product(e.eq[ss.s*8+1 : ss.s*8+8],
+                            e.eq[ss.s*8+1 : ss.s*8+8])
+         - 2 * list_inner_product(e.eq[ss.s*8+1 : ss.s*8+8],
+                                  sd.eq[ss.s*8+1 : ss.s*8+8])
+         + list_inner_product(sd.eq[ss.s*8+1 : ss.s*8+8],
+                              sd.eq[ss.s*8+1 : ss.s*8+8]))::BIGINT AS d
+        FROM e, ss, sd),
+    codes AS (SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+          row_number() OVER (PARTITION BY vec_id, s
+                             ORDER BY d, cid) AS rn
+        FROM dists) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, eq AS qq FROM e WHERE vec_id < 5),
+    adc AS (SELECT q.qid, c.vec_id,
+        sum((list_inner_product(q.qq[c.s*8+1 : c.s*8+8],
+                                q.qq[c.s*8+1 : c.s*8+8])
+           - 2 * list_inner_product(q.qq[c.s*8+1 : c.s*8+8],
+                                    sd.eq[c.s*8+1 : c.s*8+8])
+           + list_inner_product(sd.eq[c.s*8+1 : c.s*8+8],
+                                sd.eq[c.s*8+1 : c.s*8+8]))::BIGINT)
+          ::BIGINT AS dist
+        FROM codes c JOIN sd USING (cid), q
+        WHERE c.vec_id != q.qid
+        GROUP BY q.qid, c.vec_id),
+    cand AS (SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+          row_number() OVER (PARTITION BY qid
+                             ORDER BY dist, vec_id) AS rn
+        FROM adc) WHERE rn <= 50),
+    rr AS (SELECT cand.qid, cand.vec_id,
+        (list_inner_product(e.eq, e.eq)
+         - 2 * list_inner_product(e.eq, q.qq)
+         + list_inner_product(q.qq, q.qq))::BIGINT AS dist
+        FROM cand JOIN e ON e.vec_id = cand.vec_id
+             JOIN q ON q.qid = cand.qid)
+    SELECT qid, rank, vec_id, dist FROM (
+      SELECT qid, vec_id, dist,
+        row_number() OVER (PARTITION BY qid
+                           ORDER BY dist, vec_id)::BIGINT AS rank
+      FROM rr) WHERE rank <= 10
+    """)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact refine (datapipe/
+    similarity.py pq_codebooks/pq_encode/pq_topk — Jegou et al. 2011
+    + the FAISS IndexRefineFlat arm): embeddings snap to the 2^-10
+    integer grid, codebooks = the md5-bottom-16 seed rows' subvectors
+    (iters=0 keeps the oracle compact; Lloyd refinement is gated by
+    the pytest recall bound), the ADC scan runs in the compressed
+    domain with codebooks inlined as plan-time literals (zero joins),
+    top-50 candidates re-rank by exact grid L2. Every distance is
+    BIGINT, so the oracle hash-compares exact values — an
+    approximate operator with an exact oracle."""
+    from ..datapipe.similarity import pq_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    return pq_topk(emb, q, k=10, m=8, ksub=16, iters=0,
+                   hash_mode="md5", refine=50)
