@@ -157,3 +157,93 @@ def test_stats_written_in_manifest(spark, table):
     assert min(mins) == 0 and max(maxs) == 99
     for k in ks:
         assert table.manifest(k)["data_snapshot_id"] == 0
+
+
+# ---- append mode / upsert / per-file sequencing ---------------------
+
+
+def test_append_into_existing_partitions(spark, table):
+    table.write(_wave(spark, 100, 140), append=True)  # SAME buckets
+    assert _ids(table.read(spark)) == list(range(140))
+    # manifests: merged files carry per-file sequence numbers
+    for k in sorted(table.committed_keys()):
+        m = table.manifest(k)
+        assert set(m["files"]) == set(m["file_seq"])
+        assert len(set(m["file_seq"].values())) == 2  # two commits
+        assert any(f.startswith("s") for f in m["files"])
+
+
+def test_append_file_level_delete_scoping(spark, table):
+    # tombstone ids 50..120 BEFORE the append; appended rows with
+    # matching ids must survive inside the SAME partition dirs
+    table.delete_rows(
+        spark.createDataFrame([(i,) for i in range(50, 120)],
+                              "doc_id long"), ["doc_id"])
+    table.write(_wave(spark, 100, 130), append=True)
+    ids = _ids(table.read(spark))
+    assert all(i not in ids for i in range(50, 100))   # wave-1 hits
+    assert all(i in ids for i in range(100, 130))      # appended rows
+    assert all(i in ids for i in range(0, 50))
+
+
+def test_append_crash_leaves_no_orphans(spark, table):
+    import os
+
+    from textract_demo_spark.engine.tables import PART_COL, IcebergLike
+    k = sorted(table.committed_keys())[0]
+    d = os.path.join(table.data_dir, f"{PART_COL}={k}")
+    orphan = os.path.join(d, "s00099-0000-crashed.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not a real parquet")
+    t2 = IcebergLike(table.root)  # reopen sweeps unmanifested s*-
+    assert not os.path.exists(orphan)
+    assert _ids(t2.read(spark)) == list(range(100))
+
+
+def test_upsert_replaces_matched_inserts_new(spark, table):
+    up = (spark.range(90, 110)
+          .select(F.concat(F.lit("c"), F.col("id").cast("string"))
+                  .alias("conv_id"),
+                  F.col("id").cast("long").alias("doc_id"),
+                  F.lit(999).cast("long").alias("v")))
+    from textract_demo_spark.engine.tables import with_part_key
+    table.upsert(with_part_key(up, 4), ["doc_id"])
+    rows = {r.doc_id: r.v for r in
+            table.read(spark).select("doc_id", "v").collect()}
+    assert len(rows) == 110  # no duplicates: matched rows replaced
+    assert all(rows[i] == 999 for i in range(90, 110))  # new values
+    assert all(rows[i] == i % 7 for i in range(0, 90))  # untouched
+
+
+def test_expire_snapshots_keeps_live_deletes(spark, table):
+    import os
+    for lo in range(100, 160, 10):  # 6 append snapshots
+        table.write(_wave(spark, lo, lo + 10), append=True)
+    table.delete_rows(spark.createDataFrame([(1,)], "doc_id long"),
+                      ["doc_id"])   # live tombstone, early-ish
+    for lo in range(160, 200, 10):  # more history after it
+        table.write(_wave(spark, lo, lo + 10), append=True)
+    n_before = len(table.snapshots())
+    out = table.expire_snapshots(keep_last=3)
+    snaps = table.snapshots()
+    assert len(snaps) < n_before
+    # the live delete snapshot survived expiry below the cutoff
+    assert any(s.get("op") == "delete" for s in snaps)
+    assert 1 not in _ids(table.read(spark))  # tombstone still applies
+    assert out["expired"]
+
+
+def test_compact_skips_mixed_seq_with_pending_deletes(spark, table):
+    table.delete_rows(spark.createDataFrame([(5,)], "doc_id long"),
+                      ["doc_id"])
+    table.write(_wave(spark, 100, 140), append=True)  # mixed seqs
+    snap = table.compact(spark)
+    assert snap["compacted_keys"] == []
+    assert snap["skipped_mixed_seq"]
+    expect = [i for i in range(140) if i != 5]
+    assert _ids(table.read(spark)) == expect
+    # fold the tombstones, then compaction proceeds and rows survive
+    table.materialize_deletes(spark)
+    snap2 = table.compact(spark)
+    assert snap2["compacted_keys"]
+    assert _ids(table.read(spark)) == expect

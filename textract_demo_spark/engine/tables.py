@@ -90,6 +90,7 @@ class IcebergLike:
                   self.delete_dir):
             os.makedirs(d, exist_ok=True)
         self._recover_compaction()
+        self._recover_appends()
 
     def _recover_compaction(self) -> None:
         """Repair a compaction killed between its two renames.
@@ -151,7 +152,8 @@ class IcebergLike:
     def write(self, df: DataFrame, metrics_fn=None, run_id: str | None = None,
               input_fingerprint: str = "", fail_after: int | None = None,
               rebalance: bool = True,
-              stat_cols: list[str] | None = None) -> dict:
+              stat_cols: list[str] | None = None,
+              append: bool = False) -> dict:
         """Commit all not-yet-committed partitions of ``df`` (must
         carry PART_COL).
 
@@ -179,6 +181,18 @@ class IcebergLike:
         into the manifests (the Iceberg data-file stats analog) for
         ``read_where`` scan pruning — computed in the SAME staged
         read as the row metrics, so stats cost no extra pass.
+
+        ``append=True`` adds rows to partitions that ALREADY exist
+        (the Iceberg append-files-to-partition mode; the default
+        keeps the resume contract where an existing partition means
+        "this input is already committed" and is skipped). Appended
+        files land under collision-free ``s{snap}-`` names and carry
+        their OWN sequence number in the manifest's ``file_seq`` map
+        — per-FILE sequencing, exactly Iceberg's model — so equality
+        deletes scope correctly inside a mixed-age partition. A kill
+        mid-append leaves only unmanifested ``s*-`` files, which
+        ``_recover_appends`` sweeps on the next open (manifested
+        appends are durable; the crashed run re-stages idempotently).
         """
         committed = self.committed_keys()
         run_id = run_id or f"run-{int(time.time() * 1000)}"
@@ -194,7 +208,7 @@ class IcebergLike:
             shutil.rmtree(os.path.join(self.staging_dir, stale),
                           ignore_errors=True)
         pending_df = df
-        if committed:
+        if committed and not append:
             pending_df = df.filter(
                 ~F.col(PART_COL).isin([int(k) for k in committed]))
         if rebalance:
@@ -242,17 +256,25 @@ class IcebergLike:
             idempotent staging on the next run."""
             src = os.path.join(staging, f"{PART_COL}={k}")
             dst = os.path.join(self.data_dir, f"{PART_COL}={k}")
+            prior = self.manifest(k) if append else None
+            if prior is not None and os.path.exists(dst):
+                return self._append_into(k, src, dst, prior, run_id,
+                                         snap_id,
+                                         metrics_by_key.get(k, {}),
+                                         stats_by_key.get(k))
             if os.path.exists(dst):
                 shutil.rmtree(dst)  # stale partial from a dead run
             os.rename(src, dst)  # atomic promote
+            files = sorted(f for f in os.listdir(dst)
+                           if f.endswith(".parquet"))
             m = {
                 "part_key": k,
                 "run_id": run_id,
                 "data_snapshot_id": snap_id,
                 "committed_at": time.time(),
                 "input_fingerprint": input_fingerprint,
-                "files": sorted(f for f in os.listdir(dst)
-                                if f.endswith(".parquet")),
+                "files": files,
+                "file_seq": {f: snap_id for f in files},
                 "metrics": metrics_by_key.get(k, {}),
                 **({"col_stats": stats_by_key[k]}
                    if k in stats_by_key else {}),
@@ -278,9 +300,11 @@ class IcebergLike:
         snapshot = {
             "snapshot_id": snap_id,
             "run_id": run_id,
+            **({"op": "append"} if append else {}),
             "committed_keys": sorted(self.committed_keys()),
             "newly_committed": promoted,
-            "skipped_already_committed": sorted(committed),
+            "skipped_already_committed":
+                [] if append else sorted(committed),
             # table schema at commit time: snapshot reads use it
             # explicitly (no footer sampling, stable across schema
             # evolution of older partitions)
@@ -293,6 +317,110 @@ class IcebergLike:
             os.path.join(self.manifest_dir, f"snapshot-{snap_id:05d}.json"),
             snapshot)
         return snapshot
+
+    def _append_into(self, k: int, src: str, dst: str, prior: dict,
+                     run_id: str, snap_id: int, metrics: dict,
+                     stats: dict | None) -> int:
+        """Append staged files into an EXISTING partition dir under
+        collision-free ``s{snap}-`` names, then merge the manifest:
+        files + per-file sequence numbers, summed row metric, min/max-
+        merged column stats. The manifest write is the commit point —
+        files moved before a crash are unmanifested ``s*-`` orphans
+        that ``_recover_appends`` removes on the next open."""
+        staged = sorted(f for f in os.listdir(src)
+                        if f.endswith(".parquet"))
+        new_names = []
+        for i, f in enumerate(staged):
+            name = f"s{snap_id:05d}-{i:04d}-{f[-24:]}"
+            os.rename(os.path.join(src, f), os.path.join(dst, name))
+            new_names.append(name)
+        m = dict(prior)
+        files = sorted(set(m.get("files", [])) | set(new_names))
+        fseq = dict(m.get("file_seq") or
+                    {f: m.get("data_snapshot_id", 0)
+                     for f in m.get("files", [])})
+        fseq.update({f: snap_id for f in new_names})
+        m.update({"files": files, "file_seq": fseq})
+        old_rows = (m.get("metrics") or {}).get("rows")
+        new_rows = metrics.get("rows")
+        if isinstance(old_rows, int) and isinstance(new_rows, int):
+            m["metrics"] = {**m["metrics"], "rows": old_rows + new_rows}
+        if stats:
+            merged = dict(m.get("col_stats") or {})
+            for c, st in stats.items():
+                old = merged.get(c)
+                if old is None or old.get("min") is None:
+                    merged[c] = st
+                elif st["min"] is not None:
+                    merged[c] = {"min": min(old["min"], st["min"]),
+                                 "max": max(old["max"], st["max"])}
+            m["col_stats"] = merged
+        m.setdefault("appends", []).append(
+            {"run_id": run_id, "snapshot_id": snap_id,
+             "files": new_names})
+        self._write_json_atomic(
+            os.path.join(self.manifest_dir, f"part-{k:05d}.json"), m)
+        return k
+
+    def _recover_appends(self) -> None:
+        """Remove ``s*-`` append files not listed in their partition
+        manifest (a crashed append's partial moves; completed appends
+        are manifested atomically). Base-write files never carry the
+        prefix, so they are never candidates."""
+        for k in self.committed_keys():
+            d = os.path.join(self.data_dir, f"{PART_COL}={k}")
+            if not os.path.isdir(d):
+                continue
+            listed = set((self.manifest(k) or {}).get("files", []))
+            for f in os.listdir(d):
+                if (f.endswith(".parquet") and f.startswith("s")
+                        and "-" in f and f not in listed
+                        and f.split("-", 1)[0][1:].isdigit()):
+                    os.remove(os.path.join(d, f))
+
+    def upsert(self, df: DataFrame, eq_cols: list[str],
+               run_id: str | None = None,
+               stat_cols: list[str] | None = None) -> dict:
+        """MERGE analog from the two v2 primitives: an equality
+        delete over ``df``'s key tuples (tombstones any existing rows
+        with those keys — matched rows are 'replaced') followed by an
+        APPEND of ``df`` (sequenced after the delete, so the new rows
+        survive it). Rows with unmatched keys are plain inserts;
+        untouched rows are untouched. Merge-on-read: no data
+        partition is rewritten."""
+        run_id = run_id or f"upsert-{int(time.time() * 1000)}"
+        d = self.delete_rows(df.select(*eq_cols), eq_cols,
+                             run_id=f"{run_id}-delete")
+        a = self.write(df, run_id=f"{run_id}-append", append=True,
+                       stat_cols=stat_cols)
+        return {"op": "upsert", "run_id": run_id,
+                "delete_snapshot": d["snapshot_id"],
+                "append_snapshot": a["snapshot_id"]}
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Drop snapshot metadata older than the newest ``keep_last``
+        (the Iceberg ``expire_snapshots`` analog: time-travel history
+        is bounded; data files are untouched). Delete snapshots whose
+        delete FILE is still live (not yet materialized) are always
+        retained — expiring one would resurrect its tombstoned rows
+        in every future read."""
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return {"expired": []}
+        cutoff = sorted(s["snapshot_id"] for s in snaps)[-keep_last]
+        expired = []
+        for s in snaps:
+            sid = s["snapshot_id"]
+            if sid >= cutoff:
+                continue
+            if (s.get("op") == "delete"
+                    and os.path.exists(os.path.join(
+                        self.delete_dir, s["delete_file"]))):
+                continue  # live tombstones: must stay discoverable
+            os.remove(os.path.join(self.manifest_dir,
+                                   f"snapshot-{sid:05d}.json"))
+            expired.append(sid)
+        return {"expired": expired, "cutoff": cutoff}
 
     def compact(self, spark: SparkSession,
                 part_keys: list[int] | None = None,
@@ -328,16 +456,32 @@ class IcebergLike:
         committed = self.committed_keys()
         keys = sorted(committed if part_keys is None else
                       [k for k in part_keys if k in committed])
+        pending_dels = bool(self._delete_snapshots())
         todo: dict[int, list[str]] = {}
+        skipped_mixed_seq: list[int] = []
         for k in keys:
             dst = os.path.join(self.data_dir, f"{PART_COL}={k}")
             files = sorted(f for f in os.listdir(dst)
                            if f.endswith(".parquet"))
-            if len(files) >= min_files:
-                todo[k] = files
+            if len(files) < min_files:
+                continue
+            m = self.manifest(k) or {}
+            fseq = m.get("file_seq") or {}
+            seqs = {int(fseq.get(f, m.get("data_snapshot_id", 0)))
+                    for f in files}
+            if pending_dels and len(seqs) > 1:
+                # compacting mixes files of different sequence
+                # numbers into one; a pending delete sequenced
+                # BETWEEN them could no longer scope correctly —
+                # materialize_deletes first, then compact (the
+                # Iceberg rewrite ordering for the same reason)
+                skipped_mixed_seq.append(k)
+                continue
+            todo[k] = files
         run_id = run_id or f"compact-{int(time.time() * 1000)}"
         if not todo:
             return {"run_id": run_id, "compacted_keys": [],
+                    "skipped_mixed_seq": skipped_mixed_seq,
                     "files_before": 0, "files_after": 0}
 
         staging = os.path.join(self.staging_dir, run_id)
@@ -377,7 +521,16 @@ class IcebergLike:
             new_files = sorted(f for f in os.listdir(dst)
                                if f.endswith(".parquet"))
             m = self.manifest(k) or {"part_key": k}
+            # merged files inherit the MAX of the old sequences
+            # (uniform when deletes are pending — the todo guard;
+            # otherwise only future deletes matter and they
+            # outsequence any current value)
+            old_fseq = m.get("file_seq") or {}
+            seq = max((int(old_fseq.get(f, m.get("data_snapshot_id",
+                                                 0)))
+                       for f in old_files), default=0)
             m.update({"files": new_files, "compacted_by": run_id,
+                      "file_seq": {f: seq for f in new_files},
                       "files_before_compaction": len(old_files)})
             self._write_json_atomic(
                 os.path.join(self.manifest_dir, f"part-{k:05d}.json"), m)
@@ -393,6 +546,7 @@ class IcebergLike:
             "snapshot_id": snap_id, "op": "compact", "run_id": run_id,
             "committed_keys": sorted(self.committed_keys()),
             "compacted_keys": compacted,
+            "skipped_mixed_seq": skipped_mixed_seq,
             "files_before": files_before, "files_after": files_after,
             **({"schema_json": schema.json()} if schema is not None
                else {}),
@@ -471,27 +625,40 @@ class IcebergLike:
                     self.delete_dir, s["delete_file"]))
                 and (upto is None or s["snapshot_id"] <= upto)]
 
-    def _part_seq_df(self, spark: SparkSession) -> DataFrame:
-        """(part_key, data_snapshot_id) dimension from the manifests —
-        partitions predating the field read as 0 (oldest: every delete
-        applies to them)."""
-        rows = [(k, int((self.manifest(k) or {})
-                        .get("data_snapshot_id", 0)))
-                for k in sorted(self.committed_keys())]
+    def _file_seq_df(self, spark: SparkSession) -> DataFrame:
+        """(file name, sequence number) dimension from the manifests —
+        per-FILE sequencing (Iceberg's model), so appended files in a
+        mixed-age partition scope deletes independently. Files
+        predating the field read their partition's data_snapshot_id,
+        else 0 (oldest: every delete applies)."""
+        rows = []
+        for k in sorted(self.committed_keys()):
+            m = self.manifest(k) or {}
+            fseq = m.get("file_seq") or {}
+            base = int(m.get("data_snapshot_id", 0))
+            for f in m.get("files", []):
+                # keyed by (partition, name): one writer task serves
+                # several partition dirs with the SAME file name, so
+                # the name alone is not unique table-wide
+                rows.append((k, f, int(fseq.get(f, base))))
         return spark.createDataFrame(
-            rows or [(None, None)],
-            f"{PART_COL} int, _dseq long").filter(
-            F.col(PART_COL).isNotNull())
+            rows or [(None, None, None)],
+            f"{PART_COL} int, _fname string, _dseq long").filter(
+            F.col("_fname").isNotNull())
 
     def _apply_deletes(self, spark: SparkSession, df: DataFrame,
                        snapshot_id: int | None) -> DataFrame:
         dels = self._delete_snapshots(upto=snapshot_id)
         if not dels:
             return df
-        df = (df.join(F.broadcast(self._part_seq_df(spark)),
-                      PART_COL, "left")
+        df = (df.withColumn(
+                  "_fname",
+                  F.element_at(F.split(F.input_file_name(), "/"), -1))
+              .join(F.broadcast(self._file_seq_df(spark)),
+                    [PART_COL, "_fname"], "left")
               .withColumn("_dseq", F.coalesce(F.col("_dseq"),
-                                              F.lit(0).cast("long"))))
+                                              F.lit(0).cast("long")))
+              .drop("_fname"))
         by_cols: dict[tuple[str, ...], list[dict]] = {}
         for s in dels:
             by_cols.setdefault(tuple(s["eq_cols"]), []).append(s)
@@ -595,9 +762,11 @@ class IcebergLike:
                 os.rename(src, dst)
                 shutil.rmtree(old)
                 m = self.manifest(k) or {"part_key": k}
+                files = sorted(f for f in os.listdir(dst)
+                               if f.endswith(".parquet"))
                 m.update({
-                    "files": sorted(f for f in os.listdir(dst)
-                                    if f.endswith(".parquet")),
+                    "files": files,
+                    "file_seq": {f: snap_id for f in files},
                     "data_snapshot_id": snap_id,
                     "deletes_materialized_by": run_id,
                 })
