@@ -635,6 +635,67 @@ def main() -> None:
         " pre-shaped turns input in tests/test_plans.py.)",
         formatted(QUERIES["transcript_conv_stats"](spark, SF))))
 
+    from textract_demo_spark.datapipe.similarity import (pq_codebooks,
+                                                         pq_topk)
+    cb = pq_codebooks(emb, m=8, ksub=16, iters=0)
+    qv = (emb.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("qv")))
+    sections.append((
+        "PQ ANN: compressed-domain ADC scan + exact refine",
+        "Codebooks are plan-time LITERALS (KB-sized), so encode is a"
+        " zero-join zero-exchange projection and the ADC scan is"
+        " broadcast-queries over the codes frame with WindowGroupLimit"
+        " top-N; the refine arm joins only queries x N candidates back"
+        " to true vectors. Every distance is BIGINT on the 2^-10 grid"
+        " — the approximate operator carries an exact oracle.",
+        formatted(pq_topk(emb, qv, k=5, cb=cb, refine=20))))
+
+    from textract_demo_spark.datapipe.textstats import (
+        with_bigram_surprisal)
+    sections.append((
+        "Bigram LM scoring (Stupid Backoff, integer bits)",
+        "Adjacent-pair arrays build IN-ROW (no positional self-join of"
+        " an exploded token table); the bigram/unigram model tables"
+        " join back BROADCAST under the zipf min_count cutoff"
+        " (singleton bigrams never leave the map-side partial count);"
+        " the only row exchange is the per-doc aggregate. All"
+        " arithmetic is integer bits via length(bin(.)) - 1.",
+        formatted(with_bigram_surprisal(docs.select("doc_id", "text")))))
+
+    from textract_demo_spark.datapipe.splits import group_sample_bottomk
+    sections.append((
+        "Bottom-k consistent group sampling (exactly-k strata)",
+        "rank-by-hash executes as WindowGroupLimit: every task"
+        " forwards at most k rows per group BEFORE the one group-keyed"
+        " exchange — never rank-everything-then-filter. Membership is"
+        " a pure function of (salt, id): deterministic across runs,"
+        " engines and partitionings, at-most-one-member churn per"
+        " corpus insert.",
+        formatted(group_sample_bottomk(
+            docs.select("doc_id", "source"), k=5))))
+
+    from textract_demo_spark.engine.tables import IcebergLike
+    import tempfile
+    tdir = tempfile.mkdtemp(prefix="plans_tbl_")
+    tbl = IcebergLike(tdir)
+    tbl.write(with_part_key(
+        spark.range(0, 50).select(
+            F.concat(F.lit("c"), F.col("id").cast("string"))
+            .alias("conv_id"), F.col("id").alias("doc_id")), 4))
+    tbl.delete_rows(spark.createDataFrame([(3,)], "doc_id long"),
+                    ["doc_id"])
+    sections.append((
+        "Equality-delete read (merge-on-read, sequence-scoped)",
+        "Tombstones apply at scan time as a broadcast ANTI join —"
+        " delete sets are dimension-sized next to the data, so the"
+        " corpus never re-shuffles for its deletes; the (partition,"
+        " file) -> sequence dim (also broadcast) scopes each delete to"
+        " files committed at-or-before it, Iceberg's per-data-file"
+        " rule. materialize_deletes folds tombstones in when their"
+        " count warrants a rewrite.",
+        formatted(tbl.read(spark))))
+
     staged = with_part_key(out, 8).hint("rebalance", F.col(PART_COL))
     sections.append((
         "Commit staging write input (REBALANCE on the table partition"
