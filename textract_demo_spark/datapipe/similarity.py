@@ -428,11 +428,14 @@ def pq_codebooks(corpus: DataFrame, m: int = 8, ksub: int = 16,
     cb = [[list(r["_xq"][s * dsub:(s + 1) * dsub]) for r in seeds]
           for s in range(m)]
     for _ in range(iters):
-        enc = pq_encode(corpus, cb, id_col, vec_col)
+        # codes and sub-vectors in ONE projection (no corpus self-join
+        # back onto pq_encode's output — the codebook is a literal, so
+        # both derive narrowly from the same row)
         exploded = (corpus
-                    .join(enc, id_col)
                     .select(F.expr(_quant_expr(vec_col)).alias("_xq"),
-                            F.posexplode("codes").alias("s", "code"))
+                            F.posexplode(F.expr(
+                                _pq_code_expr(cb, _quant_expr(vec_col))
+                            )).alias("s", "code"))
                     .select("s", "code",
                             F.expr(f"slice(_xq, s * {dsub} + 1, {dsub})")
                             .alias("_sv")))
