@@ -51,6 +51,10 @@ def main() -> None:
                          " the Iceberg rewrite_data_files analog")
     ap.add_argument("--compact-min-files", type=int, default=2)
     ap.add_argument("--compact-target-mb", type=int, default=128)
+    ap.add_argument("--expire-keep-last", type=int, default=0,
+                    help="after the commit, expire snapshot history"
+                         " down to the newest N (0 = keep all; live"
+                         " equality-delete snapshots always survive)")
     ap.add_argument("--conv-report", action="store_true",
                     help="also write a conversation-integrity report"
                          " next to the table: per-conv stats + keep"
@@ -118,6 +122,9 @@ def main() -> None:
         compaction = {"compacted_partitions": len(c["compacted_keys"]),
                       "files_before": c["files_before"],
                       "files_after": c["files_after"]}
+    expired: dict | None = None
+    if args.expire_keep_last > 0:
+        expired = table.expire_snapshots(keep_last=args.expire_keep_last)
 
     conv_report: dict | None = None
     if args.conv_report:
@@ -146,6 +153,8 @@ def main() -> None:
         "wall_sec": round(wall, 2),
         "phase_sec": snapshot.get("phase_sec", {}),
         **({"compaction": compaction} if compaction else {}),
+        **({"snapshots_expired": len(expired["expired"])}
+           if expired else {}),
         **({"conv_report": conv_report} if conv_report else {}),
     }))
 
