@@ -60,7 +60,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order = driver verification order: the driver's
 # CORRECTNESS pass oracles the FIRST 50 registered queries, so the
-# least-proven entries must register first. Round 3 learned this the
+# least-proven entries must register first.
+#
+# ROUND-5 ROTATION CANDIDATES (registered late in round 4, after the
+# window was already full of never-verified entries; all are locally
+# oracle-rehearsed in tests/test_oracle_queries.py): table_equality_
+# delete, table_incremental_read, table_stats_pruned_scan,
+# lm_bigram_surprisal, ann_pq_topk, group_sample_bottomk. Next round,
+# swap them in for whichever in-window entries earn green r04 rows. Round 3 learned this the
 # hard way — 17 queries registered at positions 51-67 got no driver
 # row despite having oracles. Priority here: (1) everything with NO
 # driver-verified round yet (the r03 tail + this round's new

@@ -247,3 +247,63 @@ def test_compact_skips_mixed_seq_with_pending_deletes(spark, table):
     snap2 = table.compact(spark)
     assert snap2["compacted_keys"]
     assert _ids(table.read(spark)) == expect
+
+
+def test_model_based_operation_sequences(spark, tmp_path):
+    """Model-based invariant: a seeded random interleaving of append /
+    delete / upsert / compact / materialize / reopen always reads
+    back exactly the dict a plain Python model predicts. This is the
+    cross-product coverage the single-op tests can't give — sequence
+    scoping must hold through ANY op order."""
+    import random
+
+    from textract_demo_spark.engine.tables import IcebergLike
+
+    rng = random.Random(42)
+    t = IcebergLike(str(tmp_path / "t"))
+    model: dict[int, int] = {i: i % 7 for i in range(40)}
+    t.write(_wave(spark, 0, 40))
+    next_id = 40
+
+    def check(tag):
+        got = {r.doc_id: r.v for r in
+               t.read(spark).select("doc_id", "v").collect()}
+        assert got == model, (
+            tag, sorted(set(got) ^ set(model))[:10])
+
+    for step in range(12):
+        op = rng.choice(["append", "delete", "upsert", "compact",
+                         "materialize", "reopen"])
+        if op == "append":
+            lo, hi = next_id, next_id + rng.randint(5, 15)
+            next_id = hi
+            t.write(_wave(spark, lo, hi), append=True)
+            model.update({i: i % 7 for i in range(lo, hi)})
+        elif op == "delete":
+            # mix of live, already-deleted and never-existing ids
+            keys = rng.sample(range(next_id + 10),
+                              k=min(8, next_id))
+            t.delete_rows(
+                spark.createDataFrame([(k,) for k in keys],
+                                      "doc_id long"), ["doc_id"])
+            for k in keys:
+                model.pop(k, None)
+        elif op == "upsert":
+            keys = rng.sample(range(next_id + 5),
+                              k=min(6, next_id))
+            up = (spark.createDataFrame(
+                      [(k, 1000 + step) for k in keys],
+                      "doc_id long, v long")
+                  .select(F.concat(F.lit("c"),
+                                   F.col("doc_id").cast("string"))
+                          .alias("conv_id"), "doc_id", "v"))
+            t.upsert(with_part_key(up, 4), ["doc_id"])
+            for k in keys:
+                model[k] = 1000 + step
+        elif op == "compact":
+            t.compact(spark)
+        elif op == "materialize":
+            t.materialize_deletes(spark)
+        else:
+            t = IcebergLike(t.root)
+        check((step, op))
