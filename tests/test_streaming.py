@@ -130,3 +130,61 @@ def test_stream_drops_late_duplicate_turns(spark, dirs):
     keys = out.groupBy("conv_id", "turn_idx").count()
     assert keys.filter(F.col("count") > 1).count() == 0
     assert out.count() == t.count()
+
+
+def test_cdc_upsert_last_wins_and_replay_idempotent(spark, tmp_path):
+    """Cross-batch CDC semantics: a second drain with updates for the
+    same keys overwrites (last-writer-wins), and a REPLAYED batch
+    (foreachBatch at-least-once) converges to one copy per key
+    because upsert's delete tombstones the earlier replay's rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from textract_demo_spark.engine.tables import (IcebergLike,
+                                                   with_part_key)
+    from textract_demo_spark.streaming.stream import start_cdc_upsert
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def stage(name, rows):
+        df = spark.createDataFrame(rows, "doc_id long, ts long, v long")
+        p = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(p))
+        for i, f in enumerate(sorted(os.listdir(p))):
+            if f.endswith(".parquet"):
+                os.rename(p / f, in_dir / f"{name}-{i}.parquet")
+
+    def drain(table):
+        stream = (spark.readStream
+                  .schema("doc_id long, ts long, v long")
+                  .parquet(str(in_dir)))
+        q = start_cdc_upsert(stream, table, ["doc_id"],
+                             str(tmp_path / "ckpt"), ts_col="ts")
+        assert q.awaitTermination(300)
+
+    table = IcebergLike(str(tmp_path / "t"))
+    stage("w1", [(i, 1, i * 10) for i in range(20)])
+    drain(table)
+    got = {r.doc_id: r.v for r in
+           table.read(spark).select("doc_id", "v").collect()}
+    assert got == {i: i * 10 for i in range(20)}
+
+    # second wave: same keys, new values -> checkpointed stream picks
+    # up ONLY the new file; later batch wins
+    stage("w2", [(i, 2, i * 100) for i in range(0, 20, 2)])
+    drain(table)
+    got = {r.doc_id: r.v for r in
+           table.read(spark).select("doc_id", "v").collect()}
+    want = {i: (i * 100 if i % 2 == 0 else i * 10) for i in range(20)}
+    assert got == want
+
+    # replayed batch: re-applying an identical upsert converges
+    replay = (spark.createDataFrame(
+                  [(i, 2, i * 100) for i in range(0, 20, 2)],
+                  "doc_id long, ts long, v long"))
+    table.upsert(with_part_key(replay, 8, col="doc_id"), ["doc_id"])
+    got2 = {r.doc_id: r.v for r in
+            table.read(spark).select("doc_id", "v").collect()}
+    assert got2 == want  # one copy per key, same values

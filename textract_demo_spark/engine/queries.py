@@ -5300,3 +5300,71 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("embedding").alias("qv")))
     return pq_topk(emb, q, k=10, m=8, ksub=16, iters=0,
                    hash_mode="md5", refine=50)
+
+
+# ---- streaming CDC upsert into the table (streaming/stream.py) ------
+
+
+@query(
+    "streaming_cdc_upsert",
+    oracle="""
+    SELECT doc_id::BIGINT AS doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN doc_id * 2 + 1
+                ELSE doc_id * 3 END::BIGINT AS v
+    FROM documents WHERE doc_id < 200
+    """)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply loop (streaming/stream.py start_cdc_upsert): a file
+    stream of update rows drains through foreachBatch MERGE-upserts
+    into an IcebergLike table — each batch is one sequence-scoped
+    equality delete (dimension-sized) + one per-file-sequenced append,
+    never a table rewrite. Even keys carry TWO updates with rising ts
+    (the max_by within-batch dedupe must keep ts=2's value); odd keys
+    arrive in a second wave. The table read after the drain must show
+    exactly the newest value per key — predicted relationally by the
+    oracle. Replay idempotence and cross-batch last-wins are pinned in
+    tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine.tables import IcebergLike
+    from ..streaming.stream import start_cdc_upsert
+
+    ids = (_t(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 200)
+           .select(F.col("doc_id").cast("long").alias("doc_id")))
+    even = ids.filter("doc_id % 2 = 0")
+    wave_a = (even.select("doc_id", F.lit(1).cast("long").alias("ts"),
+                          (F.col("doc_id") * 2).alias("v"))
+              .unionByName(
+                  even.select("doc_id",
+                              F.lit(2).cast("long").alias("ts"),
+                              (F.col("doc_id") * 2 + 1).alias("v"))))
+    wave_b = (ids.filter("doc_id % 2 = 1")
+              .select("doc_id", F.lit(1).cast("long").alias("ts"),
+                      (F.col("doc_id") * 3).alias("v")))
+    base = tempfile.mkdtemp(prefix="cdc_q_")
+    try:
+        in_dir = os.path.join(base, "in")
+        os.makedirs(in_dir)
+        for name, wave in (("a", wave_a), ("b", wave_b)):
+            stage = os.path.join(base, f"stage_{name}")
+            wave.coalesce(1).write.mode("overwrite").parquet(stage)
+            for i, f in enumerate(sorted(os.listdir(stage))):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(stage, f),
+                                os.path.join(in_dir,
+                                             f"{name}-{i}.parquet"))
+        table = IcebergLike(os.path.join(base, "table"))
+        stream = (spark.readStream.schema("doc_id long, ts long, v long")
+                  .parquet(in_dir))
+        q = start_cdc_upsert(stream, table, ["doc_id"],
+                             os.path.join(base, "ckpt"), ts_col="ts")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("CDC drain did not finish in 600 s")
+        rows = (table.read(spark).select("doc_id", "v").collect())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, v long")

@@ -219,3 +219,46 @@ def start_session_rollup(events_stream: DataFrame, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_cdc_upsert(updates_stream: DataFrame, table, key_cols,
+                     checkpoint_dir: str, n_buckets: int = 8,
+                     ts_col: str | None = None,
+                     available_now: bool = True):
+    """CDC apply loop: each micro-batch of (key..., value...) update
+    rows MERGEs into an ``IcebergLike`` table via the v2 primitives —
+    ``upsert`` = sequence-scoped equality delete + per-file-sequenced
+    append, so no data partition is ever rewritten (engine/tables.py).
+
+    Replay safety: a re-delivered micro-batch (foreachBatch is
+    at-least-once after a crash) re-runs the same upsert, and upsert
+    is IDEMPOTENT by construction — the replay's delete tombstones
+    the earlier replay's rows before appending again, converging to
+    exactly one copy per key (asserted in tests/test_streaming.py).
+    Within a batch, ``ts_col`` picks the newest update per key
+    (max_by); cross-batch, later micro-batches win — the standard
+    CDC apply contract.
+
+    Scale shape per batch: one delete-file write (dimension-sized:
+    the batch's keys) + one append staging job over the batch — cost
+    tracks O(batch), never O(table).
+    """
+    from pyspark.sql import functions as F
+
+    from ..engine.tables import with_part_key
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df
+        if ts_col is not None:
+            others = [c for c in b.columns if c not in key_cols]
+            b = (b.groupBy(*key_cols)
+                 .agg(*[F.max_by(c, F.col(ts_col)).alias(c)
+                        for c in others]))
+        if b.isEmpty():
+            return
+        table.upsert(with_part_key(b, n_buckets, col=key_cols[0]),
+                     list(key_cols),
+                     run_id=f"cdc-batch-{batch_id}")
+
+    return start_foreach_batch(updates_stream, checkpoint_dir, _apply,
+                               available_now)
