@@ -307,3 +307,23 @@ def test_model_based_operation_sequences(spark, tmp_path):
         else:
             t = IcebergLike(t.root)
         check((step, op))
+
+
+def test_schema_evolution_on_append(spark, table):
+    """Appending a wave with an extra column evolves the table: the
+    snapshot schema picks it up, old files read the new column as
+    null, and pre-evolution snapshots still read with their own
+    schema."""
+    pre = table.snapshots()[-1]["snapshot_id"]
+    wave = _wave(spark, 100, 120).withColumn(
+        "lang", F.lit("en"))
+    table.write(wave, append=True)
+    out = table.read(spark)
+    assert "lang" in out.columns
+    got = {r.doc_id: r.lang for r in
+           out.select("doc_id", "lang").collect()}
+    assert all(got[i] == "en" for i in range(100, 120))
+    assert all(got[i] is None for i in range(100))  # old files null
+    # time travel to the pre-evolution snapshot: original schema
+    old = table.read(spark, snapshot_id=pre)
+    assert "lang" not in old.columns
