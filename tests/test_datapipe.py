@@ -1181,3 +1181,60 @@ def test_pq_refine_dist_is_exact_grid_l2(spark):
     for r in pq_topk(emb, q, k=5, iters=0, refine=30).collect():
         want = int(((X[r.qid] - X[r.vec_id]) ** 2).sum())
         assert r.dist == want, (r, want)
+
+
+def test_ivfpq_probe_all_equals_pq(spark):
+    """Probing EVERY coarse bucket must reproduce the pure PQ+refine
+    ranking exactly (the bucketing only restricts candidates; with no
+    restriction the two operators are the same computation)."""
+    from pyspark.sql import functions as F
+
+    from textract_demo_spark.datapipe.similarity import (ivfpq_topk,
+                                                         pq_codebooks,
+                                                         pq_topk)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    cb = pq_codebooks(emb, m=8, ksub=16, iters=0, hash_mode="md5")
+    a = sorted(map(tuple, ivfpq_topk(
+        emb, q, k=8, n_centroids=4, n_probe=4, iters=0,
+        hash_mode="md5", refine=40, cb=cb).collect()))
+    b = sorted(map(tuple, pq_topk(
+        emb, q, k=8, cb=cb, refine=40).collect()))
+    assert a == b
+
+
+def test_ivfpq_recall_floor_and_exact_refine(spark):
+    """Refined IVF-PQ holds a recall floor on the noisy synthetic
+    embeddings (candidates bounded by bucket recall at n_probe/n_
+    centroids scan fraction) and returns exact grid-L2 distances."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from textract_demo_spark.datapipe.similarity import (PQ_GRID,
+                                                         ivfpq_topk)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.floor(np.array([r.embedding for r in rows],
+                          dtype=np.float64) * PQ_GRID).astype(np.int64)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    out = ivfpq_topk(emb, q, k=10, n_centroids=8, n_probe=3,
+                     iters=0, hash_mode="md5", refine=50)
+    got = {}
+    for r in out.collect():
+        want = int(((X[ids == r.qid][0] - X[ids == r.vec_id][0]) ** 2)
+                   .sum())
+        assert r.dist == want
+        got.setdefault(r.qid, set()).add(r.vec_id)
+    recs = []
+    for qid in range(5):
+        qv = X[ids == qid][0]
+        d = ((X - qv) ** 2).sum(1)
+        exact10 = {i for _, i in sorted(
+            (dd, i) for dd, i in zip(d, ids) if i != qid)[:10]}
+        recs.append(len(got[qid] & exact10) / 10)
+    assert sum(recs) / len(recs) >= 0.25, recs

@@ -844,3 +844,23 @@ def test_pq_scan_broadcast_queries_partial_topk(spark):
     assert "SortMergeJoin" not in p, p[:3000]
     assert "WindowGroupLimit" in p, p[:3000]
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_ivfpq_no_corpus_shuffle_equi_probe_join(spark):
+    """IVF-PQ scan: coarse assignment + PQ encode are one narrow
+    literal projection; probes broadcast into an EQUI hash join on
+    cid (never BNLJ over array_contains); ranking is WindowGroupLimit.
+    The corpus never shuffles by content."""
+    from pyspark.sql import functions as F
+
+    from textract_demo_spark.datapipe.similarity import ivfpq_topk
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    p = plan(ivfpq_topk(emb, q, k=5, n_centroids=4, n_probe=2,
+                        iters=0, refine=20))
+    assert "SortMergeJoin" not in p, p[:3000]
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p, p[:3000]
+    assert "WindowGroupLimit" in p, p[:3000]

@@ -546,3 +546,106 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                              F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select(qid_col, "rank", id_col, "dist"))
+
+
+def _l2_argmin_expr(cents_q, xq: str) -> str:
+    """argmin over a literal centroid list by integer grid L2 — the
+    whole-vector case of the per-subspace PQ argmin."""
+    return _pq_code_expr([cents_q], xq)[len("array("):-1]
+
+
+def _l2_dist_expr(cvec_lit: str, idx: str, xq: str) -> str:
+    return (f"aggregate(zip_with({xq}, element_at({cvec_lit},"
+            f" {idx} + 1), (a, b) -> (a - b) * (a - b)), 0L,"
+            f" (acc, v) -> acc + v)")
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+               n_centroids: int = 8, n_probe: int = 3, m: int = 8,
+               ksub: int = 16, iters: int = 0,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               qid_col: str = "qid", qvec_col: str = "qv",
+               hash_mode: str = "xxhash64", refine: int = 0,
+               cb=None, coarse=None) -> DataFrame:
+    """IVF-PQ approximate top-k (the FAISS IVFPQ composition, the
+    production ANN shape at corpus scale): a coarse quantizer buckets
+    the corpus, each query probes its ``n_probe`` nearest buckets,
+    and candidates inside probed buckets rank by the COMPRESSED-
+    domain PQ ADC distance — so a scan touches ~n_probe/n_centroids
+    of the corpus AND reads only m-byte codes, never raw vectors.
+    ``refine=N`` re-ranks the ADC top-N on true vectors (pq_topk's
+    refine arm).
+
+    Everything runs on the 2^-10 integer grid (coarse assignment and
+    probe selection by integer L2 against PLAN-TIME LITERAL
+    centroids, PQ exactly as ``pq_topk``), so every distance is
+    BIGINT and the DuckDB oracle replays exact values. Documented
+    simplification vs classic IVFPQ: codebooks are GLOBAL over raw
+    vectors, not per-bucket residuals — residual encoding needs a
+    float subtract per dim before quantization, and the global form
+    keeps the operator integer-exact end to end; the refine arm
+    recovers the recall the residual trick would buy (gated in
+    tests).
+
+    Plan shape: coarse assignment and PQ encode are ONE narrow
+    projection (literals, zero joins); probes explode to (qid, cid)
+    rows and broadcast into an equi hash join on cid; the final rank
+    is WindowGroupLimit. No corpus shuffle anywhere.
+    """
+    from pyspark.sql.window import Window
+    if coarse is None:
+        coarse = ivf_centroids(corpus, n_centroids, iters, id_col,
+                               vec_col, hash_mode)
+    import math
+    cents = sorted((r["cid"], list(r["cvec"]))
+                   for r in coarse.collect())
+    cents_q = [[int(math.floor(float(v) * PQ_GRID)) for v in vec]
+               for _, vec in cents]
+    if cb is None:
+        cb = pq_codebooks(corpus, m, ksub, iters, id_col, vec_col,
+                          hash_mode)
+    m, dsub = len(cb), len(cb[0][0])
+    cents_lit = _cb_lit(cents_q)
+    enc = corpus.select(
+        F.col(id_col),
+        F.expr(_l2_argmin_expr(cents_q, _quant_expr(vec_col)))
+        .alias("cid"),
+        F.expr(_pq_code_expr(cb, _quant_expr(vec_col))).alias("codes"))
+    # probe list per query: the n_probe nearest centroids by the SAME
+    # integer metric (sort (dist, cid) structs, slice, project cid)
+    probe_expr = (
+        f"transform(slice(array_sort(transform("
+        f"sequence(0, {len(cents_q) - 1}),"
+        f" c -> named_struct('d', {_l2_dist_expr(cents_lit, 'c', '_qq')},"
+        f" 'c', c))), 1, {n_probe}), p -> p.c)")
+    qq = (queries.select(F.col(qid_col),
+                         F.expr(_quant_expr(qvec_col)).alias("_qq"))
+          .withColumn("cid", F.explode(F.expr(probe_expr))))
+    adc = " + ".join(
+        f"aggregate(zip_with(slice(_qq, {s * dsub + 1}, {dsub}),"
+        f" element_at({_cb_lit(cb[s])},"
+        f" element_at(codes, {s + 1}) + 1),"
+        f" (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"
+        for s in range(m))
+    w = Window.partitionBy(qid_col).orderBy("dist", id_col)
+    scan = (enc.join(F.broadcast(qq), "cid")
+            .filter(F.col(id_col) != F.col(qid_col))
+            .withColumn("dist", F.expr(adc).cast("long"))
+            .withColumn("rank", F.row_number().over(w).cast("long")))
+    if not refine:
+        return (scan.filter(F.col("rank") <= k)
+                .select(qid_col, "rank", id_col, "dist"))
+    cand = (scan.filter(F.col("rank") <= refine)
+            .select(qid_col, "_qq", id_col))
+    exact = (corpus
+             .select(F.col(id_col),
+                     F.expr(_quant_expr(vec_col)).alias("_xq"))
+             .join(F.broadcast(cand), id_col)
+             .withColumn("dist",
+                         F.expr("aggregate(zip_with(_qq, _xq,"
+                                " (a, b) -> (a - b) * (a - b)), 0L,"
+                                " (acc, v) -> acc + v)").cast("long")))
+    return (exact.withColumn("rank",
+                             F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, "rank", id_col, "dist"))

@@ -5368,3 +5368,90 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id long, v long")
+
+
+# ---- IVF-PQ composed ANN (datapipe/similarity.py) -------------------
+
+_IVFPQ_IP = ("(list_inner_product({a}, {a})"
+             " - 2 * list_inner_product({a}, {b})"
+             " + list_inner_product({b}, {b}))::BIGINT")
+
+
+def _ivfpq_oracle() -> str:
+    full = _IVFPQ_IP.format(a="q.eq", b="s.eq")
+    sub = _IVFPQ_IP.format(a="e.eq[ss.s*8+1 : ss.s*8+8]",
+                           b="sd.eq[ss.s*8+1 : ss.s*8+8]")
+    adc_sub = _IVFPQ_IP.format(a="qp.qq[c.s*8+1 : c.s*8+8]",
+                               b="sd.eq[c.s*8+1 : c.s*8+8]")
+    rr = _IVFPQ_IP.format(a="e.eq", b="qp.qq")
+    return f"""
+    WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> floor(x * 1024)::BIGINT) AS eq
+        FROM embeddings),
+    sd16 AS (SELECT eq, (row_number() OVER (ORDER BY hv, vid) - 1)::INT
+               AS cid
+             FROM (SELECT e.vec_id AS vid, eq,
+                     ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1,
+                      15))::BIGINT AS hv
+                   FROM e ORDER BY hv, vid LIMIT 16)),
+    sd8 AS (SELECT * FROM sd16 WHERE cid < 8),
+    cdist AS (SELECT q.vec_id, s.cid,
+                {_IVFPQ_IP.format(a="q.eq", b="s.eq")} AS d
+              FROM e q, sd8 s),
+    cassign AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+          ORDER BY d, cid) AS rn FROM cdist) WHERE rn = 1),
+    ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+    pdists AS (SELECT e.vec_id, ss.s, sd.cid, {sub} AS d
+               FROM e, ss, sd16 sd),
+    codes AS (SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+        FROM pdists) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, eq AS qq FROM e WHERE vec_id < 5),
+    qprobe AS (SELECT qid, qq, cid FROM (
+        SELECT q.qid, q.qq, s.cid,
+          row_number() OVER (PARTITION BY q.qid ORDER BY
+            {_IVFPQ_IP.format(a="q.qq", b="s.eq")}, s.cid) AS rn
+        FROM q, sd8 s) WHERE rn <= 3),
+    adc AS (SELECT qp.qid, c.vec_id, sum({adc_sub})::BIGINT AS dist
+            FROM codes c JOIN cassign a USING (vec_id)
+                 JOIN qprobe qp ON qp.cid = a.cid
+                 JOIN sd16 sd ON sd.cid = c.cid
+            WHERE c.vec_id != qp.qid
+            GROUP BY qp.qid, c.vec_id),
+    cand AS (SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+          ORDER BY dist, vec_id) AS rn FROM adc) WHERE rn <= 50),
+    rr AS (SELECT cand.qid, cand.vec_id, {rr} AS dist
+           FROM cand JOIN e ON e.vec_id = cand.vec_id
+                JOIN (SELECT DISTINCT qid, qq FROM qprobe) qp
+                  ON qp.qid = cand.qid)
+    SELECT qid, rank, vec_id, dist FROM (
+      SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid
+        ORDER BY dist, vec_id)::BIGINT AS rank
+      FROM rr) WHERE rank <= 10
+    """
+
+
+@query("ann_ivfpq_topk", oracle=None)  # oracle attached below
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (datapipe/similarity.py ivfpq_topk — the
+    FAISS IVFPQ production shape): coarse bucket assignment and probe
+    selection by integer grid L2 against plan-time literal centroids
+    (bottom-8 md5 seeds), PQ ADC within the 3 probed buckets only
+    (bottom-16 seed codebooks, global — the documented
+    integer-exact simplification of residual encoding), top-50
+    candidates re-ranked by exact grid L2. Every distance is BIGINT;
+    the oracle replays the full composition — assignment, probes,
+    codes, ADC, refine — value-exactly."""
+    from ..datapipe.similarity import ivfpq_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    return ivfpq_topk(emb, q, k=10, n_centroids=8, n_probe=3, m=8,
+                      ksub=16, iters=0, hash_mode="md5", refine=50)
+
+
+ORACLES["ann_ivfpq_topk"] = _ivfpq_oracle()
