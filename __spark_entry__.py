@@ -66,10 +66,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # window was already full of never-verified entries; all are locally
 # oracle-rehearsed in tests/test_oracle_queries.py): table_equality_
 # delete, table_incremental_read, table_stats_pruned_scan,
-# lm_bigram_surprisal, ann_pq_topk, group_sample_bottomk. Next round,
-# swap them in for whichever in-window entries earn green r04 rows. Round 3 learned this the
-# hard way — 17 queries registered at positions 51-67 got no driver
-# row despite having oracles. Priority here: (1) everything with NO
+# lm_bigram_surprisal, ann_pq_topk, ann_ivfpq_topk,
+# group_sample_bottomk, streaming_cdc_upsert. Next round, swap them
+# in for whichever in-window entries earn green r04 rows.
+#
+# Round 3 learned the ordering lesson the hard way — 17 queries
+# registered at positions 51-67 got no driver row despite having
+# oracles. Priority here: (1) everything with NO
 # driver-verified round yet (the r03 tail + this round's new
 # queries), then (2) the streaming/stateful/extraction/dedup queries
 # whose correctness is hardest to establish any other way; the pure-

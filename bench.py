@@ -87,8 +87,9 @@ BENCH_QUERIES = [
     "frontier_robots_filter",
     "search_hybrid_rrf", "transcript_tool_bigrams",
     "transcript_conv_stats",
-    # bigram LM, PQ ANN, bottom-k sampling (round-4 additions)
-    "lm_bigram_surprisal", "ann_pq_topk", "group_sample_bottomk",
+    # bigram LM, PQ / IVF-PQ ANN, bottom-k sampling (round-4 additions)
+    "lm_bigram_surprisal", "ann_pq_topk", "ann_ivfpq_topk",
+    "group_sample_bottomk",
     # skew_salted_extract is deliberately NOT here: at sf0.1 it
     # extracts a 10^6-turn hot conversation (a stress run, not a
     # suite row — BENCH/run_skew_probe.py records its histograms)
