@@ -1238,3 +1238,48 @@ def test_ivfpq_recall_floor_and_exact_refine(spark):
             (dd, i) for dd, i in zip(d, ids) if i != qid)[:10]}
         recs.append(len(got[qid] & exact10) / 10)
     assert sum(recs) / len(recs) >= 0.25, recs
+
+
+# ---- declarative data-quality validation ----------------------------
+
+
+def test_dq_each_kind_counts_violations(spark):
+    from textract_demo_spark.datapipe.dq import validate_constraints
+    df = spark.createDataFrame(
+        [(1, "a", 5, "en"), (2, None, 50, "en"), (2, "c", -1, "EN"),
+         (4, "d", 7, None)],
+        "id long, s string, n long, lang string")
+    out = {r.constraint: (r.violations, r.passed)
+           for r in validate_constraints(df, [
+               {"kind": "not_null", "col": "s"},
+               {"kind": "unique", "col": "id"},
+               {"kind": "range", "col": "n", "lo": 0, "hi": 10},
+               {"kind": "in_set", "col": "lang", "values": ["en"]},
+               {"kind": "matches", "col": "lang",
+                "pattern": "^[a-z]+$"},
+               {"kind": "row_count", "lo": 10},
+           ]).collect()}
+    assert out["not_null(s)"] == (1, False)
+    assert out["unique(id)"] == (1, False)       # id=2 twice
+    assert out["range(n)[0..10]"] == (2, False)  # 50 and -1
+    assert out["in_set(lang)"] == (2, False)     # 'EN' + NULL
+    assert out["matches(lang)"] == (2, False)    # 'EN' + NULL
+    assert out["row_count[10..]"] == (6, False)  # 4 rows, need 10
+    clean = validate_constraints(df, [{"kind": "row_count", "lo": 1}])
+    assert clean.collect()[0].passed
+
+
+def test_dq_single_pass_plan(spark):
+    """All constraints share one scan: the plan holds exactly one
+    parquet scan node and no join — N constraints must never become
+    N passes."""
+    from textract_demo_spark.datapipe.dq import validate_constraints
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    p = (validate_constraints(docs, [
+        {"kind": "not_null", "col": "text"},
+        {"kind": "range", "col": "n_chars", "lo": 0, "hi": 10**6},
+        {"kind": "row_count", "lo": 1},
+    ])._jdf.queryExecution().executedPlan().toString())
+    assert p.count("Scan parquet") == 1, p[:3000]
+    assert "Join" not in p

@@ -5455,3 +5455,55 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["ann_ivfpq_topk"] = _ivfpq_oracle()
+
+
+# ---- declarative data-quality validation (datapipe/dq.py) -----------
+
+
+@query(
+    "dq_validate_constraints",
+    oracle="""
+    WITH a AS (SELECT
+        sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS v0,
+        (count(doc_id) - count(DISTINCT doc_id))::BIGINT AS v1,
+        sum(CASE WHEN n_chars < 0 OR n_chars > 100000
+            THEN 1 ELSE 0 END)::BIGINT AS v2,
+        sum(CASE WHEN source IS NULL OR source NOT IN
+            ('web', 'wiki', 'code', 'chat') THEN 1 ELSE 0 END)
+          ::BIGINT AS v3,
+        sum(CASE WHEN lang IS NULL OR NOT regexp_matches(lang,
+            '^[a-z]{2}$') THEN 1 ELSE 0 END)::BIGINT AS v4,
+        (CASE WHEN count(*) < 10 THEN 10 - count(*) ELSE 0 END
+         + CASE WHEN count(*) > 1000000 THEN count(*) - 1000000
+           ELSE 0 END)::BIGINT AS v5
+      FROM documents)
+    SELECT * FROM (
+      SELECT 0::BIGINT AS seq, 'not_null(text)' AS constraint,
+             v0 AS violations, v0 = 0 AS passed FROM a
+      UNION ALL SELECT 1, 'unique(doc_id)', v1, v1 = 0 FROM a
+      UNION ALL SELECT 2, 'range(n_chars)[0..100000]', v2, v2 = 0 FROM a
+      UNION ALL SELECT 3, 'in_set(source)', v3, v3 = 0 FROM a
+      UNION ALL SELECT 4, 'matches(lang)', v4, v4 = 0 FROM a
+      UNION ALL SELECT 5, 'row_count[10..1000000]', v5, v5 = 0 FROM a)
+    """)
+def dq_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality validation (datapipe/dq.py
+    validate_constraints — the Deequ/Great-Expectations idea,
+    engine-native): six constraints over the documents table compile
+    into ONE aggregate pass (map-side partials collapse each
+    partition to one row; the exact-unique check rides the same scan
+    as an Expand two-stage aggregate). Violation counts are BIGINT,
+    replayed exactly by the oracle."""
+    from ..datapipe.dq import validate_constraints
+    docs = _t(spark, sf_dir, "documents")
+    return validate_constraints(docs, [
+        {"kind": "not_null", "col": "text"},
+        {"kind": "unique", "col": "doc_id"},
+        {"kind": "range", "col": "n_chars", "lo": 0, "hi": 100000},
+        {"kind": "in_set", "col": "source",
+         "values": ["web", "wiki", "code", "chat"],
+         "name": "in_set(source)"},
+        {"kind": "matches", "col": "lang", "pattern": "^[a-z]{2}$",
+         "name": "matches(lang)"},
+        {"kind": "row_count", "lo": 10, "hi": 1000000},
+    ])
