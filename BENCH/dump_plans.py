@@ -696,6 +696,34 @@ def main() -> None:
         " count warrants a rewrite.",
         formatted(tbl.read(spark))))
 
+    from textract_demo_spark.datapipe.dq import validate_constraints
+    sections.append((
+        "Declarative DQ validation (one-pass constraint report)",
+        "Every constraint is a conditional SUM in ONE global"
+        " aggregate: map-side partials collapse each partition to a"
+        " row, the exact-unique check rides the same scan via Expand,"
+        " and N constraints never become N scans (single Scan node,"
+        " no Join — plan-asserted in tests).",
+        formatted(validate_constraints(docs, [
+            {"kind": "not_null", "col": "text"},
+            {"kind": "unique", "col": "doc_id"},
+            {"kind": "range", "col": "n_chars", "lo": 0,
+             "hi": 10 ** 6},
+            {"kind": "row_count", "lo": 1},
+        ]))))
+
+    from textract_demo_spark.datapipe.similarity import ivfpq_topk
+    sections.append((
+        "IVF-PQ composed ANN (bucket probe + ADC + refine)",
+        "Coarse assignment AND PQ encode are one narrow"
+        " literal-codebook projection (zero joins); query probes"
+        " explode to (qid, cid) and broadcast into an EQUI hash join"
+        " on cid — the corpus never shuffles, never cartesians; the"
+        " ADC rank is WindowGroupLimit and the refine arm touches"
+        " queries x N candidate vectors only.",
+        formatted(ivfpq_topk(emb, qv, k=5, n_centroids=4, n_probe=2,
+                             iters=0, refine=20))))
+
     staged = with_part_key(out, 8).hint("rebalance", F.col(PART_COL))
     sections.append((
         "Commit staging write input (REBALANCE on the table partition"

@@ -89,7 +89,7 @@ BENCH_QUERIES = [
     "transcript_conv_stats",
     # bigram LM, PQ / IVF-PQ ANN, bottom-k sampling (round-4 additions)
     "lm_bigram_surprisal", "ann_pq_topk", "ann_ivfpq_topk",
-    "group_sample_bottomk",
+    "group_sample_bottomk", "dq_validate_constraints",
     # skew_salted_extract is deliberately NOT here: at sf0.1 it
     # extracts a 10^6-turn hot conversation (a stress run, not a
     # suite row — BENCH/run_skew_probe.py records its histograms)

@@ -77,6 +77,10 @@ Stages (each stage's shuffle budget is the design constraint at
 4. PII redaction     narrow per-row regex — zero shuffles
 5. decontamination   optional (--eval-input): broadcast shingle probe
 6. split assignment  pure (salt, id) hash — zero shuffles
+6b. DQ gate          optional (--dq-report): the standard
+                     constraint set over the curated output in
+                     ONE aggregate pass; report written next to
+                     the data, violations fail the run
 7. sequence packing  one shuffle of (id, n_tok) pairs; pack ids join
                      back onto the curated rows
 
@@ -117,6 +121,12 @@ def main() -> None:
                     help="lower band edge: ordered repetition scores"
                          " NEAR-ZERO under the bigram LM, so a floor"
                          " drops looping/boilerplate docs")
+    ap.add_argument("--dq-report", action="store_true",
+                    help="validate the CURATED output against the"
+                         " standard constraint set (one aggregate"
+                         " pass) and write the per-constraint report"
+                         " next to the data; a failed constraint"
+                         " fails the run")
     ap.add_argument("--cap-per-source", type=int, default=0,
                     help="keep at most K docs per source via bottom-k"
                          " consistent sampling (0 = off): exact"
@@ -444,6 +454,29 @@ def main() -> None:
     d = with_hash_sample(with_split_assignment(d), fraction=0.1)
     d = d.persist()
     stats["curated"] = d.count()
+
+    # 6b. optional data-quality gate on the curated output: the
+    # standard constraint set in ONE aggregate pass (datapipe/dq.py);
+    # the report lands next to the data and a violation fails the run
+    # (a curation job must not silently ship a broken table)
+    if args.dq_report:
+        from textract_demo_spark.datapipe.dq import validate_constraints
+        report = validate_constraints(d, [
+            {"kind": "not_null", "col": "text"},
+            {"kind": "not_null", "col": "doc_id"},
+            {"kind": "unique", "col": "doc_id"},
+            {"kind": "range", "col": "n_tokens", "lo": 0},
+            {"kind": "in_set", "col": "split",
+             "values": ["train", "val", "test"],
+             "name": "in_set(split)"},
+            {"kind": "row_count", "lo": 1},
+        ])
+        report.write.mode("overwrite").parquet(f"{args.out}/dq_report")
+        failed = [r.constraint for r in report.collect()
+                  if not r.passed]
+        stats["dq_failed"] = failed
+        if failed:
+            raise SystemExit(f"DQ constraints failed: {failed}")
 
     # 7. pack the training split into context-length bins
     packs = pack_greedy(d.filter(F.col("split") == "train"),

@@ -485,3 +485,23 @@ def test_run_curate_bigram_lm_and_source_cap(spark, tmp_path, capsys,
     per_src = {r.source: r["count"] for r in
                out.groupBy("source").count().collect()}
     assert all(v <= 4 for v in per_src.values()), per_src
+
+
+def test_run_curate_dq_report(spark, tmp_path, capsys, monkeypatch):
+    """--dq-report writes a per-constraint report next to the data
+    and the standard set passes on a healthy run."""
+    monkeypatch.setattr(sys, "argv", [
+        "run_curate.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(tmp_path / "curated"), "--dq-report",
+        "--pack-budget", "256", "--pack-shards", "4",
+    ])
+    import importlib
+    import jobs.run_curate as rc
+    importlib.reload(rc)
+    rc.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line)["stats"]["dq_failed"] == []
+    rep = spark.read.parquet(str(tmp_path / "curated" / "dq_report"))
+    rows = {r.constraint: r.passed for r in rep.collect()}
+    assert len(rows) == 6 and all(rows.values())
