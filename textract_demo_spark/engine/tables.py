@@ -371,11 +371,15 @@ class IcebergLike:
             d = os.path.join(self.data_dir, f"{PART_COL}={k}")
             if not os.path.isdir(d):
                 continue
+            cands = [f for f in os.listdir(d)
+                     if f.endswith(".parquet") and f.startswith("s")
+                     and "-" in f and f.split("-", 1)[0][1:].isdigit()]
+            if not cands:
+                continue  # manifest JSON read only when needed: the
+                # sweep must stay cheap at 10^5 partitions per open
             listed = set((self.manifest(k) or {}).get("files", []))
-            for f in os.listdir(d):
-                if (f.endswith(".parquet") and f.startswith("s")
-                        and "-" in f and f not in listed
-                        and f.split("-", 1)[0][1:].isdigit()):
+            for f in cands:
+                if f not in listed:
                     os.remove(os.path.join(d, f))
 
     def upsert(self, df: DataFrame, eq_cols: list[str],
