@@ -327,3 +327,30 @@ def test_schema_evolution_on_append(spark, table):
     # time travel to the pre-evolution snapshot: original schema
     old = table.read(spark, snapshot_id=pre)
     assert "lang" not in old.columns
+
+
+def test_metadata_tables(spark, table):
+    """meta_snapshots / meta_files / meta_partitions surface the
+    manifests as DataFrames consistent with the physical state."""
+    table.write(_wave(spark, 100, 120), append=True)
+    table.delete_rows(spark.createDataFrame([(1,)], "doc_id long"),
+                      ["doc_id"])
+    snaps = {r.snapshot_id: r.op
+             for r in table.meta_snapshots(spark).collect()}
+    assert snaps[0] == "append" and "delete" in snaps.values()
+    files = table.meta_files(spark).collect()
+    assert all(r.size_bytes and r.size_bytes > 0 for r in files)
+    # per-file sequence numbers: base write 0, appended files 1
+    seqs = {r.data_snapshot_id for r in files}
+    assert seqs == {0, 1}
+    parts = {r.part_key: r for r in
+             table.meta_partitions(spark).collect()}
+    for k in table.committed_keys():
+        m = table.manifest(k)
+        assert parts[k].n_files == len(m["files"])
+        assert parts[k].rows == m["metrics"]["rows"]
+    # file rows match the physical listing
+    import os
+    for r in files[:5]:
+        assert os.path.exists(os.path.join(
+            table.data_dir, f"part_key={r.part_key}", r.file))

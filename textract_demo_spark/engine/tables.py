@@ -900,3 +900,69 @@ def write_bucketed(df: DataFrame, table: str, path: str,
     if sort:
         w = w.sortBy(*keys)
     w.option("path", path).format("parquet").saveAsTable(table)
+
+
+def _meta_snapshots(self, spark: SparkSession) -> DataFrame:
+    """Iceberg ``t.snapshots`` metadata-table analog: commit history
+    as a DataFrame (driver-side, manifests only — no data files
+    touched)."""
+    rows = [(int(s.get("snapshot_id", -1)),
+             str(s.get("op", "append")),
+             str(s.get("run_id", "")),
+             len(s.get("committed_keys", [])),
+             len(s.get("newly_committed", [])))
+            for s in self.snapshots()]
+    return spark.createDataFrame(
+        rows or [(None, None, None, None, None)],
+        "snapshot_id long, op string, run_id string,"
+        " n_committed_keys int, n_newly_committed int").filter(
+        F.col("snapshot_id").isNotNull())
+
+
+def _meta_files(self, spark: SparkSession) -> DataFrame:
+    """Iceberg ``t.files`` analog: one row per live data file with
+    its partition, sequence number and size — the operational view
+    behind compaction targeting and skew checks."""
+    rows = []
+    for k in sorted(self.committed_keys()):
+        m = self.manifest(k) or {}
+        fseq = m.get("file_seq") or {}
+        base = int(m.get("data_snapshot_id", 0))
+        for f in m.get("files", []):
+            p = os.path.join(self.data_dir, f"{PART_COL}={k}", f)
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                size = None
+            rows.append((k, f, int(fseq.get(f, base)), size))
+    return spark.createDataFrame(
+        rows or [(None, None, None, None)],
+        f"{PART_COL} int, file string, data_snapshot_id long,"
+        " size_bytes long").filter(F.col("file").isNotNull())
+
+
+def _meta_partitions(self, spark: SparkSession) -> DataFrame:
+    """Iceberg ``t.partitions`` analog: per-partition file count, row
+    metric and recorded column stats."""
+    rows = []
+    for k in sorted(self.committed_keys()):
+        m = self.manifest(k) or {}
+        rows.append((k, str(m.get("run_id", "")),
+                     len(m.get("files", [])),
+                     (m.get("metrics") or {}).get("rows"),
+                     json.dumps(m.get("col_stats"))
+                     if m.get("col_stats") else None))
+    return spark.createDataFrame(
+        rows or [(None, None, None, None, None)],
+        f"{PART_COL} int, run_id string, n_files int, rows long,"
+        " col_stats_json string").filter(
+        F.col(PART_COL).isNotNull())
+
+
+# Iceberg metadata-table analogs (``SELECT * FROM t.files`` etc.):
+# the manifests surfaced AS DataFrames, so operational queries — file
+# counts, skew, commit history, stats coverage — run in SQL instead
+# of ad-hoc JSON spelunking.
+IcebergLike.meta_snapshots = _meta_snapshots
+IcebergLike.meta_files = _meta_files
+IcebergLike.meta_partitions = _meta_partitions
