@@ -354,3 +354,65 @@ def test_metadata_tables(spark, table):
     for r in files[:5]:
         assert os.path.exists(os.path.join(
             table.data_dir, f"part_key={r.part_key}", r.file))
+
+
+def test_read_incremental_file_granular_appends(spark, table):
+    """Appends into EXISTING partitions must show up in the
+    incremental read (file-granular, not a partition-set diff)."""
+    s0 = table.snapshots()[-1]["snapshot_id"]
+    table.write(_wave(spark, 100, 130), append=True)  # same buckets
+    inc = table.read_incremental(spark, s0)
+    assert _ids(inc) == list(range(100, 130))
+
+
+def test_read_changes_changelog(spark, table):
+    """Changelog scan: deletes emit the tombstoned rows, upserts emit
+    the delete(old)+insert(new) pair, in-window insert+delete nets
+    out, and pre-window rows never appear."""
+    s0 = table.snapshots()[-1]["snapshot_id"]
+    # delete 5 existing rows
+    table.delete_rows(
+        spark.createDataFrame([(i,) for i in range(5)], "doc_id long"),
+        ["doc_id"])
+    # upsert 3 rows (replace) + 2 brand-new
+    up = (spark.createDataFrame(
+              [(i, 500) for i in (10, 11, 12, 200, 201)],
+              "doc_id long, v long")
+          .select(F.concat(F.lit("c"), F.col("doc_id").cast("string"))
+                  .alias("conv_id"), "doc_id", "v"))
+    table.upsert(with_part_key(up, 4), ["doc_id"])
+    # insert then delete inside the window: nets out entirely
+    table.write(_wave(spark, 300, 305), append=True)
+    table.delete_rows(
+        spark.createDataFrame([(i,) for i in range(300, 305)],
+                              "doc_id long"), ["doc_id"])
+    ch = table.read_changes(spark, s0)
+    ins = {(r.doc_id, r.v) for r in ch.collect()
+           if r._change_type == "insert"}
+    dels = {(r.doc_id, r.v) for r in ch.collect()
+            if r._change_type == "delete"}
+    assert ins == {(i, 500) for i in (10, 11, 12, 200, 201)}
+    assert dels == ({(i, i % 7) for i in range(5)}
+                    | {(i, i % 7) for i in (10, 11, 12)})
+    # consistency: read(a) + changes == read(now), as dicts
+    base = {r.doc_id: r.v for r in
+            table.read(spark, snapshot_id=s0)
+            .select("doc_id", "v").collect()}
+    for d, _ in dels:
+        base.pop(d)
+    for i, v in ins:
+        base[i] = v
+    now = {r.doc_id: r.v for r in
+           table.read(spark).select("doc_id", "v").collect()}
+    assert base == now
+
+
+def test_time_travel_excludes_later_appends(spark, table):
+    """The bug read_changes exposed: appended files land in
+    already-committed partition DIRS, so the partition-set filter
+    alone would leak post-snapshot rows into a historical read —
+    time travel must also filter by per-file sequence."""
+    s0 = table.snapshots()[-1]["snapshot_id"]
+    table.write(_wave(spark, 100, 130), append=True)
+    assert _ids(table.read(spark, snapshot_id=s0)) == list(range(100))
+    assert _ids(table.read(spark)) == list(range(130))

@@ -590,7 +590,27 @@ class IcebergLike:
         parquet footer sampling, and partitions written before a
         schema evolution read consistently (missing columns as null).
         Snapshots resolve by their embedded snapshot_id, never by
-        list position."""
+        list position. Time travel filters by PER-FILE sequence
+        number, not just the partition set — append mode adds
+        later-sequenced files into already-committed partition dirs,
+        and a snapshot read must not see them."""
+        ann = self._read_annotated(spark, snapshot_id)
+        if isinstance(ann, DataFrame) and "_dseq" not in ann.columns:
+            return ann  # empty-snapshot frame (no data to scan)
+        if apply_deletes:
+            for eq_cols, d in self._delete_dims(
+                    spark, self._delete_snapshots(upto=snapshot_id)):
+                ann = ann.join(F.broadcast(d),
+                               self._del_cond(eq_cols), "left_anti")
+        return ann.drop("_dseq")
+
+    def _read_annotated(self, spark: SparkSession,
+                        snapshot_id: int | None) -> DataFrame:
+        """The scan every read path shares: schema-pinned glob scan,
+        ``_dseq`` per-file sequence annotation (attached HERE because
+        ``input_file_name()`` rejects multi-source plans), and — for
+        time travel — the partition AND file-sequence filters of the
+        requested snapshot. Callers drop ``_dseq`` when done."""
         snaps = self.snapshots()
         if snapshot_id is None:
             snap = snaps[-1] if snaps else None
@@ -616,8 +636,9 @@ class IcebergLike:
         if snapshot_id is not None:
             df = df.filter(F.col(PART_COL).isin(
                 [int(k) for k in snap["committed_keys"]]))
-        if apply_deletes:
-            df = self._apply_deletes(spark, df, snapshot_id)
+        df = self._annotate_seq(spark, df)
+        if snapshot_id is not None:
+            df = df.filter(F.col("_dseq") <= snapshot_id)
         return df
 
     # -- equality deletes (merge-on-read) -------------------------------------
@@ -650,22 +671,29 @@ class IcebergLike:
             f"{PART_COL} int, _fname string, _dseq long").filter(
             F.col("_fname").isNotNull())
 
-    def _apply_deletes(self, spark: SparkSession, df: DataFrame,
-                       snapshot_id: int | None) -> DataFrame:
-        dels = self._delete_snapshots(upto=snapshot_id)
-        if not dels:
-            return df
-        df = (df.withColumn(
-                  "_fname",
-                  F.element_at(F.split(F.input_file_name(), "/"), -1))
-              .join(F.broadcast(self._file_seq_df(spark)),
-                    [PART_COL, "_fname"], "left")
-              .withColumn("_dseq", F.coalesce(F.col("_dseq"),
-                                              F.lit(0).cast("long")))
-              .drop("_fname"))
+    def _annotate_seq(self, spark: SparkSession,
+                      df: DataFrame) -> DataFrame:
+        """Attach each row's file sequence number as ``_dseq``. MUST
+        run directly on the scan frame: ``input_file_name()`` rejects
+        plans that already contain more than one source."""
+        return (df.withColumn(
+                    "_fname",
+                    F.element_at(F.split(F.input_file_name(), "/"), -1))
+                .join(F.broadcast(self._file_seq_df(spark)),
+                      [PART_COL, "_fname"], "left")
+                .withColumn("_dseq", F.coalesce(F.col("_dseq"),
+                                                F.lit(0).cast("long")))
+                .drop("_fname"))
+
+    def _delete_dims(self, spark: SparkSession,
+                     dels: list[dict]) -> list[tuple[tuple[str, ...],
+                                                     DataFrame]]:
+        """Window the delete files into per-eq_cols dimension frames
+        carrying their snapshot id as ``_delseq``."""
         by_cols: dict[tuple[str, ...], list[dict]] = {}
         for s in dels:
             by_cols.setdefault(tuple(s["eq_cols"]), []).append(s)
+        out = []
         for eq_cols, group in by_cols.items():
             frames = []
             for s in group:
@@ -679,10 +707,25 @@ class IcebergLike:
             d = frames[0]
             for f in frames[1:]:
                 d = d.unionByName(f)
-            cond = F.col("_delseq") >= F.col("_dseq")
-            for c in eq_cols:
-                cond = cond & (F.col(c) == F.col(f"_del_{c}"))
-            df = df.join(F.broadcast(d), cond, "left_anti")
+            out.append((eq_cols, d))
+        return out
+
+    @staticmethod
+    def _del_cond(eq_cols: tuple[str, ...]):
+        cond = F.col("_delseq") >= F.col("_dseq")
+        for c in eq_cols:
+            cond = cond & (F.col(c) == F.col(f"_del_{c}"))
+        return cond
+
+    def _apply_deletes(self, spark: SparkSession, df: DataFrame,
+                       snapshot_id: int | None) -> DataFrame:
+        dels = self._delete_snapshots(upto=snapshot_id)
+        if not dels:
+            return df
+        df = self._annotate_seq(spark, df)
+        for eq_cols, d in self._delete_dims(spark, dels):
+            df = df.join(F.broadcast(d), self._del_cond(eq_cols),
+                         "left_anti")
         return df.drop("_dseq")
 
     def delete_rows(self, keys_df: DataFrame, eq_cols: list[str],
@@ -796,27 +839,105 @@ class IcebergLike:
 
     # -- incremental scan ------------------------------------------------------
 
-    def read_incremental(self, spark: SparkSession, from_snapshot_id: int,
-                         to_snapshot_id: int | None = None) -> DataFrame:
-        """Rows appended AFTER ``from_snapshot_id`` up to
-        ``to_snapshot_id`` (default: latest) — the Iceberg
-        incremental-scan analog. Committed partitions are immutable,
-        so the diff of the two snapshots' committed-key sets is
-        exactly the appended data; deletes in the window apply under
-        the same sequence rule as ``read``."""
-        snaps = {s["snapshot_id"]: s for s in self.snapshots()}
+    def _resolve_window(self, from_snapshot_id: int,
+                        to_snapshot_id: int | None) -> tuple[int, int]:
+        snaps = {s["snapshot_id"] for s in self.snapshots()}
         if from_snapshot_id not in snaps:
             raise ValueError(f"no snapshot {from_snapshot_id}")
         if to_snapshot_id is None:
             to_snapshot_id = max(snaps)
         if to_snapshot_id not in snaps:
             raise ValueError(f"no snapshot {to_snapshot_id}")
-        before = set(snaps[from_snapshot_id]["committed_keys"])
-        after = set(snaps[to_snapshot_id]["committed_keys"])
-        new_keys = sorted(after - before)
-        full = self.read(spark, snapshot_id=to_snapshot_id)
-        return full.filter(F.col(PART_COL).isin(
-            [int(k) for k in new_keys]) if new_keys else F.lit(False))
+        return from_snapshot_id, to_snapshot_id
+
+    def _window_files(self, lo_excl: int, hi_incl: int
+                      ) -> dict[int, set[str]]:
+        """Live data files whose sequence number falls in
+        (lo_excl, hi_incl], per partition — FILE-granular (append mode
+        adds files to existing partitions, so a partition-set diff
+        alone under-reports)."""
+        out: dict[int, set[str]] = {}
+        for k in sorted(self.committed_keys()):
+            m = self.manifest(k) or {}
+            fseq = m.get("file_seq") or {}
+            base = int(m.get("data_snapshot_id", 0))
+            hits = {f for f in m.get("files", [])
+                    if lo_excl < int(fseq.get(f, base)) <= hi_incl}
+            if hits:
+                out[k] = hits
+        return out
+
+    def read_incremental(self, spark: SparkSession, from_snapshot_id: int,
+                         to_snapshot_id: int | None = None) -> DataFrame:
+        """Rows appended AFTER ``from_snapshot_id`` up to
+        ``to_snapshot_id`` (default: latest) — the Iceberg
+        incremental-scan analog, FILE-granular: new partitions and
+        files appended into existing partitions both count (the row
+        filter is simply ``_dseq`` in the window — the same per-file
+        sequence annotation delete scoping uses, attached once at
+        scan level). Deletes in the window apply under the same
+        sequence rule as ``read``. Caveat shared with ``read``: files
+        rewritten by compaction/materialization carry merged sequence
+        numbers (documented there)."""
+        a, b = self._resolve_window(from_snapshot_id, to_snapshot_id)
+        files = self._window_files(a, b)
+        if not files:
+            return (self.read(spark, snapshot_id=b)
+                    .filter(F.lit(False)))
+        df = (self._read_annotated(spark, b)
+              .filter(F.col(PART_COL).isin(list(files)))
+              .filter(F.col("_dseq") > a))
+        for eq_cols, d in self._delete_dims(
+                spark, self._delete_snapshots(upto=b)):
+            df = df.join(F.broadcast(d), self._del_cond(eq_cols),
+                         "left_anti")
+        return df.drop("_dseq")
+
+    def read_changes(self, spark: SparkSession, from_snapshot_id: int,
+                     to_snapshot_id: int | None = None) -> DataFrame:
+        """NET row-level changes between two snapshots — the Iceberg
+        changelog-scan (CDC read) analog: every output row carries
+        ``_change_type`` ∈ {'insert', 'delete'}.
+
+        - insert = a row visible at ``to`` that was not visible at
+          ``from`` (file-granular incremental read, window deletes
+          already applied — a row inserted AND deleted inside the
+          window nets out);
+        - delete = a row visible at ``from`` that a window delete
+          tombstones under the sequence rule (an upsert therefore
+          emits delete(old) + insert(new), the classic changelog
+          pair).
+
+        Valid while the window's delete files are retained
+        (``materialize_deletes`` expires them — documented deviation
+        shared with time travel)."""
+        a, b = self._resolve_window(from_snapshot_id, to_snapshot_id)
+        inserts = (self.read_incremental(spark, a, b)
+                   .withColumn("_change_type", F.lit("insert")))
+        window_dels = [s for s in self._delete_snapshots(upto=b)
+                       if s["snapshot_id"] > a]
+        # annotate ONCE at scan level (input_file_name rejects
+        # multi-source plans), then derive visible-at-a (anti-join
+        # deletes <= a) and the tombstoned set (semi-join window
+        # deletes) from the same annotated frame
+        ann = self._read_annotated(spark, a)
+        for eq_cols, d in self._delete_dims(
+                spark, self._delete_snapshots(upto=a)):
+            ann = ann.join(F.broadcast(d), self._del_cond(eq_cols),
+                           "left_anti")
+        deleted = ann.filter(F.lit(False))
+        if window_dels:
+            hits = [ann.join(F.broadcast(d), self._del_cond(eq_cols),
+                             "left_semi")
+                    for eq_cols, d in self._delete_dims(spark,
+                                                        window_dels)]
+            deleted = hits[0]
+            for h in hits[1:]:
+                deleted = deleted.unionByName(h)
+            deleted = deleted.distinct()
+        deleted = (deleted.drop("_dseq")
+                   .withColumn("_change_type", F.lit("delete")))
+        return inserts.unionByName(deleted.select(inserts.columns))
 
     # -- stats-pruned scan -----------------------------------------------------
 
