@@ -594,15 +594,38 @@ class IcebergLike:
         number, not just the partition set — append mode adds
         later-sequenced files into already-committed partition dirs,
         and a snapshot read must not see them."""
+        dels = (self._delete_snapshots(upto=snapshot_id)
+                if apply_deletes else [])
+        if snapshot_id is None and not dels:
+            # fast path: a plain latest-read with nothing to scope
+            # stays a bare scan (no annotation join in the plan)
+            return self._plain_scan(spark)
         ann = self._read_annotated(spark, snapshot_id)
-        if isinstance(ann, DataFrame) and "_dseq" not in ann.columns:
+        if "_dseq" not in ann.columns:
             return ann  # empty-snapshot frame (no data to scan)
-        if apply_deletes:
-            for eq_cols, d in self._delete_dims(
-                    spark, self._delete_snapshots(upto=snapshot_id)):
-                ann = ann.join(F.broadcast(d),
-                               self._del_cond(eq_cols), "left_anti")
+        for eq_cols, d in self._delete_dims(spark, dels):
+            ann = ann.join(F.broadcast(d),
+                           self._del_cond(eq_cols), "left_anti")
         return ann.drop("_dseq")
+
+    def _plain_scan(self, spark: SparkSession) -> DataFrame:
+        """Bare latest-state scan (schema-pinned glob), no sequence
+        annotation — the zero-join path for tables with no pending
+        deletes and no time-travel request."""
+        snaps = self.snapshots()
+        snap = snaps[-1] if snaps else None
+        schema = self._stored_schema(snap)
+        if snap is not None and not snap["committed_keys"]:
+            if schema is None:
+                raise ValueError(
+                    f"snapshot {snap.get('snapshot_id')} has no"
+                    " committed partitions and records no schema")
+            return spark.createDataFrame([], schema=schema)
+        reader = spark.read.option("basePath", self.data_dir)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(
+            os.path.join(self.data_dir, f"{PART_COL}=*"))
 
     def _read_annotated(self, spark: SparkSession,
                         snapshot_id: int | None) -> DataFrame:
