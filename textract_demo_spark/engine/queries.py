@@ -5507,3 +5507,69 @@ def dq_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
          "name": "matches(lang)"},
         {"kind": "row_count", "lo": 10, "hi": 1000000},
     ])
+
+
+# ---- changelog scan (engine/tables.py read_changes) -----------------
+
+
+@query("table_changelog_scan", oracle="""
+    SELECT doc_id::BIGINT AS doc_id, length(text)::BIGINT AS n_chars,
+           'delete' AS _change_type
+    FROM documents WHERE doc_id < 150 AND doc_id % 10 = 3
+    UNION ALL
+    SELECT doc_id::BIGINT, (length(text) + 7)::BIGINT, 'delete'
+    FROM documents WHERE doc_id < 150 AND doc_id % 10 = 6
+    UNION ALL
+    SELECT doc_id::BIGINT, 777::BIGINT, 'insert'
+    FROM documents WHERE doc_id < 170 AND doc_id % 10 = 6
+    UNION ALL
+    SELECT doc_id::BIGINT, length(text)::BIGINT, 'insert'
+    FROM documents WHERE doc_id >= 150 AND doc_id < 170
+          AND doc_id % 10 != 6
+""")
+def table_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog scan / CDC read (engine/tables.py read_changes): the
+    snapshot window holds a tombstone delete (doc_id%10==3), an
+    upsert over keys 0..170 ending in 6 (n_chars := 777 — emits the
+    delete(old)+insert(new) pair for existing keys and a bare insert
+    for new ones), a plain append of 150..170, and an insert+delete
+    of 900..905 that must NET OUT. n_chars is perturbed (+7) for the
+    upserted pre-existing keys at WRITE time so the oracle can tell
+    old values from new in the delete arm. The whole change set is
+    predicted relationally."""
+    import shutil
+    import tempfile
+
+    from .tables import IcebergLike, with_part_key
+
+    def kv(lo, hi, bump_6=False):
+        d = _docs_kv(spark, sf_dir, lo, hi)
+        if bump_6:
+            d = d.withColumn(
+                "n_chars",
+                F.when(F.col("doc_id") % 10 == 6,
+                       F.col("n_chars") + 7).otherwise(F.col("n_chars")))
+        return d
+    base = tempfile.mkdtemp(prefix="table_chg_q_")
+    try:
+        t = IcebergLike(base)
+        t.write(_offset_parts(kv(0, 150, bump_6=True), 0))
+        s0 = t.snapshots()[-1]["snapshot_id"]
+        t.delete_rows(kv(0, 150).filter(F.col("doc_id") % 10 == 3)
+                      .select("doc_id"), ["doc_id"])
+        up = (kv(0, 170).filter(F.col("doc_id") % 10 == 6)
+              .withColumn("n_chars", F.lit(777).cast("long")))
+        t.upsert(_offset_parts(up, 0), ["doc_id"])
+        t.write(_offset_parts(
+            kv(150, 170).filter(F.col("doc_id") % 10 != 6), 4))
+        # insert + delete inside the window: nets out
+        extra = (kv(0, 5).withColumn("doc_id",
+                                     F.col("doc_id") + 900))
+        t.write(_offset_parts(extra, 8))
+        t.delete_rows(extra.select("doc_id"), ["doc_id"])
+        rows = (t.read_changes(spark, s0)
+                .select("doc_id", "n_chars", "_change_type").collect())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, n_chars long, _change_type string")
