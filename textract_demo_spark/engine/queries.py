@@ -5573,3 +5573,67 @@ def table_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         rows, "doc_id long, n_chars long, _change_type string")
+
+
+# ---- incremental sketch rollup (tables.read_incremental x
+# sketch.hll_merge) ---------------------------------------------------
+
+
+@query("table_sketch_rollup", oracle=r"""
+    WITH h AS (SELECT source,
+        ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+      FROM documents WHERE doc_id < 500),
+    b AS (SELECT source, h % 256 AS bucket, h // 256 AS w FROM h),
+    r AS (SELECT source, bucket,
+            CASE WHEN w = 0 THEN 53
+                 ELSE 52 - (length(bin(w)) - 1) END AS rho
+          FROM b)
+    SELECT source, bucket::BIGINT AS bucket, max(rho)::BIGINT AS rho
+    FROM r GROUP BY source, bucket
+""")
+def table_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental metrics maintenance WITHOUT corpus rescans: the
+    stored per-source HLL registers of wave 1 merge with a sketch
+    built over ONLY ``read_incremental``'s rows after wave 2 appends
+    into the SAME partitions (file-granular increments). The oracle
+    builds the sketch over the full union — a green row certifies
+    both the incremental read (any leaked/missed row would flip a
+    register with probability ~1 per row) and the sketch merge law
+    ``merge(build(A), build(B)) == build(A ∪ B)`` relationally, at
+    once. This is the 100-TB operating mode for table statistics:
+    per-snapshot sketch + merge, never a rescan."""
+    import shutil
+    import tempfile
+
+    from ..datapipe.sketch import hll_merge, hll_registers
+    from .tables import IcebergLike, with_part_key
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 500)
+            .select(F.concat(F.lit("c"), F.col("doc_id").cast("string"))
+                    .alias("conv_id"),
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    "source", "text"))
+    base = tempfile.mkdtemp(prefix="table_hll_q_")
+    try:
+        t = IcebergLike(base)
+        t.write(with_part_key(docs.filter("doc_id < 300"), 4))
+        s0 = t.snapshots()[-1]["snapshot_id"]
+        sk1 = hll_registers(t.read(spark), value_col="text",
+                            group_cols=("source",), p=8,
+                            hash_mode="md5")
+        sk1_rows = sk1.collect()  # the "stored" per-snapshot sketch
+        t.write(with_part_key(docs.filter("doc_id >= 300"), 4),
+                append=True)
+        inc = t.read_incremental(spark, s0)
+        sk2 = hll_registers(inc, value_col="text",
+                            group_cols=("source",), p=8,
+                            hash_mode="md5")
+        stored = spark.createDataFrame(
+            sk1_rows, "source string, bucket long, rho long")
+        rows = (hll_merge(stored, sk2)
+                .select("source", "bucket", "rho").collect())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "source string, bucket long, rho long")
