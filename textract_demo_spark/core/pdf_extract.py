@@ -129,11 +129,22 @@ def _decode_pdf_string(tok: bytes) -> str:
 _TOKEN_RE = re.compile(
     rb"\((?:[^()\\]|\\.)*\)"      # string literal
     rb"|\[|\]"                      # array delims (TJ)
-    rb"|<<|>>"                      # dict delims
+    rb"|<<|>>"                      # dict delims (before hex: << wins)
+    rb"|<[0-9A-Fa-f\s]*>"          # hex string literal
     rb"|/[^\s\[\]()<>/]*"          # name
     rb"|[-+]?\d*\.?\d+"            # number
     rb"|[A-Za-z'\"*]+",            # operator
 )
+
+
+def _decode_pdf_hex(tok: bytes) -> str:
+    """Decode a <...> PDF hex string body (whitespace ignored; an odd
+    final digit is padded with 0 per spec 7.3.4.3). Bytes map to the
+    same latin-1 code points as literal strings."""
+    digits = re.sub(rb"\s+", b"", tok[1:-1])
+    if len(digits) % 2:
+        digits += b"0"
+    return "".join(chr(b) for b in bytes.fromhex(digits.decode("ascii")))
 
 
 class _Run:
@@ -161,8 +172,9 @@ def _interpret(stream: bytes) -> list[_Run]:
     array_strings: list[str] = []
     for m in _TOKEN_RE.finditer(stream):
         tok = m.group(0)
-        if tok.startswith(b"("):
-            s = _decode_pdf_string(tok[1:-1])
+        if tok.startswith(b"(") or (tok.startswith(b"<") and tok != b"<<"):
+            s = (_decode_pdf_string(tok[1:-1]) if tok.startswith(b"(")
+                 else _decode_pdf_hex(tok))
             if in_array:
                 array_strings.append(s)
             else:
@@ -216,8 +228,8 @@ def _interpret(stream: bytes) -> list[_Run]:
         elif op == b"T*":
             y -= leading
             stack.clear()
-        elif op in (b"Tj", b"TJ", b"'"):
-            if op == b"'":
+        elif op in (b"Tj", b"TJ", b"'", b'"'):
+            if op in (b"'", b'"'):  # both move to next line first
                 y -= leading
             if stack and stack[-1][0] == "str":
                 s = stack[-1][1]

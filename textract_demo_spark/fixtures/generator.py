@@ -236,6 +236,14 @@ def _build_pdf(seed: int, conv_id: str, turn_idx: int,
     import zlib
 
     h = lambda s: _h(seed, conv_id, turn_idx, s)  # noqa: E731
+
+    def show(s: str, hexed: bool) -> str:
+        # every third line (deterministic) uses a hex string literal —
+        # many real PDF producers emit hex exclusively (spec 7.3.4.3)
+        if hexed:
+            return "<" + "".join(f"{ord(c):02X}" for c in s) + "> Tj"
+        return f"({s}) Tj"
+
     ops: list[str] = []
     rendered: list[str] = []
     kvs: list[tuple[str, str] | None] = []
@@ -244,14 +252,15 @@ def _build_pdf(seed: int, conv_id: str, turn_idx: int,
         kv = split_key_value(line)
         two_col = kv is not None and h(f"twocol{i}") % 2 == 0 \
             and len(kv[0]) <= 30
+        hexed = h(f"hex{i}") % 3 == 0
         if two_col:
             key, value = kv
-            ops.append(f"BT /F1 12 Tf 72 {y} Td ({key}) Tj ET")
-            ops.append(f"BT /F1 12 Tf 400 {y} Td ({value}) Tj ET")
+            ops.append(f"BT /F1 12 Tf 72 {y} Td {show(key, hexed)} ET")
+            ops.append(f"BT /F1 12 Tf 400 {y} Td {show(value, hexed)} ET")
             rendered.append(f"{key} {value}")
             kvs.append((key, value))
         else:
-            ops.append(f"BT /F1 12 Tf 72 {y} Td ({line}) Tj ET")
+            ops.append(f"BT /F1 12 Tf 72 {y} Td {show(line, hexed)} ET")
             rendered.append(line)
             kvs.append(split_key_value(line))
         y -= 20
