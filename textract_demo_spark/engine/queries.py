@@ -5133,6 +5133,42 @@ def table_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, n_chars long")
 
 
+@query("table_zorder_scan", oracle="""
+    SELECT doc_id::BIGINT AS doc_id, length(text)::BIGINT AS n_chars
+    FROM documents WHERE length(text) >= 200 AND length(text) <= 320
+""")
+def table_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (engine/tables.py zorder_part_key — the
+    Delta OPTIMIZE ZORDER / Iceberg z-sort-order analog): partitions
+    cover contiguous Morton-curve ranges over (doc_id, n_chars), so
+    manifest min/max stats are tight in BOTH dimensions and
+    ``read_where`` prunes on either column — a linear layout prunes
+    on only its sort key. The query scans a range of n_chars (the
+    column the data was NOT originally ordered by), asserts the
+    manifests pruned partitions for it AND for an independent doc_id
+    probe, and returns rows equal to a plain range filter."""
+    import shutil
+    import tempfile
+
+    from .tables import IcebergLike, zorder_part_key
+    base = tempfile.mkdtemp(prefix="table_zorder_q_")
+    try:
+        t = IcebergLike(base)
+        df = zorder_part_key(
+            _docs_kv(spark, sf_dir, 0, 500),
+            ["doc_id", "n_chars"], n_buckets=16, rel_err=0.0)
+        t.write(df, stat_cols=["doc_id", "n_chars"])
+        out, rep = t.read_where(spark, "n_chars", lo=200, hi=320)
+        _, rep2 = t.read_where(spark, "doc_id", lo=100, hi=199)
+        if not rep["partitions_pruned"] or not rep2["partitions_pruned"]:
+            raise RuntimeError(
+                f"z-order pruned nothing: n_chars={rep} doc_id={rep2}")
+        rows = out.select("doc_id", "n_chars").collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
 # ---- bigram LM with Stupid Backoff (datapipe/textstats.py) ----------
 
 
