@@ -476,3 +476,153 @@ def test_zorder_deterministic_and_balanced(spark, tmp_path):
     sizes = Counter(a.values())
     assert len(sizes) == 8
     assert max(sizes.values()) <= 2 * (512 // 8)  # no straggler bucket
+
+
+# ---- optimistic concurrency (CAS snapshot publish) ------------------
+
+
+def _stale_once(t):
+    """Make ``t``'s first snapshot-id derivation return 0 (a stale
+    metadata read — the racing-writer window) and delegate after."""
+    orig, seen = t._next_snapshot_id, []
+
+    def f():
+        if not seen:
+            seen.append(1)
+            return 0
+        return orig()
+    t._next_snapshot_id = f
+
+
+def test_lost_snapshot_race_rebases_disjoint_write(spark, tmp_path):
+    from textract_demo_spark.engine.tables import IcebergLike
+
+    root = str(tmp_path / "t")
+    ta = IcebergLike(root)
+    ta.write(_wave(spark, 0, 50), run_id="a")  # wins snapshot 0
+    tb = IcebergLike(root)
+    _stale_once(tb)  # tb believes snapshot 0 is still free
+    sb = tb.write(_wave(spark, 50, 100, bucket_offset=4), run_id="b")
+    assert sb["snapshot_id"] == 1 and sb["rebased_from"] == 0
+    t = IcebergLike(root)
+    assert _ids(t.read(spark)) == list(range(100))
+    # the loser's manifests were renumbered to its serialized id
+    for k in sb["newly_committed"]:
+        assert t.manifest(k)["data_snapshot_id"] == 1
+    # so incremental/time-travel sequencing is consistent
+    assert _ids(t.read_incremental(spark, 0)) == list(range(50, 100))
+    assert _ids(t.read(spark, snapshot_id=0)) == list(range(50))
+
+
+def test_same_partition_race_refused(spark, tmp_path):
+    from textract_demo_spark.engine.tables import (CommitConflictError,
+                                                   IcebergLike)
+
+    root = str(tmp_path / "t")
+    ta = IcebergLike(root)
+    ta.write(_wave(spark, 0, 50), run_id="a")
+    tb = IcebergLike(root)
+    _stale_once(tb)
+    with pytest.raises(CommitConflictError):
+        tb.write(_wave(spark, 0, 50), append=True, run_id="b")
+
+
+def test_concurrent_disjoint_writers_both_commit(spark, tmp_path):
+    import threading
+
+    from textract_demo_spark.engine.tables import IcebergLike
+
+    gate = threading.Barrier(2, timeout=180)
+
+    class Gated(IcebergLike):
+        def _publish_snapshot(self, snap, rebase=None):
+            gate.wait()  # both writers reach publish with the same id
+            return super()._publish_snapshot(snap, rebase)
+
+    root = str(tmp_path / "t")
+    out, errs = {}, []
+
+    def go(name, lo, hi, off):
+        try:
+            out[name] = Gated(root).write(
+                _wave(spark, lo, hi, bucket_offset=off), run_id=name)
+        except Exception as e:  # surface thread failures in asserts
+            errs.append((name, e))
+
+    th = [threading.Thread(target=go, args=("a", 0, 50, 0)),
+          threading.Thread(target=go, args=("b", 50, 100, 4))]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    assert {out["a"]["snapshot_id"], out["b"]["snapshot_id"]} == {0, 1}
+    loser = out["a"] if out["a"]["snapshot_id"] == 1 else out["b"]
+    assert loser["rebased_from"] == 0
+    assert _ids(IcebergLike(root).read(spark)) == list(range(100))
+
+
+def test_concurrent_delete_rebases_file_name(spark, tmp_path):
+    from textract_demo_spark.engine.tables import IcebergLike
+
+    root = str(tmp_path / "t")
+    ta = IcebergLike(root)
+    ta.write(_wave(spark, 0, 100), run_id="a")  # snapshot 0
+    tb = IcebergLike(root)
+    _stale_once(tb)  # delete raced the write, lost the id
+    sd = tb.delete_rows(
+        spark.createDataFrame([(7,)], "doc_id long"), ["doc_id"])
+    assert sd["snapshot_id"] == 1 and sd["rebased_from"] == 0
+    assert sd["delete_file"] == "delete-00001.parquet"
+    # serialized after the write -> tombstones its rows
+    assert 7 not in _ids(IcebergLike(root).read(spark))
+
+
+# ---- rollback -------------------------------------------------------
+
+
+def test_rollback_restores_prior_state(spark, tmp_path):
+    from textract_demo_spark.engine.tables import IcebergLike
+
+    t = IcebergLike(str(tmp_path / "t"))
+    t.write(_wave(spark, 0, 100), stat_cols=["doc_id"])
+    s1 = t.write(_wave(spark, 100, 150), append=True,
+                 stat_cols=["doc_id"])
+    t.write(_wave(spark, 150, 200, bucket_offset=4))
+    t.delete_rows(spark.createDataFrame([(10,)], "doc_id long"),
+                  ["doc_id"])
+    assert _ids(t.read(spark)) == [i for i in range(200) if i != 10]
+    res = t.rollback(spark, s1["snapshot_id"])
+    assert res["dropped_partitions"] == [4, 5, 6, 7]
+    assert _ids(t.read(spark)) == list(range(150))
+    assert t._delete_snapshots() == []  # the takedown was undone
+    # the table keeps working after the rollback
+    t.write(_wave(spark, 200, 220, bucket_offset=8))
+    assert _ids(t.read(spark)) == (list(range(150))
+                                   + list(range(200, 220)))
+
+
+def test_rollback_strips_appends_and_recomputes_stats(spark, tmp_path):
+    from textract_demo_spark.engine.tables import IcebergLike
+
+    t = IcebergLike(str(tmp_path / "t"))
+    s0 = t.write(_wave(spark, 0, 100), stat_cols=["doc_id"])
+    t.write(_wave(spark, 100, 150), append=True, stat_cols=["doc_id"])
+    res = t.rollback(spark, s0["snapshot_id"])
+    assert res["stripped_partitions"] == sorted(t.committed_keys())
+    assert _ids(t.read(spark)) == list(range(100))
+    ks = sorted(t.committed_keys())
+    assert sum(t.manifest(k)["metrics"]["rows"] for k in ks) == 100
+    assert max(t.manifest(k)["col_stats"]["doc_id"]["max"]
+               for k in ks) == 99
+    # time travel at-or-before the target still works
+    assert _ids(t.read(spark, snapshot_id=s0["snapshot_id"])) == \
+        list(range(100))
+
+
+def test_rollback_refuses_crossing_compaction(spark, table):
+    s0 = table.snapshots()[-1]["snapshot_id"]
+    table.write(_wave(spark, 100, 130), append=True)
+    table.compact(spark)
+    with pytest.raises(ValueError, match="physical-rewrite"):
+        table.rollback(spark, s0)

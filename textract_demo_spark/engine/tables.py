@@ -48,6 +48,26 @@ Iceberg-v2 parity pieces beyond the commit protocol:
   ``read_where`` prunes partitions whose range cannot match BEFORE
   Spark ever lists their files — at 10^5 partitions the planning-time
   skip is the difference between touching 10^5 directories and 10^1.
+- **Z-order clustering**: ``zorder_part_key`` assigns partitions as
+  contiguous Morton-curve ranges over several columns, so the
+  manifest stats above are tight in EVERY clustered dimension and
+  ``read_where`` prunes on any of them (the Delta OPTIMIZE ZORDER /
+  Iceberg z-sort-order analog).
+- **Optimistic concurrency**: snapshots publish via an atomic
+  create-if-absent CAS (``_publish_snapshot``); a writer that loses
+  the id race renumbers its manifests' sequence fields and retries
+  serialized after the winner, and same-partition conflicts raise
+  ``CommitConflictError`` (the Iceberg commit protocol /
+  ValidationException analog). Disjoint-partition concurrent ingest —
+  the case that matters with many writers — commits loss-free.
+  ``compact`` / ``materialize_deletes`` remain single-writer
+  maintenance operations.
+- **Rollback**: ``rollback(spark, snapshot_id)`` undoes commits back
+  to a snapshot at O(undone work) cost — drops later partitions,
+  strips later appended files (recomputing only the touched
+  manifests' stats), discards later delete files; refuses to cross a
+  physical rewrite. Physical restore instead of Iceberg's pointer
+  move, because reads here resolve from the manifest set.
 """
 
 from __future__ import annotations
@@ -55,6 +75,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -63,6 +84,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 PART_COL = "part_key"
+
+
+class CommitConflictError(RuntimeError):
+    """Two writers committed overlapping partitions concurrently (the
+    Iceberg ValidationException analog): the loser's data cannot be
+    serialized after the winner's, so the commit is refused."""
 
 # promote/manifest I/O parallelism: renames and small JSON writes are
 # GIL-releasing syscalls, so a thread pool turns the driver-side
@@ -208,6 +235,37 @@ class IcebergLike:
     def _next_snapshot_id(self) -> int:
         return (max((s.get("snapshot_id", -1) for s in self.snapshots()),
                     default=-1) + 1)
+
+    def _publish_snapshot(self, snap: dict, rebase=None) -> dict:
+        """Publish a snapshot with optimistic concurrency — the
+        Iceberg commit protocol: create-if-absent (``os.link`` is an
+        atomic fail-if-exists on POSIX; ``os.replace`` would silently
+        overwrite a concurrent winner's snapshot), and on conflict
+        re-derive the next id, let ``rebase(snap, new_id)`` rewrite
+        whatever embeds the old id (partition manifests' sequence
+        numbers, a delete file's name), and retry. Two writers racing
+        the same table thus both land, serialized, under distinct
+        snapshot ids — no metadata is lost."""
+        while True:
+            sid = snap["snapshot_id"]
+            path = os.path.join(self.manifest_dir,
+                                f"snapshot-{sid:05d}.json")
+            tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
+            with open(tmp, "w") as fh:
+                json.dump(snap, fh, indent=1, sort_keys=True,
+                          default=str)
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                os.remove(tmp)
+                new_id = self._next_snapshot_id()
+                if rebase is not None:
+                    snap = rebase(snap, new_id)
+                else:
+                    snap = {**snap, "snapshot_id": new_id}
+                continue
+            os.remove(tmp)
+            return snap
 
     def write(self, df: DataFrame, metrics_fn=None, run_id: str | None = None,
               input_fingerprint: str = "", fail_after: int | None = None,
@@ -373,10 +431,47 @@ class IcebergLike:
                           "metrics": round(t_metrics, 2),
                           "promote": round(time.time() - t_promote0, 2)},
         }
-        self._write_json_atomic(
-            os.path.join(self.manifest_dir, f"snapshot-{snap_id:05d}.json"),
-            snapshot)
-        return snapshot
+        def _rebase(snap: dict, new_id: int) -> dict:
+            """A concurrent writer won our snapshot id. Serialize
+            after it: refuse if it committed any of OUR partitions
+            (same-partition racers interleave promotes — the Iceberg
+            ValidationException case; disjoint-partition concurrent
+            ingest, the case that matters at scale, is safe because
+            every per-partition artifact is its own file), then
+            renumber the sequence fields our manifests recorded under
+            the lost id and retry under the new one."""
+            old = snap["snapshot_id"]
+            mine = set(snap["newly_committed"])
+            for s in self.snapshots():
+                if s["snapshot_id"] < old or s.get("run_id") == run_id:
+                    continue
+                theirs = set(s.get("newly_committed") or [])
+                if mine & theirs:
+                    raise CommitConflictError(
+                        f"partitions {sorted(mine & theirs)} were"
+                        f" committed concurrently by run"
+                        f" {s.get('run_id')} (snapshot"
+                        f" {s['snapshot_id']}); rerun this write")
+            for k in sorted(mine):
+                m = self.manifest(k)
+                if m is None:
+                    continue
+                if m.get("data_snapshot_id") == old:
+                    m["data_snapshot_id"] = new_id
+                fseq = m.get("file_seq") or {}
+                m["file_seq"] = {f: (new_id if int(s_) == old else s_)
+                                 for f, s_ in fseq.items()}
+                for a in m.get("appends", []):
+                    if a.get("snapshot_id") == old:
+                        a["snapshot_id"] = new_id
+                self._write_json_atomic(
+                    os.path.join(self.manifest_dir,
+                                 f"part-{k:05d}.json"), m)
+            return {**snap, "snapshot_id": new_id,
+                    "committed_keys": sorted(self.committed_keys()),
+                    "rebased_from": old}
+
+        return self._publish_snapshot(snapshot, rebase=_rebase)
 
     def _append_into(self, k: int, src: str, dst: str, prior: dict,
                      run_id: str, snap_id: int, metrics: dict,
@@ -485,6 +580,109 @@ class IcebergLike:
                                    f"snapshot-{sid:05d}.json"))
             expired.append(sid)
         return {"expired": expired, "cutoff": cutoff}
+
+    def rollback(self, spark: SparkSession, snapshot_id: int) -> dict:
+        """Restore the table to its state at ``snapshot_id`` — the
+        Iceberg ``rollback_to_snapshot`` analog, the undo for a bad
+        commit (a corrupted ingest wave, a wrong takedown list).
+
+        Deviation from real Iceberg, documented: Iceberg moves a
+        metadata pointer and keeps the orphaned snapshots; this layer
+        resolves reads from the manifest SET, not a pointer, so the
+        rollback restores physically — partitions first committed
+        after the target are removed, files appended after it are
+        stripped from surviving partitions (their manifests' row
+        metric and column stats recomputed from what remains, one
+        tiny per-partition agg over only the touched partitions),
+        delete files sequenced after it are dropped, and the
+        invalidated snapshot metadata is expired. Time travel to
+        snapshots at-or-before the target keeps working. Rolling back
+        ACROSS a physical rewrite (``compact`` /
+        ``materialize_deletes``) is refused: those rewrote rows in
+        place and cannot be undone. Cost is O(undone work), never
+        O(table)."""
+        snaps = self.snapshots()
+        target = next((s for s in snaps
+                       if s["snapshot_id"] == snapshot_id), None)
+        if target is None:
+            have = sorted(s["snapshot_id"] for s in snaps)
+            raise ValueError(
+                f"no snapshot with snapshot_id={snapshot_id};"
+                f" have {have}")
+        later = [s for s in snaps if s["snapshot_id"] > snapshot_id]
+        rewrites = [s["snapshot_id"] for s in later
+                    if s.get("op") in ("compact", "materialize_deletes")]
+        if rewrites:
+            raise ValueError(
+                f"cannot roll back across physical-rewrite snapshots"
+                f" {rewrites}: compacted/materialized partitions were"
+                f" rewritten in place")
+        keep = {int(k) for k in target["committed_keys"]}
+        dropped_parts, stripped = [], []
+        for k in sorted(self.committed_keys()):
+            d = os.path.join(self.data_dir, f"{PART_COL}={k}")
+            mpath = os.path.join(self.manifest_dir, f"part-{k:05d}.json")
+            if k not in keep:
+                shutil.rmtree(d, ignore_errors=True)
+                os.remove(mpath)
+                dropped_parts.append(k)
+                continue
+            m = self.manifest(k) or {}
+            fseq = m.get("file_seq") or {}
+            late = {f for f, s_ in fseq.items() if int(s_) > snapshot_id}
+            if not late:
+                continue
+            for f in sorted(late):
+                p = os.path.join(d, f)
+                if os.path.exists(p):
+                    os.remove(p)
+            m["files"] = [f for f in m.get("files", []) if f not in late]
+            m["file_seq"] = {f: s_ for f, s_ in fseq.items()
+                             if f not in late}
+            m["appends"] = [a for a in m.get("appends", [])
+                            if a.get("snapshot_id", 0) <= snapshot_id]
+            stat_cols = sorted((m.get("col_stats") or {}).keys())
+            aggs = [F.count(F.lit(1)).alias("_rows")]
+            for c in stat_cols:
+                aggs += [F.min(c).alias(f"_mn_{c}"),
+                         F.max(c).alias(f"_mx_{c}")]
+            r = spark.read.parquet(d).agg(*aggs).collect()[0]
+            m["metrics"] = {**(m.get("metrics") or {}),
+                            "rows": r["_rows"]}
+            if stat_cols:
+                m["col_stats"] = {c: {"min": r[f"_mn_{c}"],
+                                      "max": r[f"_mx_{c}"]}
+                                  for c in stat_cols}
+            self._write_json_atomic(mpath, m)
+            stripped.append(k)
+        dropped_snaps = []
+        for s in later:
+            if s.get("op") == "delete":
+                p = os.path.join(self.delete_dir, s["delete_file"])
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                elif os.path.exists(p):
+                    os.remove(p)
+            os.remove(os.path.join(
+                self.manifest_dir,
+                f"snapshot-{s['snapshot_id']:05d}.json"))
+            dropped_snaps.append(s["snapshot_id"])
+        # pin the schema as of the target (rolls back schema
+        # evolution too); delete-op targets carry none, so walk back
+        schema_json = next(
+            (s.get("schema_json") for s in reversed(snaps)
+             if s["snapshot_id"] <= snapshot_id
+             and s.get("schema_json")), None)
+        snapshot = {
+            "snapshot_id": self._next_snapshot_id(), "op": "rollback",
+            "rollback_to": snapshot_id,
+            "committed_keys": sorted(self.committed_keys()),
+            "dropped_partitions": dropped_parts,
+            "stripped_partitions": stripped,
+            "dropped_snapshots": dropped_snaps,
+            **({"schema_json": schema_json} if schema_json else {}),
+        }
+        return self._publish_snapshot(snapshot)
 
     def compact(self, spark: SparkSession,
                 part_keys: list[int] | None = None,
@@ -836,10 +1034,23 @@ class IcebergLike:
             "eq_cols": list(eq_cols), "delete_file": name,
             "n_delete_tuples": int(n),
         }
-        self._write_json_atomic(
-            os.path.join(self.manifest_dir,
-                         f"snapshot-{snap_id:05d}.json"), snapshot)
-        return snapshot
+
+        def _rebase(snap: dict, new_id: int) -> dict:
+            """Lost the snapshot id race: rename the delete file to
+            the new sequence number and serialize after the winner —
+            the delete then tombstones whatever is committed at its
+            serialized position (matching rows appended by the
+            concurrent winner included), exactly the at-or-before
+            sequence rule."""
+            new_name = f"delete-{new_id:05d}.parquet"
+            os.rename(os.path.join(self.delete_dir, snap["delete_file"]),
+                      os.path.join(self.delete_dir, new_name))
+            return {**snap, "snapshot_id": new_id,
+                    "delete_file": new_name,
+                    "committed_keys": sorted(self.committed_keys()),
+                    "rebased_from": snap["snapshot_id"]}
+
+        return self._publish_snapshot(snapshot, rebase=_rebase)
 
     def materialize_deletes(self, spark: SparkSession,
                             run_id: str | None = None) -> dict:
