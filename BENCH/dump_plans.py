@@ -712,6 +712,20 @@ def main() -> None:
             {"kind": "row_count", "lo": 1},
         ]))))
 
+    from textract_demo_spark.engine.tables import zorder_part_key
+    sections.append((
+        "Z-order clustering key assignment (plan-time-literal fold)",
+        "Quantile-grid and Z-split boundaries travel as plan-time"
+        " literals (KBs), the Morton interleave is pure JVM bit ops,"
+        " and partition assignment is a narrow per-row fold — no"
+        " exchange, no join, no window in the assignment plan; the"
+        " two approxQuantile passes are single-aggregate mergeable"
+        " sketches. Downstream, manifest min/max come out tight in"
+        " EVERY clustered dimension, so read_where prunes on any of"
+        " them.",
+        formatted(zorder_part_key(docs, ["doc_id", "n_chars"],
+                                  8, rel_err=0.0))))
+
     from textract_demo_spark.datapipe.similarity import ivfpq_topk
     sections.append((
         "IVF-PQ composed ANN (bucket probe + ADC + refine)",

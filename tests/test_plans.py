@@ -864,3 +864,20 @@ def test_ivfpq_no_corpus_shuffle_equi_probe_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p, p[:3000]
     assert "WindowGroupLimit" in p, p[:3000]
+
+
+def test_zorder_assignment_narrow_zero_shuffle(spark):
+    """Z-order key assignment is a narrow per-row fold over plan-time
+    literal boundaries: no exchange, no join, no window — the only
+    jobs zorder_part_key runs are its two approxQuantile sketch
+    aggregates, and the frame it returns adds nothing to the lineage
+    but projections."""
+    from textract_demo_spark.engine.tables import zorder_part_key
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.length("text").cast("long").alias("n_chars")))
+    p = plan(zorder_part_key(docs, ["doc_id", "n_chars"], 8,
+                             rel_err=0.0))
+    assert "Exchange" not in p, p[:3000]
+    assert "Join" not in p, p[:3000]
+    assert "Window" not in p, p[:3000]
