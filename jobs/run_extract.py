@@ -68,6 +68,17 @@ def main() -> None:
                          " drain new files (availableNow) into a"
                          " checkpointed exactly-once sink under --out;"
                          " re-running resumes from the sink checkpoint")
+    ap.add_argument("--zorder-cols", default=None,
+                    help="comma-separated NUMERIC result columns:"
+                         " cluster table partitions along a Z-curve"
+                         " over these columns instead of"
+                         " hash-bucketing conv_id; manifest min/max"
+                         " then prune scans on ANY of them"
+                         " (IcebergLike.read_where)")
+    ap.add_argument("--rollback-to", type=int, default=None,
+                    help="undo commits made to --out after this"
+                         " snapshot id (the bad-ingest-wave escape"
+                         " hatch) and exit")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -76,10 +87,22 @@ def main() -> None:
     from textract_demo_spark.engine.metrics import (partition_metrics,
                                                     with_block_stats)
     from textract_demo_spark.engine.pipeline import run_pipeline
-    from textract_demo_spark.engine.tables import IcebergLike, with_part_key
+    from textract_demo_spark.engine.tables import (IcebergLike,
+                                                   with_part_key,
+                                                   zorder_part_key)
 
     spark = SparkSession.builder.appName("run_extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.rollback_to is not None:
+        r = IcebergLike(args.out).rollback(spark, args.rollback_to)
+        print(json.dumps({
+            "mode": "rollback", "rollback_to": args.rollback_to,
+            "snapshot_id": r["snapshot_id"],
+            "dropped_partitions": r["dropped_partitions"],
+            "stripped_partitions": r["stripped_partitions"],
+            "dropped_snapshots": r["dropped_snapshots"]}))
+        return
 
     if args.streaming:
         if not args.input:
@@ -109,12 +132,20 @@ def main() -> None:
         fingerprint = f"synthetic:seed=42:n_convs={args.n_convs}"
 
     t0 = time.time()
-    results = run_pipeline(transcripts, reviews=None, salt=args.salt)
-    results = with_block_stats(with_part_key(results, args.buckets))
+    results = with_block_stats(
+        run_pipeline(transcripts, reviews=None, salt=args.salt))
+    stat_cols = None
+    if args.zorder_cols:
+        stat_cols = [c.strip() for c in args.zorder_cols.split(",")
+                     if c.strip()]
+        results = zorder_part_key(results, stat_cols, args.buckets)
+    else:
+        results = with_part_key(results, args.buckets)
     table = IcebergLike(args.out)
     snapshot = table.write(results, metrics_fn=partition_metrics,
                            input_fingerprint=fingerprint,
-                           fail_after=args.fail_after)
+                           fail_after=args.fail_after,
+                           stat_cols=stat_cols)
     compaction: dict | None = None
     if args.compact:
         c = table.compact(spark, min_files=args.compact_min_files,
