@@ -626,3 +626,21 @@ def test_rollback_refuses_crossing_compaction(spark, table):
     table.compact(spark)
     with pytest.raises(ValueError, match="physical-rewrite"):
         table.rollback(spark, s0)
+
+
+def test_zorder_sampled_boundaries_stay_balanced(spark, tmp_path):
+    """The 100-TB mode: boundary estimation from a seeded sample.
+    Bucket balance degrades only statistically — assert no bucket
+    exceeds 3x the ideal share at a 25% sample."""
+    from collections import Counter
+
+    from textract_demo_spark.engine.tables import zorder_part_key
+
+    df = _xy(spark, n=2048)
+    keys = [r[PART_COL] for r in
+            zorder_part_key(df, ["x", "y"], 8,
+                            sample_fraction=0.25).collect()]
+    sizes = Counter(keys)
+    assert max(sizes.values()) <= 3 * (2048 // 8)
+    # and the assignment is still total: every row got a bucket
+    assert sum(sizes.values()) == 2048
