@@ -68,9 +68,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # delete, table_incremental_read, table_stats_pruned_scan,
 # lm_bigram_surprisal, ann_pq_topk, ann_ivfpq_topk,
 # group_sample_bottomk, streaming_cdc_upsert, table_changelog_scan,
-# dq_validate_constraints, table_sketch_rollup, table_zorder_scan.
-# Next round, swap them in for whichever in-window entries earn green
-# r04 rows.
+# dq_validate_constraints, table_sketch_rollup, table_zorder_scan,
+# table_rollback_scan. Next round, swap them in for whichever
+# in-window entries earn green r04 rows.
 #
 # Round 3 learned the ordering lesson the hard way — 17 queries
 # registered at positions 51-67 got no driver row despite having

@@ -90,8 +90,9 @@ BENCH_QUERIES = [
     # bigram LM, PQ / IVF-PQ ANN, bottom-k sampling (round-4 additions)
     "lm_bigram_surprisal", "ann_pq_topk", "ann_ivfpq_topk",
     "group_sample_bottomk", "dq_validate_constraints",
-    # table layer: z-order clustering + two-dimensional stats pruning
-    "table_zorder_scan",
+    # table layer: z-order clustering + two-dimensional stats pruning,
+    # tagged-snapshot rollback
+    "table_zorder_scan", "table_rollback_scan",
     # skew_salted_extract is deliberately NOT here: at sf0.1 it
     # extracts a 10^6-turn hot conversation (a stress run, not a
     # suite row — BENCH/run_skew_probe.py records its histograms)

@@ -644,3 +644,33 @@ def test_zorder_sampled_boundaries_stay_balanced(spark, tmp_path):
     assert max(sizes.values()) <= 3 * (2048 // 8)
     # and the assignment is still total: every row got a bucket
     assert sum(sizes.values()) == 2048
+
+
+# ---- tags -----------------------------------------------------------
+
+
+def test_tags_resolve_and_survive_expiry(spark, table):
+    s0 = table.snapshots()[-1]["snapshot_id"]
+    table.tag("v1")  # defaults to newest
+    for i in range(12):  # push history past the expiry horizon
+        table.write(_wave(spark, 100 + i, 101 + i, bucket_offset=4),
+                    append=(i > 0))
+    rep = table.expire_snapshots(keep_last=3)
+    assert s0 not in rep["expired"]  # tagged: retained
+    assert rep["expired"]  # untagged old snapshots did expire
+    # read-by-tag == time travel to the tagged snapshot
+    assert _ids(table.read(spark, tag="v1")) == list(range(100))
+    assert table.tags() == {"v1": s0}
+    table.drop_tag("v1")
+    with pytest.raises(ValueError, match="no tag"):
+        table.read(spark, tag="v1")
+
+
+def test_tag_validation(spark, table):
+    with pytest.raises(ValueError, match="bad tag name"):
+        table.tag("no/slashes")
+    with pytest.raises(ValueError, match="no snapshot 99"):
+        table.tag("x", 99)
+    table.tag("ok")
+    with pytest.raises(ValueError, match="not both"):
+        table.read(spark, snapshot_id=0, tag="ok")

@@ -5169,6 +5169,46 @@ def table_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, n_chars long")
 
 
+@query("table_rollback_scan", oracle="""
+    SELECT doc_id::BIGINT AS doc_id, length(text)::BIGINT AS n_chars
+    FROM documents WHERE doc_id < 200 AND doc_id % 10 <> 3
+""")
+def table_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback (engine/tables.py rollback — the Iceberg
+    rollback_to_snapshot analog): base write, takedown delete, then a
+    BAD append wave; rolling back to the tagged pre-wave snapshot
+    must restore exactly base-minus-takedown (the delete survives,
+    the wave is gone — partitions dropped, its tag cleaned up), and
+    the state equals what a reader pinned to the tag saw before the
+    rollback. Cost is O(undone wave), never O(table)."""
+    import shutil
+    import tempfile
+
+    from .tables import IcebergLike
+    base = tempfile.mkdtemp(prefix="table_rb_q_")
+    try:
+        t = IcebergLike(base)
+        t.write(_offset_parts(_docs_kv(spark, sf_dir, 0, 200), 0))
+        dels = (_docs_kv(spark, sf_dir, 0, 200)
+                .filter(F.col("doc_id") % 10 == 3).select("doc_id"))
+        s1 = t.delete_rows(dels, ["doc_id"])
+        t.tag("pre-wave", s1["snapshot_id"])
+        t.write(_offset_parts(_docs_kv(spark, sf_dir, 200, 300), 4))
+        t.tag("bad-wave")
+        pinned = t.read(spark, tag="pre-wave").count()
+        res = t.rollback(spark, t._resolve_tag("pre-wave"))
+        if not res["dropped_partitions"] or \
+                res["dropped_tags"] != ["bad-wave"]:
+            raise RuntimeError(f"rollback did not undo the wave: {res}")
+        out = t.read(spark)
+        if out.count() != pinned:
+            raise RuntimeError("rollback state != tagged pre-wave read")
+        rows = out.select("doc_id", "n_chars").collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
 # ---- bigram LM with Stupid Backoff (datapipe/textstats.py) ----------
 
 

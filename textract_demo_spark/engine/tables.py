@@ -68,12 +68,17 @@ Iceberg-v2 parity pieces beyond the commit protocol:
   manifests' stats), discards later delete files; refuses to cross a
   physical rewrite. Physical restore instead of Iceberg's pointer
   move, because reads here resolve from the manifest set.
+- **Tags**: ``tag(name)`` / ``read(tag=...)`` name a snapshot as a
+  durable reproducibility handle; tagged snapshots survive
+  ``expire_snapshots``, and ``rollback`` drops (and reports) tags
+  whose state it removed.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import threading
 import time
@@ -568,21 +573,65 @@ class IcebergLike:
                 "delete_snapshot": d["snapshot_id"],
                 "append_snapshot": a["snapshot_id"]}
 
+    # -- tags (named snapshots) ------------------------------------------------
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Name a snapshot (the Iceberg tag analog — 'the corpus we
+        trained run X on'). Defaults to the newest snapshot. Tagged
+        snapshots survive ``expire_snapshots``, so a tag is the
+        durable handle for reproducing a historical read."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", name):
+            raise ValueError(f"bad tag name: {name!r}")
+        snaps = self.snapshots()
+        if snapshot_id is None:
+            if not snaps:
+                raise ValueError("no snapshots to tag")
+            snapshot_id = snaps[-1]["snapshot_id"]
+        elif not any(s["snapshot_id"] == snapshot_id for s in snaps):
+            raise ValueError(f"no snapshot {snapshot_id} to tag")
+        obj = {"name": name, "snapshot_id": snapshot_id,
+               "created_at": time.time()}
+        self._write_json_atomic(
+            os.path.join(self.manifest_dir, f"tag-{name}.json"), obj)
+        return obj
+
+    def tags(self) -> dict[str, int]:
+        out = {}
+        for f in sorted(os.listdir(self.manifest_dir)):
+            if f.startswith("tag-") and f.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, f)) as fh:
+                    o = json.load(fh)
+                out[o["name"]] = o["snapshot_id"]
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        p = os.path.join(self.manifest_dir, f"tag-{name}.json")
+        if os.path.exists(p):
+            os.remove(p)
+
+    def _resolve_tag(self, tag: str) -> int:
+        t = self.tags()
+        if tag not in t:
+            raise ValueError(f"no tag {tag!r}; have {sorted(t)}")
+        return t[tag]
+
     def expire_snapshots(self, keep_last: int = 10) -> dict:
         """Drop snapshot metadata older than the newest ``keep_last``
         (the Iceberg ``expire_snapshots`` analog: time-travel history
         is bounded; data files are untouched). Delete snapshots whose
         delete FILE is still live (not yet materialized) are always
         retained — expiring one would resurrect its tombstoned rows
-        in every future read."""
+        in every future read. Tagged snapshots are always retained —
+        a tag is a durable reproducibility handle."""
         snaps = self.snapshots()
         if len(snaps) <= keep_last:
             return {"expired": []}
         cutoff = sorted(s["snapshot_id"] for s in snaps)[-keep_last]
+        tagged = set(self.tags().values())
         expired = []
         for s in snaps:
             sid = s["snapshot_id"]
-            if sid >= cutoff:
+            if sid >= cutoff or sid in tagged:
                 continue
             if (s.get("op") == "delete"
                     and os.path.exists(os.path.join(
@@ -679,6 +728,10 @@ class IcebergLike:
                 self.manifest_dir,
                 f"snapshot-{s['snapshot_id']:05d}.json"))
             dropped_snaps.append(s["snapshot_id"])
+        dropped_tags = [name for name, sid in self.tags().items()
+                        if sid > snapshot_id]
+        for name in dropped_tags:  # would dangle: their state is gone
+            self.drop_tag(name)
         # pin the schema as of the target (rolls back schema
         # evolution too); delete-op targets carry none, so walk back
         schema_json = next(
@@ -692,6 +745,7 @@ class IcebergLike:
             "dropped_partitions": dropped_parts,
             "stripped_partitions": stripped,
             "dropped_snapshots": dropped_snaps,
+            "dropped_tags": dropped_tags,
             **({"schema_json": schema_json} if schema_json else {}),
         }
         return self._publish_snapshot(snapshot)
@@ -838,10 +892,11 @@ class IcebergLike:
 
     def read(self, spark: SparkSession,
              snapshot_id: int | None = None,
-             apply_deletes: bool = True) -> DataFrame:
-        """Read the table; with ``snapshot_id``, time-travel to the
-        partition set committed as of that snapshot (Iceberg
-        ``VERSION AS OF`` analog). Committed partitions are immutable
+             apply_deletes: bool = True,
+             tag: str | None = None) -> DataFrame:
+        """Read the table; with ``snapshot_id`` (or a ``tag`` naming
+        one), time-travel to the partition set committed as of that
+        snapshot (Iceberg ``VERSION AS OF`` analog). Committed partitions are immutable
         (resume never rewrites them), so an old snapshot is exactly
         the subset of partition directories it recorded.
 
@@ -864,6 +919,10 @@ class IcebergLike:
         number, not just the partition set — append mode adds
         later-sequenced files into already-committed partition dirs,
         and a snapshot read must not see them."""
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or tag, not both")
+            snapshot_id = self._resolve_tag(tag)
         dels = (self._delete_snapshots(upto=snapshot_id)
                 if apply_deletes else [])
         if snapshot_id is None and not dels:
