@@ -674,3 +674,33 @@ def test_tag_validation(spark, table):
     table.tag("ok")
     with pytest.raises(ValueError, match="not both"):
         table.read(spark, snapshot_id=0, tag="ok")
+
+
+def test_write_audit_publish_pattern(spark, table):
+    """WAP composition: commit a wave, AUDIT the appended rows with
+    the declarative DQ pass (incremental read — audit cost is
+    O(wave), never O(table)), and roll the wave back when the audit
+    fails; tag the snapshot when it passes. The primitives compose
+    into Iceberg's write-audit-publish flow without any new
+    machinery."""
+    from pyspark.sql import functions as F
+
+    from textract_demo_spark.datapipe.dq import validate_constraints
+
+    good = table.snapshots()[-1]["snapshot_id"]
+    # bad wave: doc_id collides with committed rows (uniqueness audit)
+    table.write(_wave(spark, 50, 80, bucket_offset=4))
+    wave = table.read_incremental(spark, good)
+    audit = validate_constraints(
+        table.read(spark), [{"kind": "unique", "col": "doc_id"}])
+    assert audit.filter(~F.col("passed")).count() == 1
+    table.rollback(spark, good)
+    assert _ids(table.read(spark)) == list(range(100))
+    # good wave: disjoint ids -> audit passes -> publish via tag
+    table.write(_wave(spark, 100, 130, bucket_offset=4))
+    audit2 = validate_constraints(
+        table.read(spark), [{"kind": "unique", "col": "doc_id"}])
+    assert audit2.filter(~F.col("passed")).count() == 0
+    table.tag("published")
+    assert _ids(table.read(spark, tag="published")) == list(range(130))
+    assert wave is not None  # incremental handle stayed usable
