@@ -704,3 +704,31 @@ def test_write_audit_publish_pattern(spark, table):
     table.tag("published")
     assert _ids(table.read(spark, tag="published")) == list(range(130))
     assert wave is not None  # incremental handle stayed usable
+
+
+def test_read_where_conjunctive_multi_dim_pruning(spark, tmp_path):
+    """The query shape z-order exists for: a range on BOTH dimensions
+    prunes multiplicatively on a z-ordered layout (each predicate
+    skips any partition whose stats miss it), and the surviving rows
+    equal a plain two-predicate filter."""
+    from textract_demo_spark.engine.tables import zorder_part_key
+
+    df = _xy(spark)
+    t = IcebergLike(str(tmp_path / "z"))
+    t.write(zorder_part_key(df, ["x", "y"], 16, rel_err=0.0),
+            stat_cols=["x", "y"])
+    out, rep = t.read_where(
+        spark, preds={"x": (0, 127), "y": (100, 199)})
+    exp = df.filter(F.col("x").between(0, 127)
+                    & F.col("y").between(100, 199))
+    assert sorted(r.x for r in out.collect()) == sorted(
+        r.x for r in exp.collect())
+    single_x = len(t.read_where(spark, "x", 0, 127)[1]
+                   ["partitions_pruned"])
+    single_y = len(t.read_where(spark, "y", 100, 199)[1]
+                   ["partitions_pruned"])
+    both = len(rep["partitions_pruned"])
+    assert both >= max(single_x, single_y)
+    assert both > min(single_x, single_y)  # the second dim helped
+    with pytest.raises(ValueError, match="not both"):
+        t.read_where(spark, "x", 0, 1, preds={"y": (0, 1)})

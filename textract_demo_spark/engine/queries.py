@@ -5163,6 +5163,14 @@ def table_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not rep["partitions_pruned"] or not rep2["partitions_pruned"]:
             raise RuntimeError(
                 f"z-order pruned nothing: n_chars={rep} doc_id={rep2}")
+        # conjunctive (multi-dimensional) pruning: at least the union
+        # of the single-dimension drop sets must be skipped
+        _, rep3 = t.read_where(spark, preds={"doc_id": (100, 199),
+                                             "n_chars": (200, 320)})
+        if len(rep3["partitions_pruned"]) < max(
+                len(rep["partitions_pruned"]),
+                len(rep2["partitions_pruned"])):
+            raise RuntimeError(f"conjunctive prune regressed: {rep3}")
         rows = out.select("doc_id", "n_chars").collect()
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -1306,28 +1306,46 @@ class IcebergLike:
 
     # -- stats-pruned scan -----------------------------------------------------
 
-    def read_where(self, spark: SparkSession, col: str,
-                   lo=None, hi=None) -> tuple[DataFrame, dict]:
+    def read_where(self, spark: SparkSession, col: str | None = None,
+                   lo=None, hi=None,
+                   preds: dict | None = None) -> tuple[DataFrame, dict]:
         """Scan with manifest-stats partition pruning: keep only
-        partitions whose recorded [min, max] for ``col`` overlaps
-        [lo, hi] (missing stats keep the partition — pruning is an
+        partitions whose recorded [min, max] overlaps the requested
+        range (missing stats keep the partition — pruning is an
         optimization, never a filter), then apply the residual
-        predicate. Returns (df, prune_report); the report records how
-        many partitions the manifests eliminated BEFORE any file
+        predicate(s). Returns (df, prune_report); the report records
+        how many partitions the manifests eliminated BEFORE any file
         listing — the Iceberg planning-time data-skipping analog.
+
+        ``preds`` = ``{col: (lo, hi)}`` prunes on a CONJUNCTION of
+        ranges — a partition is skipped when ANY predicate's range
+        misses its stats. On a z-ordered layout every clustered
+        column's stats are tight, so a multi-dimensional point/range
+        lookup prunes multiplicatively (the query shape z-order
+        exists for); on a linear layout only the sort column
+        contributes.
         """
+        if preds is None:
+            if col is None:
+                raise ValueError("pass col or preds")
+            preds = {col: (lo, hi)}
+        elif col is not None:
+            raise ValueError("pass col or preds, not both")
         kept, pruned = [], []
         for k in sorted(self.committed_keys()):
-            st = (self.manifest(k) or {}).get("col_stats", {}).get(col)
-            if st is None or st["min"] is None:
-                kept.append(k)
-                continue
-            if ((lo is not None and st["max"] < lo)
-                    or (hi is not None and st["min"] > hi)):
-                pruned.append(k)
-            else:
-                kept.append(k)
-        report = {"col": col, "lo": lo, "hi": hi,
+            stats = (self.manifest(k) or {}).get("col_stats", {})
+            drop = False
+            for c, (lo_, hi_) in preds.items():
+                st = stats.get(c)
+                if st is None or st["min"] is None:
+                    continue
+                if ((lo_ is not None and st["max"] < lo_)
+                        or (hi_ is not None and st["min"] > hi_)):
+                    drop = True
+                    break
+            (pruned if drop else kept).append(k)
+        report = {"preds": {c: list(r) for c, r in preds.items()},
+                  "col": col, "lo": lo, "hi": hi,
                   "partitions_kept": kept, "partitions_pruned": pruned}
         if not kept:
             schema = self._stored_schema(
@@ -1344,10 +1362,11 @@ class IcebergLike:
                                            f"{PART_COL}={k}")
                               for k in kept])
         df = self._apply_deletes(spark, df, None)
-        if lo is not None:
-            df = df.filter(F.col(col) >= F.lit(lo))
-        if hi is not None:
-            df = df.filter(F.col(col) <= F.lit(hi))
+        for c, (lo_, hi_) in preds.items():
+            if lo_ is not None:
+                df = df.filter(F.col(c) >= F.lit(lo_))
+            if hi_ is not None:
+                df = df.filter(F.col(c) <= F.lit(hi_))
         return df, report
 
 
