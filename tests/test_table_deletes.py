@@ -732,3 +732,13 @@ def test_read_where_conjunctive_multi_dim_pruning(spark, tmp_path):
     assert both > min(single_x, single_y)  # the second dim helped
     with pytest.raises(ValueError, match="not both"):
         t.read_where(spark, "x", 0, 1, preds={"y": (0, 1)})
+
+
+def test_meta_tags_view(spark, table):
+    assert table.meta_tags(spark).count() == 0
+    table.tag("a")
+    table.write(_wave(spark, 100, 110, bucket_offset=4))
+    table.tag("b")
+    rows = {r.name: r.snapshot_id
+            for r in table.meta_tags(spark).collect()}
+    assert rows == table.tags() == {"a": 0, "b": 1}

@@ -1464,6 +1464,22 @@ def _meta_partitions(self, spark: SparkSession) -> DataFrame:
         F.col(PART_COL).isNotNull())
 
 
+def _meta_tags(self, spark: SparkSession) -> DataFrame:
+    """Iceberg ``t.refs`` analog (tags only — no branches here):
+    named snapshots as a DataFrame."""
+    rows = []
+    for f in sorted(os.listdir(self.manifest_dir)):
+        if f.startswith("tag-") and f.endswith(".json"):
+            with open(os.path.join(self.manifest_dir, f)) as fh:
+                o = json.load(fh)
+            rows.append((str(o["name"]), int(o["snapshot_id"]),
+                         float(o.get("created_at", 0.0))))
+    return spark.createDataFrame(
+        rows or [(None, None, None)],
+        "name string, snapshot_id long, created_at double").filter(
+        F.col("name").isNotNull())
+
+
 # Iceberg metadata-table analogs (``SELECT * FROM t.files`` etc.):
 # the manifests surfaced AS DataFrames, so operational queries — file
 # counts, skew, commit history, stats coverage — run in SQL instead
@@ -1471,3 +1487,4 @@ def _meta_partitions(self, spark: SparkSession) -> DataFrame:
 IcebergLike.meta_snapshots = _meta_snapshots
 IcebergLike.meta_files = _meta_files
 IcebergLike.meta_partitions = _meta_partitions
+IcebergLike.meta_tags = _meta_tags
