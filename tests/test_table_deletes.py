@@ -742,3 +742,31 @@ def test_meta_tags_view(spark, table):
     rows = {r.name: r.snapshot_id
             for r in table.meta_tags(spark).collect()}
     assert rows == table.tags() == {"a": 0, "b": 1}
+
+
+def test_compaction_preserves_zorder_pruning(spark, tmp_path):
+    """Maintenance must not break clustering metadata: after append
+    waves and a compaction rewrite, the manifests still carry the
+    z-order column stats and read_where prunes exactly as before."""
+    from textract_demo_spark.engine.tables import zorder_part_key
+
+    df = _xy(spark)
+    t = IcebergLike(str(tmp_path / "z"))
+    t.write(zorder_part_key(df, ["x", "y"], 8, rel_err=0.0),
+            stat_cols=["x", "y"])
+    # append a slice into the same layout (small files accrete)
+    extra = _xy(spark).filter(F.col("x") < 64)
+    t.write(zorder_part_key(df, ["x", "y"], 8, rel_err=0.0)
+            .join(extra.select("x"), "x", "semi"),
+            append=True, stat_cols=["x", "y"])
+    before = t.read_where(spark, preds={"x": (0, 63),
+                                        "y": (100, 199)})[1]
+    snap = t.compact(spark, min_files=2)
+    assert snap["compacted_keys"]
+    after_df, after = t.read_where(spark, preds={"x": (0, 63),
+                                                 "y": (100, 199)})
+    assert after["partitions_pruned"] == before["partitions_pruned"]
+    exp = df.filter(F.col("x").between(0, 63)
+                    & F.col("y").between(100, 199))
+    # appended duplicates of the x<64 slice are still there (2 copies)
+    assert after_df.count() == 2 * exp.count()
