@@ -770,3 +770,42 @@ def test_compaction_preserves_zorder_pruning(spark, tmp_path):
                     & F.col("y").between(100, 199))
     # appended duplicates of the x<64 slice are still there (2 copies)
     assert after_df.count() == 2 * exp.count()
+
+
+def test_read_where_composes_with_time_travel(spark, tmp_path):
+    """Pruned scan scoped to a tagged snapshot: the pruned, scoped
+    result equals the plain time-travel read under the same residual
+    filter — stale (widened) stats may keep extra partitions but
+    never change rows."""
+    t = IcebergLike(str(tmp_path / "t"))
+    # range-partitioned so stats prune crisply
+    df1 = (spark.range(0, 400)
+           .select(F.concat(F.lit("c"), F.col("id").cast("string"))
+                   .alias("conv_id"),
+                   F.col("id").cast("long").alias("doc_id"))
+           .withColumn(PART_COL, (F.col("doc_id") / 100).cast("int")))
+    t.write(df1, stat_cols=["doc_id"])
+    t.tag("v1")
+    # post-tag churn: delete some v1 rows, append into partition 1
+    t.delete_rows(spark.createDataFrame([(150,), (155,)],
+                                        "doc_id long"), ["doc_id"])
+    late = (spark.range(1000, 1020)
+            .select(F.concat(F.lit("x"), F.col("id").cast("string"))
+                    .alias("conv_id"),
+                    F.col("id").cast("long").alias("doc_id"))
+            .withColumn(PART_COL, F.lit(1).cast("int")))
+    t.write(late, append=True, stat_cols=["doc_id"])
+    # latest pruned read: delete applied, late rows in range excluded
+    now, rep_now = t.read_where(spark, "doc_id", lo=100, hi=199)
+    assert _ids(now) == [i for i in range(100, 200)
+                         if i not in (150, 155)]
+    # tagged pruned read: pre-delete, pre-append state
+    v1, rep_v1 = t.read_where(spark, "doc_id", lo=100, hi=199,
+                              tag="v1")
+    assert _ids(v1) == list(range(100, 200))
+    assert rep_v1["partitions_pruned"]  # pruning still effective
+    # equivalent to plain time travel + filter
+    assert _ids(v1) == _ids(t.read(spark, tag="v1").filter(
+        F.col("doc_id").between(100, 199)))
+    with pytest.raises(ValueError, match="not both"):
+        t.read_where(spark, "doc_id", 0, 1, snapshot_id=0, tag="v1")

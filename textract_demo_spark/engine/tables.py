@@ -1308,7 +1308,9 @@ class IcebergLike:
 
     def read_where(self, spark: SparkSession, col: str | None = None,
                    lo=None, hi=None,
-                   preds: dict | None = None) -> tuple[DataFrame, dict]:
+                   preds: dict | None = None,
+                   snapshot_id: int | None = None,
+                   tag: str | None = None) -> tuple[DataFrame, dict]:
         """Scan with manifest-stats partition pruning: keep only
         partitions whose recorded [min, max] overlaps the requested
         range (missing stats keep the partition — pruning is an
@@ -1324,15 +1326,39 @@ class IcebergLike:
         lookup prunes multiplicatively (the query shape z-order
         exists for); on a linear layout only the sort column
         contributes.
+
+        ``snapshot_id`` / ``tag`` scope the pruned scan to a
+        historical snapshot (pruning composed with time travel — the
+        'reproduce the exact training-corpus slice' read). Pruning
+        stays conservative under time travel: later appends only
+        WIDEN a partition's recorded min/max, so stale stats can keep
+        an extra partition but never wrongly drop one.
         """
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or tag, not both")
+            snapshot_id = self._resolve_tag(tag)
+        snap = None
+        if snapshot_id is not None:
+            snap = next((s for s in self.snapshots()
+                         if s["snapshot_id"] == snapshot_id), None)
+            if snap is None:
+                have = sorted(s["snapshot_id"] for s in self.snapshots())
+                raise ValueError(
+                    f"no snapshot with snapshot_id={snapshot_id};"
+                    f" have {have}")
         if preds is None:
             if col is None:
                 raise ValueError("pass col or preds")
             preds = {col: (lo, hi)}
         elif col is not None:
             raise ValueError("pass col or preds, not both")
+        scan_keys = sorted(self.committed_keys())
+        if snap is not None:
+            scan_keys = [k for k in scan_keys
+                         if k in {int(x) for x in snap["committed_keys"]}]
         kept, pruned = [], []
-        for k in sorted(self.committed_keys()):
+        for k in scan_keys:
             stats = (self.manifest(k) or {}).get("col_stats", {})
             drop = False
             for c, (lo_, hi_) in preds.items():
@@ -1347,21 +1373,32 @@ class IcebergLike:
         report = {"preds": {c: list(r) for c, r in preds.items()},
                   "col": col, "lo": lo, "hi": hi,
                   "partitions_kept": kept, "partitions_pruned": pruned}
+        schema_src = snap if snap is not None else (
+            self.snapshots()[-1] if self.snapshots() else None)
+        schema = self._stored_schema(schema_src)
         if not kept:
-            schema = self._stored_schema(
-                self.snapshots()[-1] if self.snapshots() else None)
             if schema is None:
                 raise ValueError("nothing to scan and no stored schema")
             return spark.createDataFrame([], schema=schema), report
         reader = spark.read.option("basePath", self.data_dir)
-        schema = self._stored_schema(
-            self.snapshots()[-1] if self.snapshots() else None)
         if schema is not None:
             reader = reader.schema(schema)
         df = reader.parquet(*[os.path.join(self.data_dir,
                                            f"{PART_COL}={k}")
                               for k in kept])
-        df = self._apply_deletes(spark, df, None)
+        if snapshot_id is not None:
+            # time travel is FILE-granular: drop later-sequenced
+            # appends inside kept partition dirs, then apply only the
+            # deletes committed at-or-before the snapshot
+            df = self._annotate_seq(spark, df).filter(
+                F.col("_dseq") <= snapshot_id)
+            for eq_cols, d in self._delete_dims(
+                    spark, self._delete_snapshots(upto=snapshot_id)):
+                df = df.join(F.broadcast(d), self._del_cond(eq_cols),
+                             "left_anti")
+            df = df.drop("_dseq")
+        else:
+            df = self._apply_deletes(spark, df, None)
         for c, (lo_, hi_) in preds.items():
             if lo_ is not None:
                 df = df.filter(F.col(c) >= F.lit(lo_))
