@@ -334,8 +334,34 @@ def main() -> None:
             json.dump(full, fh, indent=1)
     except OSError:
         pass  # sidecar is best-effort: stdout JSON is the contract
-    compact = {k: v for k, v in full.items() if k != "delta_vs_prev"}
-    print(json.dumps(compact))
+    # r03 AND r04 both came back ``parsed: null``: even without the
+    # delta table, an 85-entry queries map outgrows the driver's tail
+    # buffer (r04 captured ~2.9 kB of a ~3.8 kB line, losing the line
+    # start).  The stdout contract line therefore carries only a
+    # handful of headline per-family representatives; the complete
+    # per-query map lives in BENCH/LAST_RUN.json.
+    headline = [
+        "extract_pipeline", "extract_pdf_multipage", "dedup_minhash_lsh",
+        "dedup_substring_rewrite", "ann_ivf_topk", "semantic_dedup",
+        "gopher_quality_rules", "search_bm25_topk", "table_zorder_scan",
+        "events_sessionize",
+    ]
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": {n: timings[n] for n in headline if n in timings},
+        "sf": full["sf"],
+        "turns_per_sec": extras["turns_per_sec"],
+        "n_turns": extras["n_turns"],
+        "host_probe_sec": extras["host_probe_sec"],
+        "loadavg_1m": extras["loadavg_1m"],
+        "n_queries": len(timings),
+        "full_record": "BENCH/LAST_RUN.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1500, f"stdout contract line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":
