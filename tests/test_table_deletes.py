@@ -195,9 +195,37 @@ def test_append_crash_leaves_no_orphans(spark, table):
     orphan = os.path.join(d, "s00099-0000-crashed.parquet")
     with open(orphan, "wb") as fh:
         fh.write(b"not a real parquet")
-    t2 = IcebergLike(table.root)  # reopen sweeps unmanifested s*-
+    # a plain reopen does NOT sweep a YOUNG orphan: it could be a
+    # concurrent appender's just-renamed file, one manifest write away
+    # from being committed (deleting it would silently lose that
+    # run's rows). Until the sweep, directory-glob reads can see the
+    # crashed file — the same read-uncommitted window that exists
+    # while any append is in flight; a recovery procedure calls
+    # recover_orphans() before serving reads.
+    t2 = IcebergLike(table.root)
+    assert os.path.exists(orphan)
+    # aged past the liveness threshold, the open-time sweep takes it
+    old = os.path.getmtime(orphan) - 100_000
+    os.utime(orphan, (old, old))
+    t3 = IcebergLike(table.root)
     assert not os.path.exists(orphan)
-    assert _ids(t2.read(spark)) == list(range(100))
+    assert _ids(t3.read(spark)) == list(range(100))
+
+
+def test_recover_orphans_explicit_sweep(spark, table):
+    """The maintenance entry point removes a crashed append's
+    unmanifested files immediately, regardless of age."""
+    import os
+
+    from textract_demo_spark.engine.tables import PART_COL
+    k = sorted(table.committed_keys())[0]
+    d = os.path.join(table.data_dir, f"{PART_COL}={k}")
+    orphan = os.path.join(d, "s00099-0000-crashed.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not a real parquet")
+    table.recover_orphans()
+    assert not os.path.exists(orphan)
+    assert _ids(table.read(spark)) == list(range(100))
 
 
 def test_upsert_replaces_matched_inserts_new(spark, table):
@@ -562,7 +590,7 @@ def test_concurrent_disjoint_writers_both_commit(spark, tmp_path):
     assert _ids(IcebergLike(root).read(spark)) == list(range(100))
 
 
-def test_concurrent_delete_rebases_file_name(spark, tmp_path):
+def test_concurrent_delete_rebases_without_rename(spark, tmp_path):
     from textract_demo_spark.engine.tables import IcebergLike
 
     root = str(tmp_path / "t")
@@ -573,9 +601,56 @@ def test_concurrent_delete_rebases_file_name(spark, tmp_path):
     sd = tb.delete_rows(
         spark.createDataFrame([(7,)], "doc_id long"), ["doc_id"])
     assert sd["snapshot_id"] == 1 and sd["rebased_from"] == 0
-    assert sd["delete_file"] == "delete-00001.parquet"
+    # the delete file is run-unique and NEVER renamed on rebase (a
+    # rename could move a path a published snapshot references)
+    assert os.path.exists(os.path.join(tb.delete_dir, sd["delete_file"]))
     # serialized after the write -> tombstones its rows
     assert 7 not in _ids(IcebergLike(root).read(spark))
+
+
+def test_concurrent_deletes_both_apply(spark, tmp_path):
+    """Two delete_rows racing the same provisional snapshot id (two
+    CDC streams upserting one table): both files must survive and
+    BOTH tombstone sets must apply — the loser's rebase must not
+    clobber or rename away the winner's just-published file."""
+    import threading
+
+    from textract_demo_spark.engine.tables import IcebergLike
+
+    root = str(tmp_path / "t")
+    IcebergLike(root).write(_wave(spark, 0, 100), run_id="a")
+    gate = threading.Barrier(2, timeout=180)
+
+    class Gated(IcebergLike):
+        def _publish_snapshot(self, snap, rebase=None):
+            gate.wait()  # both deleters reach publish with the same id
+            return super()._publish_snapshot(snap, rebase)
+
+    out, errs = {}, []
+
+    def go(name, key):
+        try:
+            out[name] = Gated(root).delete_rows(
+                spark.createDataFrame([(key,)], "doc_id long"),
+                ["doc_id"], run_id=name)
+        except Exception as e:  # surface thread failures in asserts
+            errs.append((name, e))
+
+    th = [threading.Thread(target=go, args=("da", 7)),
+          threading.Thread(target=go, args=("db", 13))]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    assert {out["da"]["snapshot_id"], out["db"]["snapshot_id"]} == {1, 2}
+    t = IcebergLike(root)
+    for s in (out["da"], out["db"]):
+        assert os.path.exists(
+            os.path.join(t.delete_dir, s["delete_file"]))
+    ids = _ids(t.read(spark))
+    assert 7 not in ids and 13 not in ids
+    assert len(ids) == 98
 
 
 # ---- rollback -------------------------------------------------------
@@ -809,3 +884,70 @@ def test_read_where_composes_with_time_travel(spark, tmp_path):
         F.col("doc_id").between(100, 199)))
     with pytest.raises(ValueError, match="not both"):
         t.read_where(spark, "doc_id", 0, 1, snapshot_id=0, tag="v1")
+
+
+# ---- ADVICE round-4 regressions: stats staleness + sweep liveness ---
+
+
+def test_append_without_stats_drops_stale_range(spark, tmp_path):
+    """ADVICE r4 (high): an append that passes no stat_cols — exactly
+    what upsert()/CDC do — must INVALIDATE the partition's recorded
+    range, not keep it. A kept stale range would let read_where
+    silently prune the appended rows."""
+    t = IcebergLike(str(tmp_path / "t"))
+    df = (spark.range(0, 200)
+          .select(F.concat(F.lit("c"), F.col("id").cast("string"))
+                  .alias("conv_id"),
+                  F.col("id").cast("long").alias("doc_id"))
+          .withColumn(PART_COL, (F.col("doc_id") / 100).cast("int")))
+    t.write(df, stat_cols=["doc_id"])
+    # append rows OUTSIDE the recorded ranges, with no stats
+    extra = (spark.createDataFrame([(900,), (901,)], "doc_id long")
+             .select(F.lit("cx").alias("conv_id"), "doc_id")
+             .withColumn(PART_COL, F.lit(0).cast("int")))
+    t.write(extra, append=True)
+    # the stale [0, 99] range for bucket 0 is gone -> conservative keep
+    assert "doc_id" not in (t.manifest(0).get("col_stats") or {})
+    out, rep = t.read_where(spark, "doc_id", lo=900, hi=901)
+    assert _ids(out) == [900, 901]
+    assert 0 in rep["partitions_kept"]
+    # bucket 1 kept its tight stats and still prunes
+    assert 1 in rep["partitions_pruned"]
+
+
+def test_append_with_stats_widens_range(spark, tmp_path):
+    """The both-sides-tracked path still widens (never drops)."""
+    t = IcebergLike(str(tmp_path / "t"))
+    df = (spark.range(0, 100)
+          .select(F.concat(F.lit("c"), F.col("id").cast("string"))
+                  .alias("conv_id"),
+                  F.col("id").cast("long").alias("doc_id"))
+          .withColumn(PART_COL, F.lit(0).cast("int")))
+    t.write(df, stat_cols=["doc_id"])
+    extra = (spark.createDataFrame([(900,)], "doc_id long")
+             .select(F.lit("cx").alias("conv_id"), "doc_id")
+             .withColumn(PART_COL, F.lit(0).cast("int")))
+    t.write(extra, append=True, stat_cols=["doc_id"])
+    st = t.manifest(0)["col_stats"]["doc_id"]
+    assert st["min"] == 0 and st["max"] == 900
+
+
+def test_live_staging_survives_concurrent_write(spark, tmp_path):
+    """ADVICE r4: write() must not rm -rf a concurrent live writer's
+    in-progress staging dir; only dirs older than the liveness
+    threshold are swept."""
+    import os
+
+    t = IcebergLike(str(tmp_path / "t"))
+    live = os.path.join(t.staging_dir, "run-live")
+    os.makedirs(os.path.join(live, f"{PART_COL}=0"))
+    with open(os.path.join(live, f"{PART_COL}=0", "x.parquet"),
+              "wb") as fh:
+        fh.write(b"in-progress")
+    dead = os.path.join(t.staging_dir, "run-dead")
+    os.makedirs(dead)
+    old = os.path.getmtime(dead) - 100_000
+    os.utime(dead, (old, old))
+    t.write(_wave(spark, 0, 50))
+    assert os.path.exists(live)      # young: possibly a live writer
+    assert not os.path.exists(dead)  # aged out: reclaimed

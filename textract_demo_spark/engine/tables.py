@@ -82,6 +82,7 @@ import re
 import shutil
 import threading
 import time
+import uuid
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
@@ -101,6 +102,16 @@ class CommitConflictError(RuntimeError):
 # commit from O(partitions) sequential waits into parallel batches
 # (the round-1 scale watch-item at 10^4-10^5 partitions)
 PROMOTE_THREADS = 32
+# Liveness thresholds for the two hygiene sweeps. Both sweeps exist
+# only to reclaim disk after a KILLED run (correctness never depends
+# on them: a crashed write re-stages idempotently under its own
+# run_id, and unmanifested ``s*-`` append files are invisible to
+# reads, which resolve file lists from the manifests). Age-gating
+# them keeps a sweep from destroying a CONCURRENT live run's
+# in-progress staging dir or an appender's just-renamed-but-not-yet-
+# manifested files.
+STAGING_SWEEP_MIN_AGE_SEC = 3600.0
+ORPHAN_SWEEP_MIN_AGE_SEC = 300.0
 
 
 def with_part_key(df: DataFrame, n_buckets: int,
@@ -325,9 +336,11 @@ class IcebergLike:
         their OWN sequence number in the manifest's ``file_seq`` map
         — per-FILE sequencing, exactly Iceberg's model — so equality
         deletes scope correctly inside a mixed-age partition. A kill
-        mid-append leaves only unmanifested ``s*-`` files, which
-        ``_recover_appends`` sweeps on the next open (manifested
-        appends are durable; the crashed run re-stages idempotently).
+        mid-append leaves only unmanifested ``s*-`` files — invisible
+        to reads (file lists resolve from manifests) and reclaimed by
+        the age-gated ``_recover_appends`` sweep or an explicit
+        ``recover_orphans()`` (manifested appends are durable; the
+        crashed run re-stages idempotently).
         """
         committed = self.committed_keys()
         run_id = run_id or f"run-{int(time.time() * 1000)}"
@@ -337,11 +350,23 @@ class IcebergLike:
         # deletes to data committed at-or-before them). A crashed run
         # re-derives the same id (no snapshot file was appended).
         snap_id = self._next_snapshot_id()
-        # sweep staging left by dead runs (their committed partitions
-        # are already promoted; staging is recomputed idempotently)
+        # sweep staging left by DEAD runs only (their committed
+        # partitions are already promoted; staging is recomputed
+        # idempotently). Age-gated: a concurrent LIVE writer's
+        # in-progress staging dir must never be swept — removing it
+        # mid-commit would fail its staged read or promote renames,
+        # leaving partitions manifested without a snapshot. A crashed
+        # run younger than the threshold merely keeps its disk a bit
+        # longer; rerunning the same run_id overwrites it regardless.
+        now = time.time()
         for stale in os.listdir(self.staging_dir):
-            shutil.rmtree(os.path.join(self.staging_dir, stale),
-                          ignore_errors=True)
+            p = os.path.join(self.staging_dir, stale)
+            try:
+                if now - os.path.getmtime(p) < STAGING_SWEEP_MIN_AGE_SEC:
+                    continue
+            except OSError:
+                continue  # vanished: another sweeper got it
+            shutil.rmtree(p, ignore_errors=True)
         pending_df = df
         if committed and not append:
             pending_df = df.filter(
@@ -497,8 +522,9 @@ class IcebergLike:
         collision-free ``s{snap}-`` names, then merge the manifest:
         files + per-file sequence numbers, summed row metric, min/max-
         merged column stats. The manifest write is the commit point —
-        files moved before a crash are unmanifested ``s*-`` orphans
-        that ``_recover_appends`` removes on the next open."""
+        files moved before a crash are unmanifested ``s*-`` orphans,
+        invisible to reads and reclaimed by the age-gated
+        ``_recover_appends`` sweep / explicit ``recover_orphans``."""
         staged = sorted(f for f in os.listdir(src)
                         if f.endswith(".parquet"))
         new_names = []
@@ -517,16 +543,31 @@ class IcebergLike:
         new_rows = metrics.get("rows")
         if isinstance(old_rows, int) and isinstance(new_rows, int):
             m["metrics"] = {**m["metrics"], "rows": old_rows + new_rows}
-        if stats:
-            merged = dict(m.get("col_stats") or {})
-            for c, st in stats.items():
-                old = merged.get(c)
-                if old is None or old.get("min") is None:
-                    merged[c] = st
-                elif st["min"] is not None:
-                    merged[c] = {"min": min(old["min"], st["min"]),
-                                 "max": max(old["max"], st["max"])}
+        # Column-stats merge must uphold read_where's invariant that
+        # a recorded [min, max] bounds EVERY non-null value in the
+        # partition. A column tracked on only one side (an append
+        # without stat_cols over a stats-carrying base, or vice
+        # versa) has no range for the untracked side's rows — keeping
+        # the one-sided range would let pruning silently drop the
+        # other side's rows. Drop that column's entry instead:
+        # read_where treats missing stats as "keep the partition".
+        prior_stats = dict(m.get("col_stats") or {})
+        merged = {}
+        for c in set(prior_stats) | set(stats or {}):
+            old, new = prior_stats.get(c), (stats or {}).get(c)
+            if old is None or new is None:
+                continue  # one-sided: no valid combined range
+            if old.get("min") is None:
+                merged[c] = new  # prior rows all-null in c
+            elif new["min"] is None:
+                merged[c] = old  # appended rows all-null in c
+            else:
+                merged[c] = {"min": min(old["min"], new["min"]),
+                             "max": max(old["max"], new["max"])}
+        if merged:
             m["col_stats"] = merged
+        else:
+            m.pop("col_stats", None)
         m.setdefault("appends", []).append(
             {"run_id": run_id, "snapshot_id": snap_id,
              "files": new_names})
@@ -534,11 +575,25 @@ class IcebergLike:
             os.path.join(self.manifest_dir, f"part-{k:05d}.json"), m)
         return k
 
-    def _recover_appends(self) -> None:
+    def _recover_appends(
+            self,
+            min_age_sec: float = ORPHAN_SWEEP_MIN_AGE_SEC) -> None:
         """Remove ``s*-`` append files not listed in their partition
         manifest (a crashed append's partial moves; completed appends
         are manifested atomically). Base-write files never carry the
-        prefix, so they are never candidates."""
+        prefix, so they are never candidates.
+
+        Age-gated: a CONCURRENT appender sits in exactly the window
+        between os.rename of its files and its manifest write, so an
+        un-gated sweep on every table open would delete a live run's
+        files and let it commit a manifest listing nonexistent files
+        (silent row loss). The cost of the gate: until the sweep, a
+        crashed append's files stay visible to the directory-glob
+        scan paths — the same read-uncommitted window that exists
+        WHILE any append is in flight (a glob scan cannot tell the
+        two apart; manifest-scoped reads like ``read_incremental``
+        are unaffected). A recovery procedure that knows no appender
+        is live calls ``recover_orphans()`` before serving reads."""
         for k in self.committed_keys():
             d = os.path.join(self.data_dir, f"{PART_COL}={k}")
             if not os.path.isdir(d):
@@ -550,9 +605,25 @@ class IcebergLike:
                 continue  # manifest JSON read only when needed: the
                 # sweep must stay cheap at 10^5 partitions per open
             listed = set((self.manifest(k) or {}).get("files", []))
+            now = time.time()
             for f in cands:
-                if f not in listed:
-                    os.remove(os.path.join(d, f))
+                if f in listed:
+                    continue
+                p = os.path.join(d, f)
+                try:
+                    if now - os.path.getmtime(p) < min_age_sec:
+                        continue  # possibly a live appender mid-move
+                    os.remove(p)
+                except OSError:
+                    pass  # vanished: its appender manifested or a
+                    # concurrent sweeper removed it
+
+    def recover_orphans(self, min_age_sec: float = 0.0) -> None:
+        """Explicit maintenance sweep (the Iceberg
+        ``remove_orphan_files`` analog): remove crashed-append
+        orphans immediately, regardless of age. Run this only when no
+        appender is live against the table."""
+        self._recover_appends(min_age_sec=min_age_sec)
 
     def upsert(self, df: DataFrame, eq_cols: list[str],
                run_id: str | None = None,
@@ -563,7 +634,18 @@ class IcebergLike:
         APPEND of ``df`` (sequenced after the delete, so the new rows
         survive it). Rows with unmatched keys are plain inserts;
         untouched rows are untouched. Merge-on-read: no data
-        partition is rewritten."""
+        partition is rewritten.
+
+        NOT atomic, unlike Iceberg MERGE (one snapshot): this is TWO
+        commits, so (a) a reader between them sees the matched keys
+        absent, and (b) a crash after the delete but before the
+        append leaves the matched rows gone until the batch is
+        retried. The streaming CDC path is safe because foreachBatch
+        re-delivers the batch (the re-run's delete is a no-op and the
+        append restores the rows); a non-streaming caller needing
+        atomic visibility must retry the whole upsert on failure and
+        tolerate the read gap, or take a snapshot-scoped read
+        (``read(snapshot_id=...)``) pinned at-or-before the upsert."""
         run_id = run_id or f"upsert-{int(time.time() * 1000)}"
         d = self.delete_rows(df.select(*eq_cols), eq_cols,
                              run_id=f"{run_id}-delete")
@@ -1094,7 +1176,17 @@ class IcebergLike:
         """
         run_id = run_id or f"delete-{int(time.time() * 1000)}"
         snap_id = self._next_snapshot_id()
-        name = f"delete-{snap_id:05d}.parquet"
+        # Run-unique file name, written ONCE and never renamed. Two
+        # concurrent delete_rows (e.g. two CDC upsert streams) both
+        # compute the same provisional snap_id; a shared
+        # delete-{snap_id}.parquet name would make the loser's write
+        # clobber the winner's just-published file (and a post-CAS
+        # rename leaves a window where a published snapshot references
+        # a missing file — _delete_snapshots would silently skip the
+        # tombstones). The numeric prefix is cosmetic (the PROVISIONAL
+        # id); identity lives in the snapshot record's delete_file.
+        name = (f"delete-{snap_id:05d}-"
+                f"{uuid.uuid4().hex[:8]}.parquet")
         path = os.path.join(self.delete_dir, name)
         tuples = keys_df.select(*eq_cols).distinct()
         tuples.coalesce(1).write.mode("overwrite").parquet(path)
@@ -1107,17 +1199,15 @@ class IcebergLike:
         }
 
         def _rebase(snap: dict, new_id: int) -> dict:
-            """Lost the snapshot id race: rename the delete file to
-            the new sequence number and serialize after the winner —
+            """Lost the snapshot id race: serialize after the winner —
             the delete then tombstones whatever is committed at its
             serialized position (matching rows appended by the
             concurrent winner included), exactly the at-or-before
-            sequence rule."""
-            new_name = f"delete-{new_id:05d}.parquet"
-            os.rename(os.path.join(self.delete_dir, snap["delete_file"]),
-                      os.path.join(self.delete_dir, new_name))
+            sequence rule. The delete FILE is untouched: its name is
+            run-unique, so no rename is needed (and renaming here
+            could move a path the winner's published snapshot
+            references)."""
             return {**snap, "snapshot_id": new_id,
-                    "delete_file": new_name,
                     "committed_keys": sorted(self.committed_keys()),
                     "rebased_from": snap["snapshot_id"]}
 
