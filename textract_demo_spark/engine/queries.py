@@ -5659,6 +5659,54 @@ def table_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "doc_id long, n_chars long, _change_type string")
 
 
+@query("table_merge_upsert", oracle="""
+    SELECT 'pre' AS state, doc_id::BIGINT AS doc_id,
+           length(text)::BIGINT AS n_chars
+    FROM documents WHERE doc_id < 200
+    UNION ALL
+    SELECT 'post', doc_id::BIGINT, length(text)::BIGINT
+    FROM documents WHERE doc_id < 150
+    UNION ALL
+    SELECT 'post', doc_id::BIGINT, 777::BIGINT
+    FROM documents WHERE doc_id >= 150 AND doc_id < 250
+""")
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic single-snapshot MERGE (engine/tables.py merge — the
+    Iceberg MERGE-commit analog): ONE snapshot carries both the
+    equality-delete file and the appended data files, sharing a
+    sequence number under the strict data/delete rule, so readers
+    flip from old to new rows at a single publish. The query commits
+    docs 0..200, merges keys 150..250 with n_chars := 777 (replacing
+    150..200, inserting 200..250), and returns BOTH states: 'pre' =
+    time travel to the pre-merge snapshot (original values — the
+    merge's tombstones and appends are both invisible), 'post' = the
+    current read. Atomicity is asserted in-query: exactly one
+    snapshot was added."""
+    import shutil
+    import tempfile
+
+    from .tables import IcebergLike
+    base = tempfile.mkdtemp(prefix="table_merge_q_")
+    try:
+        t = IcebergLike(base)
+        t.write(_offset_parts(_docs_kv(spark, sf_dir, 0, 200), 0))
+        pre = t.snapshots()[-1]["snapshot_id"]
+        n0 = len(t.snapshots())
+        up = (_docs_kv(spark, sf_dir, 150, 250)
+              .withColumn("n_chars", F.lit(777).cast("long")))
+        t.merge(_offset_parts(up, 0), ["doc_id"])
+        assert len(t.snapshots()) == n0 + 1, "merge must be ONE commit"
+        rows = [("pre", r.doc_id, r.n_chars) for r in
+                t.read(spark, snapshot_id=pre)
+                .select("doc_id", "n_chars").collect()]
+        rows += [("post", r.doc_id, r.n_chars) for r in
+                 t.read(spark).select("doc_id", "n_chars").collect()]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "state string, doc_id long, n_chars long")
+
+
 # ---- incremental sketch rollup (tables.read_incremental x
 # sketch.hll_merge) ---------------------------------------------------
 

@@ -31,8 +31,11 @@ Iceberg-v2 parity pieces beyond the commit protocol:
   delete FILE (the tuples to drop), never touches data. Sequence
   semantics match Iceberg: every data partition records the snapshot
   id it was committed under (``data_snapshot_id``), and a delete
-  applies only to partitions committed AT OR BEFORE it — rows
-  appended later with the same key survive. Reads apply deletes as a
+  applies only to files sequenced STRICTLY BEFORE it — rows appended
+  later with the same key survive. ``merge`` builds on exactly that
+  rule to commit an atomic single-snapshot MERGE: its delete file and
+  its new data files share one sequence number, so readers flip from
+  old rows to new rows at a single publish. Reads apply deletes as a
   broadcast anti-join (delete sets are dimension-sized next to 100 TB
   of data); ``materialize_deletes`` is the ``rewrite_data_files``-
   style compaction that folds them in. This is the takedown/PII-purge
@@ -90,6 +93,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 PART_COL = "part_key"
+
+
+def _safe_name(s: str) -> str:
+    """File-name-safe slug of a caller-supplied run id."""
+    return re.sub(r"[^A-Za-z0-9._-]", "_", s)[:80]
 
 
 class CommitConflictError(RuntimeError):
@@ -299,7 +307,8 @@ class IcebergLike:
               input_fingerprint: str = "", fail_after: int | None = None,
               rebalance: bool = True,
               stat_cols: list[str] | None = None,
-              append: bool = False) -> dict:
+              append: bool = False,
+              snapshot_extra: dict | None = None) -> dict:
         """Commit all not-yet-committed partitions of ``df`` (must
         carry PART_COL).
 
@@ -344,6 +353,12 @@ class IcebergLike:
         """
         committed = self.committed_keys()
         run_id = run_id or f"run-{int(time.time() * 1000)}"
+        if append:
+            # replay idempotence: a crashed earlier attempt of THIS
+            # run_id may have manifested appends whose snapshot never
+            # published — strip them so the rerun lands exactly once.
+            # (Callers must not share a run_id across LIVE runs.)
+            self._strip_run_appends(run_id)
         # the snapshot id this commit WILL append — computed up front
         # so partition manifests can record it (data_snapshot_id: the
         # Iceberg data-sequence-number analog that scopes equality
@@ -460,7 +475,8 @@ class IcebergLike:
         snapshot = {
             "snapshot_id": snap_id,
             "run_id": run_id,
-            **({"op": "append"} if append else {}),
+            **(snapshot_extra if snapshot_extra is not None
+               else ({"op": "append"} if append else {})),
             "committed_keys": sorted(self.committed_keys()),
             "newly_committed": promoted,
             "skipped_already_committed":
@@ -570,7 +586,11 @@ class IcebergLike:
             m.pop("col_stats", None)
         m.setdefault("appends", []).append(
             {"run_id": run_id, "snapshot_id": snap_id,
-             "files": new_names})
+             "files": new_names,
+             # per-append row count: lets _strip_run_appends subtract
+             # exactly when undoing a crashed attempt's manifests
+             **({"rows": new_rows} if isinstance(new_rows, int)
+                else {})})
         self._write_json_atomic(
             os.path.join(self.manifest_dir, f"part-{k:05d}.json"), m)
         return k
@@ -625,35 +645,114 @@ class IcebergLike:
         appender is live against the table."""
         self._recover_appends(min_age_sec=min_age_sec)
 
+    def _strip_run_appends(self, run_id: str) -> list[int]:
+        """Undo manifested appends left by a CRASHED earlier attempt
+        of ``run_id`` — entries whose snapshot id was never published
+        (a kill between the per-partition manifest writes and the
+        snapshot CAS). The rerun then lands exactly once instead of
+        doubling rows in the partitions the first attempt reached.
+        Row metrics are subtracted from the per-append counts;
+        column stats are left as-is (possibly wider than the data —
+        safe: wide stats only keep extra partitions in read_where,
+        they never wrongly prune). Published appends with the same
+        run_id are NEVER touched."""
+        published = {s["snapshot_id"] for s in self.snapshots()}
+        stripped = []
+        for k in self.committed_keys():
+            m = self.manifest(k) or {}
+            appends = m.get("appends") or []
+            dead = [a for a in appends
+                    if a.get("run_id") == run_id
+                    and a.get("snapshot_id") not in published]
+            if not dead:
+                continue
+            drop = {f for a in dead for f in a.get("files", [])}
+            d = os.path.join(self.data_dir, f"{PART_COL}={k}")
+            for f in sorted(drop):
+                try:
+                    os.remove(os.path.join(d, f))
+                except OSError:
+                    pass  # already gone (orphan sweep got it)
+            m["files"] = [f for f in m.get("files", [])
+                          if f not in drop]
+            m["file_seq"] = {f: s_ for f, s_ in
+                             (m.get("file_seq") or {}).items()
+                             if f not in drop}
+            m["appends"] = [a for a in appends if a not in dead]
+            rows = (m.get("metrics") or {}).get("rows")
+            dead_rows = [a.get("rows") for a in dead]
+            if isinstance(rows, int) and all(
+                    isinstance(r, int) for r in dead_rows):
+                m["metrics"] = {**m["metrics"],
+                                "rows": rows - sum(dead_rows)}
+            elif isinstance(rows, int):
+                m["metrics"] = {c: v for c, v in m["metrics"].items()
+                                if c != "rows"}  # unknown: drop
+            self._write_json_atomic(
+                os.path.join(self.manifest_dir, f"part-{k:05d}.json"),
+                m)
+            stripped.append(k)
+        return stripped
+
+    def merge(self, df: DataFrame, eq_cols: list[str],
+              run_id: str | None = None,
+              stat_cols: list[str] | None = None,
+              fail_after: int | None = None) -> dict:
+        """Atomic MERGE — the Iceberg single-commit MERGE analog: ONE
+        snapshot carries BOTH an equality-delete file over ``df``'s
+        key tuples AND ``df``'s appended data files. The delete and
+        the new files share the snapshot's sequence number, and
+        equality deletes apply only to STRICTLY older files
+        (``_del_cond``), so the new rows survive their own tombstones
+        while every matched pre-existing row is replaced; unmatched
+        keys are plain inserts; untouched rows are untouched.
+        Merge-on-read: no data partition is rewritten.
+
+        Visibility: readers switch from old to new rows atomically at
+        the snapshot publish — there is NO state where matched keys
+        are absent (the gap the old two-commit upsert had). Before
+        the publish, appended files are already manifested, so a
+        concurrent glob-scan reader can briefly see new rows
+        ALONGSIDE the old — the same read-uncommitted window any
+        in-flight append has (manifest-scoped reads are unaffected).
+
+        Crash/replay: a rerun with the SAME run_id first strips the
+        crashed attempt's unpublished appends (exactly-once per
+        run_id), and a foreachBatch REdelivery after a successful
+        publish also converges — the replay's delete outsequences and
+        tombstones the earlier copy's rows before re-appending.
+        ``fail_after`` injects a crash after N partition promotes
+        (before the snapshot publish), for the kill/replay tests."""
+        run_id = run_id or f"merge-{int(time.time() * 1000)}"
+        # sweep delete files left by crashed attempts of THIS run_id
+        # (never referenced by a published snapshot — pure dead weight)
+        referenced = {s.get("delete_file") for s in self.snapshots()}
+        prefix = f"delete-merge-{_safe_name(run_id)}-"
+        for f in os.listdir(self.delete_dir):
+            if f.startswith(prefix) and f not in referenced:
+                shutil.rmtree(os.path.join(self.delete_dir, f),
+                              ignore_errors=True)
+        # run-unique name, written once, never renamed or overwritten
+        # (a published snapshot may reference it — delete_rows's rule)
+        name = f"{prefix}{uuid.uuid4().hex[:8]}.parquet"
+        path = os.path.join(self.delete_dir, name)
+        tuples = df.select(*eq_cols).distinct()
+        tuples.coalesce(1).write.mode("overwrite").parquet(path)
+        n = df.sparkSession.read.parquet(path).count()
+        return self.write(
+            df, run_id=run_id, append=True, stat_cols=stat_cols,
+            fail_after=fail_after,
+            snapshot_extra={"op": "merge", "eq_cols": list(eq_cols),
+                            "delete_file": name,
+                            "n_delete_tuples": int(n)})
+
     def upsert(self, df: DataFrame, eq_cols: list[str],
                run_id: str | None = None,
                stat_cols: list[str] | None = None) -> dict:
-        """MERGE analog from the two v2 primitives: an equality
-        delete over ``df``'s key tuples (tombstones any existing rows
-        with those keys — matched rows are 'replaced') followed by an
-        APPEND of ``df`` (sequenced after the delete, so the new rows
-        survive it). Rows with unmatched keys are plain inserts;
-        untouched rows are untouched. Merge-on-read: no data
-        partition is rewritten.
-
-        NOT atomic, unlike Iceberg MERGE (one snapshot): this is TWO
-        commits, so (a) a reader between them sees the matched keys
-        absent, and (b) a crash after the delete but before the
-        append leaves the matched rows gone until the batch is
-        retried. The streaming CDC path is safe because foreachBatch
-        re-delivers the batch (the re-run's delete is a no-op and the
-        append restores the rows); a non-streaming caller needing
-        atomic visibility must retry the whole upsert on failure and
-        tolerate the read gap, or take a snapshot-scoped read
-        (``read(snapshot_id=...)``) pinned at-or-before the upsert."""
-        run_id = run_id or f"upsert-{int(time.time() * 1000)}"
-        d = self.delete_rows(df.select(*eq_cols), eq_cols,
-                             run_id=f"{run_id}-delete")
-        a = self.write(df, run_id=f"{run_id}-append", append=True,
-                       stat_cols=stat_cols)
-        return {"op": "upsert", "run_id": run_id,
-                "delete_snapshot": d["snapshot_id"],
-                "append_snapshot": a["snapshot_id"]}
+        """Upsert = atomic single-snapshot ``merge`` (see there).
+        Kept as the CDC-facing name; returns the merge snapshot."""
+        return self.merge(df, eq_cols, run_id=run_id,
+                          stat_cols=stat_cols)
 
     # -- tags (named snapshots) ------------------------------------------------
 
@@ -715,7 +814,7 @@ class IcebergLike:
             sid = s["snapshot_id"]
             if sid >= cutoff or sid in tagged:
                 continue
-            if (s.get("op") == "delete"
+            if (s.get("op") in ("delete", "merge")
                     and os.path.exists(os.path.join(
                         self.delete_dir, s["delete_file"]))):
                 continue  # live tombstones: must stay discoverable
@@ -800,7 +899,7 @@ class IcebergLike:
             stripped.append(k)
         dropped_snaps = []
         for s in later:
-            if s.get("op") == "delete":
+            if s.get("op") in ("delete", "merge"):
                 p = os.path.join(self.delete_dir, s["delete_file"])
                 if os.path.isdir(p):
                     shutil.rmtree(p, ignore_errors=True)
@@ -985,9 +1084,10 @@ class IcebergLike:
         Equality-delete files at-or-before the requested snapshot are
         applied (``apply_deletes=False`` reads raw data rows) as a
         broadcast anti-join scoped by sequence number: a delete drops
-        a row only when ``delete.snapshot_id >= partition.
-        data_snapshot_id`` — rows appended after the delete survive,
-        matching Iceberg's data/delete sequence-number rule.
+        a row only when ``delete.snapshot_id > file.sequence_number``
+        (STRICTLY older data — Iceberg's rule) — rows appended at or
+        after the delete survive, including a ``merge``'s own appends
+        under their shared snapshot id.
 
         Scale design: one glob scan of the partitioned layout + a
         partition-column filter — Spark prunes directories from the
@@ -1078,8 +1178,10 @@ class IcebergLike:
     # -- equality deletes (merge-on-read) -------------------------------------
 
     def _delete_snapshots(self, upto: int | None = None) -> list[dict]:
+        # "merge" snapshots carry a delete file too (their tombstone
+        # half); both ops scope identically by sequence number
         return [s for s in self.snapshots()
-                if s.get("op") == "delete"
+                if s.get("op") in ("delete", "merge")
                 and os.path.exists(os.path.join(
                     self.delete_dir, s["delete_file"]))
                 and (upto is None or s["snapshot_id"] <= upto)]
@@ -1146,7 +1248,15 @@ class IcebergLike:
 
     @staticmethod
     def _del_cond(eq_cols: tuple[str, ...]):
-        cond = F.col("_delseq") >= F.col("_dseq")
+        # STRICTLY older — Iceberg's data/delete sequence rule: an
+        # equality delete applies only to data files whose sequence
+        # number is LESS than the delete's. Standalone deletes never
+        # share an id with a data commit (snapshot ids are unique per
+        # commit), so < and <= coincide for them; the strict form is
+        # what lets ``merge`` publish its delete file and its new data
+        # files under ONE snapshot — the new rows share the delete's
+        # sequence number and therefore survive their own tombstones.
+        cond = F.col("_delseq") > F.col("_dseq")
         for c in eq_cols:
             cond = cond & (F.col(c) == F.col(f"_del_{c}"))
         return cond

@@ -226,14 +226,17 @@ def start_cdc_upsert(updates_stream: DataFrame, table, key_cols,
                      ts_col: str | None = None,
                      available_now: bool = True):
     """CDC apply loop: each micro-batch of (key..., value...) update
-    rows MERGEs into an ``IcebergLike`` table via the v2 primitives —
-    ``upsert`` = sequence-scoped equality delete + per-file-sequenced
-    append, so no data partition is ever rewritten (engine/tables.py).
+    rows MERGEs into an ``IcebergLike`` table atomically — ``upsert``
+    publishes ONE snapshot carrying both the equality-delete file and
+    the per-file-sequenced appended data (engine/tables.py merge), so
+    no data partition is ever rewritten and readers never observe a
+    state where matched keys are absent.
 
     Replay safety: a re-delivered micro-batch (foreachBatch is
-    at-least-once after a crash) re-runs the same upsert, and upsert
-    is IDEMPOTENT by construction — the replay's delete tombstones
-    the earlier replay's rows before appending again, converging to
+    at-least-once after a crash) re-runs the same merge under the
+    same run_id — a crashed attempt's unpublished appends are
+    stripped first, and a post-publish redelivery's delete
+    outsequences and tombstones the earlier copy, converging to
     exactly one copy per key (asserted in tests/test_streaming.py).
     Within a batch, ``ts_col`` picks the newest update per key
     (max_by); cross-batch, later micro-batches win — the standard
