@@ -60,100 +60,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order = driver verification order: the driver's
 # CORRECTNESS pass oracles the FIRST 50 registered queries, so the
-# least-proven entries must register first.
-#
-# ROUND-5 ROTATION CANDIDATES (registered late in round 4, after the
-# window was already full of never-verified entries; all are locally
-# oracle-rehearsed in tests/test_oracle_queries.py): table_equality_
-# delete, table_incremental_read, table_stats_pruned_scan,
-# lm_bigram_surprisal, ann_pq_topk, ann_ivfpq_topk,
-# group_sample_bottomk, streaming_cdc_upsert, table_changelog_scan,
-# dq_validate_constraints, table_sketch_rollup, table_zorder_scan,
-# table_rollback_scan. Next round, swap them in for whichever
-# in-window entries earn green r04 rows.
-#
-# Round 3 learned the ordering lesson the hard way — 17 queries
-# registered at positions 51-67 got no driver row despite having
-# oracles. Priority here: (1) everything with NO
-# driver-verified round yet (the r03 tail + this round's new
-# queries), then (2) the streaming/stateful/extraction/dedup queries
-# whose correctness is hardest to establish any other way; the pure-
-# SQL field-rule algebra (two green rounds of driver history, r02 +
-# r03) rotates to the tail.
+# least-proven entries must register first. Round-5 window, built
+# from the full r01-r04 history:
+# (1) the 16 queries with NO driver row in any round,
+# (2) the 3 queries NEW this round,
+# (3) the streaming/stateful family (hardest to prove any other way;
+#     streaming_cdc_upsert now rides the new atomic merge),
+# (4) the r03-only greens (one driver row, code age two rounds),
+# (5) heavy/new-machinery r04-only greens (iterative graph, search
+#     ranking, PDF multipage, ANN/IVF, packing).
+# Rotated to the tail: everything r02+r03 double-green (field-rule
+# algebra, extraction identities) and r04 greens whose machinery is
+# re-proven in-window by a strictly harder sibling (e.g. c4_line_
+# filter / line_dedup_rewrite by warc_ingest_extract + the substring
+# family; multimodal_media_meta by the two decode queries).
 _PRIORITY = [
-    # never driver-verified before round 4 (r03 positions 51-67)
-    "ann_ivf_topk", "multimodal_media_meta",
-    "text_repetition_stats", "split_assign", "shard_shuffle",
-    "mix_resample", "temperature_mix_targets", "decontam_ngram_overlap",
-    "token_topk_by_source", "length_percentiles_by_source",
-    "pii_detect_redact", "pack_fill_stats", "pack_sequences",
-    "semantic_dedup", "semantic_dedup_incremental", "lm_unigram_surprisal",
-    # new in round 4
-    "extract_pdf_multipage", "quality_gate_learned",
-    "multimodal_real_decode", "skew_salted_extract",
-    "c4_line_filter", "line_dedup_rewrite", "dsir_importance",
-    "streaming_dsir_scoring", "text_classifier_quality",
-    "events_asof_join", "events_sessionize", "dedup_bloom_probe",
-    "warc_ingest_extract", "streaming_sessionize",
-    "events_point_in_session", "multimodal_png_decode", "bpe_tokenize",
-    "hll_register_sketch", "cms_heavy_hitters", "chunk_overlap",
-    "tfidf_top_terms",
-    "search_inverted_index", "search_bm25_topk", "search_phrase",
-    # hardest-to-prove green queries (streaming, extraction core,
-    # dedup family) keep their driver rows; extract_plain_identity /
-    # extract_html_boilerplate_strip / quality_gate_routing /
-    # extract_table_cells rotated to the tail (r02+r03 double-green,
-    # and the same extraction pipeline is re-proven in-window by
-    # extract_pdf_multipage / skew_salted_extract / warc_ingest_extract)
-    "url_canonicalize", "link_harvest", "pagerank_topk",
-    "hits_topk", "search_hybrid_rrf", "frontier_robots_filter",
-    # (streaming_ttl_cache / multimodal_frame_features /
-    # dedup_substring_rewrite rotated out for the three newest-machinery
-    # queries above: ttl_cache is r03 driver-green and its re-park
-    # hazard guard is pinned by tests/test_ttl_state.py while
-    # streaming_review_wait — the larger state.py change — stays
-    # in-window; frame_features' plumbing is re-proven in-window by
-    # multimodal_media_meta + multimodal_real_decode +
-    # multimodal_png_decode; substring_rewrite is r03 driver-green on
-    # since-untouched code with spans/stats sharing its exchange.)
-    "streaming_review_wait",
-    "gopher_ngram_fracs", "logq_quantile_sketch",
-    # (dedup_incremental and streaming_dedup_incremental rotated out
-    # for gopher_ngram_fracs + logq_quantile_sketch: both r03
-    # driver-green with code untouched since; four streaming queries
-    # (ttl_cache, review_wait, sessionize, dsir_scoring) stay
-    # in-window, including both applyInPandasWithState operators
-    # whose state.py changed this round.)
-    "dedup_star_clusters",
-    # (gopher_quality_rules rotated out for dedup_star_clusters: it is
-    # r03 driver-green and purely narrow zero-shuffle CASE algebra
-    # whose semantics the pytest perturbation suite pins; star CC is
-    # brand-new iterative code that needs a hard-signal row.
-    # dedup_clusters / dedup_substring_spans / dedup_simhash_pairs
-    # rotated out for the web-graph family: all three are r03
-    # driver-green, cluster formation is re-proven in-window by
-    # dedup_star_clusters on a strictly harder graph, the substring
-    # (h0,h1) exchange machinery is re-proven by the in-window
-    # rewrite query, and the banded-equi-join shape of simhash_pairs
-    # stays plan-gated in tests/test_plans.py.)
-    # (extract_pdf_success rotated out for the search family: its PDF
-    # path is re-proven in-window by extract_pdf_multipage, which adds
-    # the indirect-/Length arm on top; streaming_extract_availablenow
-    # is r02+r03 double-green with six streaming queries still in
-    # window; dedup_substring_stats shares its (h0,h1) exchange with
-    # spans + rewrite, both still in window.)
-    # (ann_cosine_topk / ann_lsh_topk / text_fingerprint / text_langid
-    # / text_token_stats rotated to the tail as the line-operator +
-    # DSIR + classifier queries landed, then words_from_lines /
-    # dedup_exact / embedding_cosine_neardup / text_quality_score /
-    # dedup_ngram_jaccard / selection_elements / dedup_simhash /
-    # dedup_minhash_lsh (the incremental variant, which subsumes the
-    # minhash+band machinery, stays) as the temporal
-    # + bloom + WARC + streaming-session + range-join + PNG queries
-    # landed:
-    # all rotated names are r02+r03
-    # double-green, and the ANN fast companions are timed every
-    # bench)
+    # -- never driver-verified in r01-r04 (16)
+    "dsir_topk", "transcript_tool_bigrams", "transcript_conv_stats",
+    "table_equality_delete", "table_incremental_read",
+    "table_stats_pruned_scan", "table_zorder_scan",
+    "table_rollback_scan", "lm_bigram_surprisal",
+    "group_sample_bottomk", "ann_pq_topk", "streaming_cdc_upsert",
+    "ann_ivfpq_topk", "dq_validate_constraints",
+    "table_changelog_scan", "table_sketch_rollup",
+    # -- new in round 5 (3): atomic MERGE commit, schema evolution,
+    #    theta-sketch set operations
+    "table_merge_upsert", "table_schema_evolution",
+    "sketch_theta_setops",
+    # -- streaming/stateful family (6)
+    "streaming_extract_availablenow", "streaming_ttl_cache",
+    "streaming_review_wait", "streaming_dedup_incremental",
+    "streaming_sessionize", "streaming_dsir_scoring",
+    # -- r03-only greens (8)
+    "extract_pdf_success", "dedup_incremental", "dedup_simhash_pairs",
+    "dedup_clusters", "dedup_substring_spans", "dedup_substring_stats",
+    "dedup_substring_rewrite", "gopher_quality_rules",
+    # -- heavy/new-machinery r04-only greens (17)
+    "extract_pdf_multipage", "warc_ingest_extract",
+    "skew_salted_extract", "quality_gate_learned",
+    "multimodal_real_decode", "multimodal_png_decode",
+    "dedup_star_clusters", "search_bm25_topk", "search_hybrid_rrf",
+    "pagerank_topk", "hits_topk", "events_point_in_session",
+    "dsir_importance", "bpe_tokenize", "ann_ivf_topk",
+    "semantic_dedup", "pack_sequences",
 ]
 
 

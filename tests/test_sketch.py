@@ -209,3 +209,60 @@ def test_logq_zero_bucket(spark):
     df = spark.createDataFrame([("s", 0)] * 4, "source string, v long")
     got = logq_quantile(logq_sketch(df, "v"), qs=(50,)).collect()
     assert got[0]["q_upper"] == 0
+
+
+class TestKMV:
+    def test_exact_below_k(self, spark):
+        """Groups with fewer than k distinct values get theta = full
+        span and EXACT union/intersection counts."""
+        from textract_demo_spark.datapipe.sketch import (
+            _HASH_SPAN, kmv_set_ops, kmv_sketch)
+        rows = ([("a", f"x{i}") for i in range(10)]
+                + [("b", f"x{i}") for i in range(5, 15)])
+        df = spark.createDataFrame(rows, "g string, v string")
+        sk = kmv_sketch(df, value_col="v", group_cols=("g",), k=64)
+        out = kmv_set_ops(sk, k=64, group_col="g").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.g_a, r.g_b) == ("a", "b")
+        assert r.theta == _HASH_SPAN
+        assert r.n_union == 15 and r.n_inter == 5  # exact
+        assert r.union_est == pytest.approx(15.0)
+        assert r.inter_est == pytest.approx(5.0)
+
+    def test_sketch_is_bottom_k_distinct(self, spark):
+        from textract_demo_spark.datapipe.sketch import kmv_sketch
+        docs = _docs(spark)
+        sk = kmv_sketch(docs, value_col="text",
+                        group_cols=("source",), k=8).collect()
+        by_g = {}
+        for r in sk:
+            by_g.setdefault(r.source, []).append(r.h)
+        for g, hs in by_g.items():
+            assert len(hs) == len(set(hs)) <= 8
+
+    def test_estimator_accuracy_union_inter(self, spark):
+        """Theta estimates land near truth: two 600-element sets with
+        200 shared values, k=256 (sigma ~ 1/sqrt(k) relative)."""
+        from textract_demo_spark.datapipe.sketch import (
+            kmv_set_ops, kmv_sketch)
+        rows = ([("a", f"v{i}") for i in range(600)]
+                + [("b", f"v{i}") for i in range(400, 1000)])
+        df = spark.createDataFrame(rows, "g string, v string")
+        sk = kmv_sketch(df, value_col="v", group_cols=("g",), k=256)
+        r = kmv_set_ops(sk, k=256, group_col="g").collect()[0]
+        assert r.union_est == pytest.approx(1000, rel=0.35)
+        assert r.inter_est == pytest.approx(200, rel=0.6)
+
+    def test_duplicates_do_not_move_sketch(self, spark):
+        """KMV is a distinct-value sketch: replicating rows changes
+        nothing."""
+        from textract_demo_spark.datapipe.sketch import kmv_sketch
+        base = spark.createDataFrame(
+            [("a", f"v{i}") for i in range(50)], "g string, v string")
+        dup = base.unionByName(base).unionByName(base)
+        one = sorted(r.h for r in kmv_sketch(
+            base, value_col="v", group_cols=("g",), k=16).collect())
+        three = sorted(r.h for r in kmv_sketch(
+            dup, value_col="v", group_cols=("g",), k=16).collect())
+        assert one == three

@@ -253,3 +253,97 @@ def logq_quantile(sketch: DataFrame, qs: tuple[int, ...] = (50, 90, 99),
         F.expr("IF(bucket < 0, 0L,"
                " CAST(shiftleft(1L, CAST(bucket AS INT) + 1) - 1"
                " AS BIGINT))").alias("q_upper"))
+
+
+# ---------------------------------------------------------------------------
+# Theta / KMV (k-minimum-values) — distinct-count SET OPERATIONS
+
+
+def kmv_sketch(df: DataFrame, value_col: str = "text",
+               group_cols: tuple[str, ...] = ("source",),
+               k: int = 64, hash_mode: str = "xxhash64") -> DataFrame:
+    """Per-group KMV (theta) sketch: the ``k`` smallest DISTINCT
+    60-bit hashes per group, as rows (group..., h) — the sketch whose
+    set-operation algebra HLL lacks (HLL unions losslessly but cannot
+    intersect; theta sketches do both, the Datasketches model).
+
+    Scale shape: one hash-groupBy collapses duplicate hashes (map-
+    side partial — the unavoidable distinct), then the bottom-k per
+    group runs as ``row_number() <= k``, which Spark rewrites into
+    WindowGroupLimit: every map partition forwards at most k rows per
+    group into the rank exchange, so the second shuffle carries
+    O(partitions x groups x k), never the distinct stream.
+    """
+    gcols = list(group_cols)
+    h = _h60(value_col, hash_mode)
+    dist = (df.select(*gcols, F.expr(h).alias("h"))
+            .groupBy(*gcols, "h").agg(F.lit(1).alias("_one"))
+            .drop("_one"))
+    w = W.partitionBy(*[F.col(c) for c in gcols]).orderBy("h")
+    return (dist.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k).drop("_rk"))
+
+
+def kmv_set_ops(sketch: DataFrame, k: int = 64,
+                group_col: str = "source") -> DataFrame:
+    """Pairwise theta set-operation summary between every pair of
+    groups of a ``kmv_sketch``: for groups (a, b) with a < b,
+
+    - ``theta`` = min(theta_a, theta_b), where a group's theta is its
+      k-th smallest hash when the sketch is full, else the full hash
+      span (the group is exact below k distinct values);
+    - ``n_union`` = distinct hashes of (sketch_a ∪ sketch_b) < theta;
+    - ``n_inter`` = hashes present in BOTH sketches < theta;
+    - float estimates ``union_est`` / ``inter_est`` = n / (theta /
+      span) — the standard theta estimator. The integer columns are
+      the cross-engine contract (driver oracle hash-compares them);
+      the float estimates are pytest-bounded only, same split as HLL.
+
+    Everything here is dimension-sized — sketches are k rows per
+    group, pairs are groups^2 — so every join below broadcasts; the
+    corpus is never touched again.
+    """
+    g = group_col
+    thetas = (sketch.groupBy(g)
+              .agg(F.count("*").alias("_n"), F.max("h").alias("_mx"))
+              .select(F.col(g),
+                      F.when(F.col("_n") >= k, F.col("_mx"))
+                      .otherwise(F.lit(_HASH_SPAN).cast("long"))
+                      .alias("_theta")))
+    ta = thetas.select(F.col(g).alias("g_a"),
+                       F.col("_theta").alias("_th_a"))
+    tb = thetas.select(F.col(g).alias("g_b"),
+                       F.col("_theta").alias("_th_b"))
+    pairs = (ta.crossJoin(F.broadcast(tb))
+             .filter(F.col("g_a") < F.col("g_b"))
+             .select("g_a", "g_b",
+                     F.least("_th_a", "_th_b").alias("theta")))
+    sa = sketch.select(F.col(g).alias("g_a"), "h")
+    sb = sketch.select(F.col(g).alias("g_b"),
+                       F.col("h").alias("h_b"))
+    # union side: each pair's surviving hashes from either sketch
+    ua = pairs.join(F.broadcast(sa), "g_a").select(
+        "g_a", "g_b", "theta", "h")
+    ub = pairs.join(F.broadcast(sb), "g_b").select(
+        "g_a", "g_b", "theta", F.col("h_b").alias("h"))
+    union_n = (ua.unionByName(ub)
+               .filter(F.col("h") < F.col("theta"))
+               .groupBy("g_a", "g_b", "theta")
+               .agg(F.count_distinct("h").alias("n_union")))
+    inter_n = (pairs.join(F.broadcast(sa), "g_a")
+               .join(F.broadcast(sb.withColumnRenamed("h_b", "h")),
+                     ["g_b", "h"])
+               .filter(F.col("h") < F.col("theta"))
+               .groupBy("g_a", "g_b")
+               .agg(F.count("*").alias("n_inter")))
+    span = float(_HASH_SPAN)
+    return (union_n
+            .join(inter_n, ["g_a", "g_b"], "left")
+            .select("g_a", "g_b", F.col("theta").cast("long"),
+                    F.col("n_union").cast("long").alias("n_union"),
+                    F.coalesce("n_inter", F.lit(0)).cast("long")
+                    .alias("n_inter"))
+            .withColumn("union_est",
+                        F.col("n_union") * F.lit(span) / F.col("theta"))
+            .withColumn("inter_est",
+                        F.col("n_inter") * F.lit(span) / F.col("theta")))

@@ -4170,6 +4170,60 @@ def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_theta_setops",
+    oracle=r"""
+    WITH d AS (SELECT DISTINCT source,
+        ('0x' || substr(md5(substr(text, 1, 16)), 1, 15))::BIGINT AS h
+      FROM documents),
+    sk AS (SELECT source, h FROM d
+           QUALIFY row_number()
+             OVER (PARTITION BY source ORDER BY h) <= 16),
+    th AS (SELECT source,
+             CASE WHEN count(*) >= 16 THEN max(h)
+                  ELSE 1152921504606846976 END AS theta
+           FROM sk GROUP BY source),
+    pairs AS (SELECT a.source AS g_a, b.source AS g_b,
+                least(a.theta, b.theta) AS theta
+              FROM th a JOIN th b ON a.source < b.source),
+    u AS (SELECT p.g_a, p.g_b, p.theta, s.h
+            FROM pairs p JOIN sk s ON s.source = p.g_a
+          UNION
+          SELECT p.g_a, p.g_b, p.theta, s.h
+            FROM pairs p JOIN sk s ON s.source = p.g_b),
+    un AS (SELECT g_a, g_b, theta, count(DISTINCT h) AS n_union
+           FROM u WHERE h < theta GROUP BY g_a, g_b, theta),
+    i AS (SELECT p.g_a, p.g_b, count(*) AS n_inter
+          FROM pairs p
+          JOIN sk sa ON sa.source = p.g_a
+          JOIN sk sb ON sb.source = p.g_b AND sb.h = sa.h
+          WHERE sa.h < p.theta
+          GROUP BY p.g_a, p.g_b)
+    SELECT un.g_a, un.g_b, un.theta::BIGINT AS theta,
+           un.n_union::BIGINT AS n_union,
+           coalesce(i.n_inter, 0)::BIGINT AS n_inter
+    FROM un LEFT JOIN i ON un.g_a = i.g_a AND un.g_b = i.g_b
+    """)
+def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch set operations (datapipe/sketch.py kmv_sketch
+    + kmv_set_ops, k=16, md5 mode): the k smallest distinct hashes
+    per source over 16-char text prefixes (prefixes overlap across
+    sources, so intersections are non-trivial), then the pairwise
+    union/intersection survivor counts below theta = min of the two
+    groups' k-th minimum — the set algebra HLL cannot do (Datasketches
+    theta model). Build is one distinct exchange + a WindowGroupLimit
+    bottom-k (map partitions forward at most k rows per group); the
+    set ops run on k-row dimension frames, all broadcast. The integer
+    columns (theta, n_union, n_inter) are the cross-engine contract;
+    the float estimators are pytest-bounded (tests/test_sketch.py)."""
+    from ..datapipe.sketch import kmv_set_ops, kmv_sketch
+    docs = _t(spark, sf_dir, "documents")
+    sk = kmv_sketch(docs, value_col="substr(text, 1, 16)",
+                    group_cols=("source",), k=16, hash_mode="md5")
+    return (kmv_set_ops(sk, k=16, group_col="source")
+            .select("g_a", "g_b", "theta", "n_union", "n_inter"))
+
+
+@query(
     "cms_heavy_hitters",
     oracle=r"""
     WITH tok AS (SELECT unnest(string_split(lower(regexp_replace(
@@ -5705,6 +5759,53 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         rows, "state string, doc_id long, n_chars long")
+
+
+@query("table_schema_evolution", oracle="""
+    SELECT doc_id::BIGINT AS doc_id, length(text)::BIGINT AS n_chars,
+           NULL::VARCHAR AS lang
+    FROM documents WHERE doc_id < 150
+    UNION ALL
+    SELECT doc_id::BIGINT, length(text)::BIGINT, source
+    FROM documents WHERE doc_id >= 150 AND doc_id < 250
+""")
+def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on append (engine/tables.py: the snapshot
+    records schema_json and reads pin it): wave 1 commits without a
+    ``lang`` column, wave 2 appends WITH one. The current read serves
+    the evolved schema — old files surface lang as NULL, no rewrite —
+    while time travel to the pre-evolution snapshot reads with the
+    ORIGINAL schema (asserted in-query: no lang column there). The
+    Iceberg add-column contract: metadata-only, O(1), never touches
+    committed data files."""
+    import shutil
+    import tempfile
+
+    from .tables import IcebergLike
+    base = tempfile.mkdtemp(prefix="table_evo_q_")
+    try:
+        t = IcebergLike(base)
+        t.write(_offset_parts(_docs_kv(spark, sf_dir, 0, 150), 0))
+        pre = t.snapshots()[-1]["snapshot_id"]
+        wave2 = (_t(spark, sf_dir, "documents")
+                 .filter((F.col("doc_id") >= 150)
+                         & (F.col("doc_id") < 250))
+                 .select(F.concat(F.lit("c"),
+                                  F.col("doc_id").cast("string"))
+                         .alias("conv_id"),
+                         F.col("doc_id").cast("long").alias("doc_id"),
+                         F.length("text").cast("long").alias("n_chars"),
+                         F.col("source").alias("lang")))
+        t.write(_offset_parts(wave2, 4), append=True)
+        old = t.read(spark, snapshot_id=pre)
+        assert "lang" not in old.columns, \
+            "pre-evolution snapshot must read with its own schema"
+        rows = (t.read(spark)
+                .select("doc_id", "n_chars", "lang").collect())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, n_chars long, lang string")
 
 
 # ---- incremental sketch rollup (tables.read_incremental x
