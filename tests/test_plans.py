@@ -881,3 +881,30 @@ def test_zorder_assignment_narrow_zero_shuffle(spark):
     assert "Exchange" not in p, p[:3000]
     assert "Join" not in p, p[:3000]
     assert "Window" not in p, p[:3000]
+
+
+def test_kmv_sketch_bottom_k_group_limit(spark):
+    """The KMV build's per-group bottom-k must run as WindowGroupLimit
+    (each map partition forwards at most k rows per group into the
+    rank exchange — never a full sort of the distinct-hash stream),
+    and the distinct must partially aggregate map-side."""
+    from textract_demo_spark.datapipe.sketch import kmv_sketch
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(kmv_sketch(docs, value_col="text",
+                        group_cols=("source",), k=16))
+    assert "WindowGroupLimit" in p, p[:2000]
+
+
+def test_kmv_set_ops_all_broadcast(spark):
+    """Theta set operations run entirely on k-row dimension frames:
+    every join must broadcast — no shuffled join of sketch rows, no
+    unbounded cartesian (the only crossJoin is the groups x groups
+    pair frame, itself broadcast)."""
+    from textract_demo_spark.datapipe.sketch import (kmv_set_ops,
+                                                     kmv_sketch)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sk = kmv_sketch(docs, value_col="text",
+                    group_cols=("source",), k=16)
+    p = plan(kmv_set_ops(sk, k=16, group_col="source"))
+    assert "SortMergeJoin" not in p, p[:3000]
+    assert "BroadcastHashJoin" in p, p[:3000]

@@ -338,7 +338,7 @@ def kmv_set_ops(sketch: DataFrame, k: int = 64,
                .agg(F.count("*").alias("n_inter")))
     span = float(_HASH_SPAN)
     return (union_n
-            .join(inter_n, ["g_a", "g_b"], "left")
+            .join(F.broadcast(inter_n), ["g_a", "g_b"], "left")
             .select("g_a", "g_b", F.col("theta").cast("long"),
                     F.col("n_union").cast("long").alias("n_union"),
                     F.coalesce("n_inter", F.lit(0)).cast("long")
