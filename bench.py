@@ -91,8 +91,11 @@ BENCH_QUERIES = [
     "lm_bigram_surprisal", "ann_pq_topk", "ann_ivfpq_topk",
     "group_sample_bottomk", "dq_validate_constraints",
     # table layer: z-order clustering + two-dimensional stats pruning,
-    # tagged-snapshot rollback
+    # tagged-snapshot rollback, atomic MERGE, schema evolution
     "table_zorder_scan", "table_rollback_scan",
+    "table_merge_upsert", "table_schema_evolution",
+    # theta/KMV set operations (round-5 addition)
+    "sketch_theta_setops",
     # skew_salted_extract is deliberately NOT here: at sf0.1 it
     # extracts a 10^6-turn hot conversation (a stress run, not a
     # suite row — BENCH/run_skew_probe.py records its histograms)
@@ -344,7 +347,7 @@ def main() -> None:
         "extract_pipeline", "extract_pdf_multipage", "dedup_minhash_lsh",
         "dedup_substring_rewrite", "ann_ivf_topk", "semantic_dedup",
         "gopher_quality_rules", "search_bm25_topk", "table_zorder_scan",
-        "events_sessionize",
+        "table_merge_upsert", "events_sessionize",
     ]
     compact = {
         "metric": full["metric"],
