@@ -63,7 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # least-proven entries must register first. Round-5 window, built
 # from the full r01-r04 history:
 # (1) the 16 queries with NO driver row in any round,
-# (2) the 3 queries NEW this round,
+# (2) the queries NEW this round,
 # (3) the streaming/stateful family (hardest to prove any other way;
 #     streaming_cdc_upsert now rides the new atomic merge),
 # (4) the r03-only greens (one driver row, code age two rounds),
@@ -83,16 +83,18 @@ _PRIORITY = [
     "group_sample_bottomk", "ann_pq_topk", "streaming_cdc_upsert",
     "ann_ivfpq_topk", "dq_validate_constraints",
     "table_changelog_scan", "table_sketch_rollup",
-    # -- new in round 5 (3): atomic MERGE commit, schema evolution,
-    #    theta-sketch set operations
+    # -- new in round 5 (4): atomic MERGE commit, schema evolution,
+    #    theta-sketch set operations, position deletes
     "table_merge_upsert", "table_schema_evolution",
-    "sketch_theta_setops",
+    "sketch_theta_setops", "table_position_delete",
     # -- streaming/stateful family (6)
     "streaming_extract_availablenow", "streaming_ttl_cache",
     "streaming_review_wait", "streaming_dedup_incremental",
     "streaming_sessionize", "streaming_dsir_scoring",
-    # -- r03-only greens (8)
-    "extract_pdf_success", "dedup_incremental", "dedup_simhash_pairs",
+    # -- r03-only greens (7; dedup_incremental rotated out — its
+    #    machinery is re-proven in-window by streaming_dedup_
+    #    incremental, which drives the same frozen-index probe)
+    "extract_pdf_success", "dedup_simhash_pairs",
     "dedup_clusters", "dedup_substring_spans", "dedup_substring_stats",
     "dedup_substring_rewrite", "gopher_quality_rules",
     # -- heavy/new-machinery r04-only greens (17)

@@ -908,3 +908,26 @@ def test_kmv_set_ops_all_broadcast(spark):
     p = plan(kmv_set_ops(sk, k=16, group_col="source"))
     assert "SortMergeJoin" not in p, p[:3000]
     assert "BroadcastHashJoin" in p, p[:3000]
+
+
+def test_position_delete_read_is_broadcast_anti_join(spark, tmp_path):
+    """Merge-on-read position deletes: application is a broadcast
+    ANTI join on (partition, file, ordinal) — the tombstone dimension
+    broadcasts, the corpus never shuffles, and the ordinal comes from
+    the scan's _metadata.row_index (no window, no row_number over the
+    data)."""
+    from textract_demo_spark.engine.tables import (IcebergLike,
+                                                   with_part_key)
+    t = IcebergLike(str(tmp_path / "t"))
+    df = with_part_key(
+        spark.range(0, 50).select(
+            F.concat(F.lit("c"), F.col("id").cast("string"))
+            .alias("conv_id"), F.col("id").cast("long").alias("doc_id")),
+        4)
+    t.write(df)
+    t.delete_where(spark, "doc_id % 10 = 3")
+    p = plan(t.read(spark))
+    assert "LeftAnti" in p, p[:3000]
+    assert "BroadcastHashJoin" in p, p[:3000]
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p, p[:3000]

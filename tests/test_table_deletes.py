@@ -951,3 +951,131 @@ def test_live_staging_survives_concurrent_write(spark, tmp_path):
     t.write(_wave(spark, 0, 50))
     assert os.path.exists(live)      # young: possibly a live writer
     assert not os.path.exists(dead)  # aged out: reclaimed
+
+
+# ---- position deletes (the other Iceberg-v2 delete flavor) -----------
+
+
+def test_position_delete_merge_on_read(spark, table):
+    files0 = {k: (table.manifest(k) or {}).get("files")
+              for k in table.committed_keys()}
+    snap = table.delete_where(spark, "doc_id % 10 = 3")
+    assert snap["op"] == "pos_delete" and snap["n_delete_rows"] == 10
+    # merge-on-read: no data file touched, raw read still full
+    assert {k: (table.manifest(k) or {}).get("files")
+            for k in table.committed_keys()} == files0
+    assert _ids(table.read(spark)) == [
+        i for i in range(100) if i % 10 != 3]
+    assert len(_ids(table.read(spark, apply_deletes=False))) == 100
+
+
+def test_position_delete_stores_coordinates_not_values(spark, table):
+    """The privacy property that motivates the flavor: the tombstone
+    file holds (partition, file, ordinal) — the purged VALUES never
+    persist (an equality delete's file IS the key values)."""
+    snap = table.delete_where(spark, F.col("doc_id") < 5)
+    d = spark.read.parquet(
+        os.path.join(table.delete_dir, snap["delete_file"]))
+    assert sorted(d.columns) == sorted([PART_COL, "_fname", "_pos"])
+    assert d.count() == 5
+
+
+def test_position_delete_time_travel(spark, table):
+    pre = table.snapshots()[-1]["snapshot_id"]
+    table.delete_where(spark, "doc_id = 7")
+    assert 7 not in _ids(table.read(spark))
+    assert 7 in _ids(table.read(spark, snapshot_id=pre))
+
+
+def test_position_delete_spares_later_appends(spark, table):
+    """A position delete names concrete pre-existing files; rows
+    appended later survive even when they match the predicate."""
+    table.delete_where(spark, "doc_id % 10 = 3")
+    table.write(_wave(spark, 100, 150), append=True)
+    ids = _ids(table.read(spark))
+    assert 103 in ids and 113 in ids  # appended matches survive
+    assert 3 not in ids and 93 not in ids
+    # a SECOND delete now reaches the mixed-age files
+    table.delete_where(spark, "doc_id >= 140")
+    ids = _ids(table.read(spark))
+    assert ids == [i for i in range(140)
+                   if not (i < 100 and i % 10 == 3)]
+
+
+def test_position_delete_already_dead_rows_not_rerecorded(spark, table):
+    s1 = table.delete_where(spark, "doc_id < 10")
+    s2 = table.delete_where(spark, "doc_id < 10")
+    assert s1["n_delete_rows"] == 10 and s2["n_delete_rows"] == 0
+    table.delete_rows(spark.createDataFrame([(20,)], "doc_id long"),
+                      ["doc_id"])
+    s3 = table.delete_where(spark, "doc_id = 20")  # eq-dead already
+    assert s3["n_delete_rows"] == 0
+
+
+def test_position_delete_stacks_with_equality(spark, table):
+    table.delete_where(spark, "doc_id % 10 = 3")
+    table.delete_rows(spark.createDataFrame(
+        [(4,), (14,)], "doc_id long"), ["doc_id"])
+    ids = _ids(table.read(spark))
+    assert ids == [i for i in range(100)
+                   if i % 10 != 3 and i not in (4, 14)]
+
+
+def test_position_delete_incremental_and_changes(spark, table):
+    pre = table.snapshots()[-1]["snapshot_id"]
+    table.delete_where(spark, "doc_id % 10 = 3")
+    table.write(_wave(spark, 100, 140), append=True)
+    table.delete_where(spark, "doc_id >= 130")
+    inc = table.read_incremental(spark, pre)
+    assert _ids(inc) == list(range(100, 130))  # window net of deletes
+    ch = table.read_changes(spark, pre)
+    dels = _ids(ch.filter("_change_type = 'delete'"))
+    assert dels == [i for i in range(100) if i % 10 == 3]
+    ins = _ids(ch.filter("_change_type = 'insert'"))
+    assert ins == list(range(100, 130))
+
+
+def test_compact_skips_pos_delete_partitions(spark, table):
+    table.write(_wave(spark, 100, 150), append=True)  # 2+ files/part
+    table.delete_where(spark, "doc_id = 7")
+    c = table.compact(spark)
+    hit = {int(r[0]) for r in spark.read.parquet(os.path.join(
+        table.delete_dir, table._pos_delete_snapshots()[0]
+        ["delete_file"])).select(PART_COL).collect()}
+    assert set(c["skipped_pos_delete"]) >= hit
+    assert not (set(c["compacted_keys"]) & hit)
+    # rows intact either way
+    assert len(_ids(table.read(spark))) == 149
+    # materialize folds the tombstones; compaction then proceeds
+    m = table.materialize_deletes(spark)
+    assert table._pos_delete_snapshots() == []
+    c2 = table.compact(spark)
+    assert c2["skipped_pos_delete"] == []
+    assert len(_ids(table.read(spark))) == 149
+
+
+def test_rollback_drops_position_deletes(spark, table):
+    pre = table.snapshots()[-1]["snapshot_id"]
+    table.delete_where(spark, "doc_id < 50")
+    assert len(_ids(table.read(spark))) == 50
+    table.rollback(spark, pre)
+    assert len(_ids(table.read(spark))) == 100
+    assert os.listdir(table.delete_dir) == []
+
+
+def test_expire_retains_live_position_deletes(spark, table):
+    table.delete_where(spark, "doc_id = 1")
+    pos_sid = table.snapshots()[-1]["snapshot_id"]
+    for i in range(12):
+        table.write(_wave(spark, 200 + i * 10, 210 + i * 10),
+                    append=True)
+    table.expire_snapshots(keep_last=3)
+    assert pos_sid in {s["snapshot_id"] for s in table.snapshots()}
+    assert 1 not in _ids(table.read(spark))
+
+
+def test_position_delete_column_predicate(spark, table):
+    snap = table.delete_where(spark, F.col("v") == 0)
+    expect = [i for i in range(100) if i % 7 != 0]
+    assert _ids(table.read(spark)) == expect
+    assert snap["n_delete_rows"] == 100 - len(expect)

@@ -5808,6 +5808,63 @@ def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "doc_id long, n_chars long, lang string")
 
 
+@query("table_position_delete", oracle="""
+    SELECT 'pre' AS state, doc_id::BIGINT AS doc_id,
+           length(text)::BIGINT AS n_chars
+    FROM documents WHERE doc_id < 200
+    UNION ALL
+    SELECT 'post', doc_id::BIGINT, length(text)::BIGINT
+    FROM documents WHERE doc_id < 200 AND doc_id % 10 != 3
+    UNION ALL
+    SELECT 'post', doc_id::BIGINT, length(text)::BIGINT
+    FROM documents WHERE doc_id >= 200 AND doc_id < 280
+""")
+def table_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position deletes (engine/tables.py delete_where — the Iceberg
+    v2 position-delete-file analog, the OTHER delete flavor next to
+    equality deletes): rows are tombstoned by (partition, file, row
+    ordinal) from the parquet scan's ``_metadata.row_index``, the
+    predicate-takedown path when no natural key exists — and the
+    delete file stores coordinates, never the purged values. The
+    query commits docs 0..200, position-deletes ``doc_id % 10 = 3``,
+    appends 200..300 (rows with matching keys SURVIVE — a position
+    delete names concrete pre-existing files, so later appends are
+    untouchable by construction), then position-deletes
+    ``doc_id >= 280`` across the now mixed-age files. 'pre' = time
+    travel to the pre-delete snapshot (tombstones invisible), 'post'
+    = the current merge-on-read view. Asserted in-query: no data
+    file was rewritten by either delete (pure merge-on-read)."""
+    import shutil
+    import tempfile
+
+    from .tables import IcebergLike
+    base = tempfile.mkdtemp(prefix="table_posdel_q_")
+    try:
+        t = IcebergLike(base)
+        t.write(_offset_parts(_docs_kv(spark, sf_dir, 0, 200), 0))
+        pre = t.snapshots()[-1]["snapshot_id"]
+        d1 = t.delete_where(spark, "doc_id % 10 = 3")
+        t.write(_offset_parts(_docs_kv(spark, sf_dir, 200, 300), 0),
+                append=True)
+        files_before = {k: (t.manifest(k) or {}).get("files")
+                        for k in t.committed_keys()}
+        d2 = t.delete_where(spark, "doc_id >= 280")
+        assert d1["op"] == d2["op"] == "pos_delete"
+        files_after = {k: (t.manifest(k) or {}).get("files")
+                       for k in t.committed_keys()}
+        assert files_after == files_before, \
+            "position deletes must be merge-on-read (no rewrite)"
+        rows = [("pre", r.doc_id, r.n_chars) for r in
+                t.read(spark, snapshot_id=pre)
+                .select("doc_id", "n_chars").collect()]
+        rows += [("post", r.doc_id, r.n_chars) for r in
+                 t.read(spark).select("doc_id", "n_chars").collect()]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "state string, doc_id long, n_chars long")
+
+
 # ---- incremental sketch rollup (tables.read_incremental x
 # sketch.hll_merge) ---------------------------------------------------
 

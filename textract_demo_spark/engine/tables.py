@@ -24,6 +24,7 @@ Layout:
     {root}/_manifests/snapshot-{n}.json    -- table snapshot
     {root}/_staging/{run_id}/...           -- pre-commit scratch
     {root}/_deletes/delete-{n}.parquet     -- equality-delete files
+    {root}/_deletes/posdelete-{n}.parquet  -- position-delete files
 
 Iceberg-v2 parity pieces beyond the commit protocol:
 
@@ -41,6 +42,20 @@ Iceberg-v2 parity pieces beyond the commit protocol:
   style compaction that folds them in. This is the takedown/PII-purge
   path: deleting 10^4 documents from a 10^12-row corpus must not
   rewrite the corpus.
+- **Position deletes (merge-on-read)**: ``delete_where`` is the
+  OTHER Iceberg-v2 delete flavor — rows identified by (data file,
+  row ordinal) instead of by key values, the form engines emit for
+  predicate deletes where no natural key exists. Positions come from
+  the parquet scan's ``_metadata.row_index`` hidden column (stable
+  physical ordinals, JVM-side, split-safe), so recording AND
+  re-applying them is a narrow projection plus a broadcast anti-join
+  on (partition, file, pos). Sequence rule per the Iceberg spec: a
+  position delete applies to files sequenced AT-OR-BEFORE it (>=,
+  vs. equality's strictly-before) — it names concrete existing
+  files, so it can never touch rows appended later. ``compact``
+  refuses partitions referenced by a pending position delete
+  (rewriting would rename the files out from under the tombstones —
+  materialize first, the Iceberg rewrite ordering).
 - **Incremental reads**: ``read_incremental(a, b)`` returns exactly
   the rows appended between two snapshots (committed partitions are
   immutable, so the diff of their committed-key sets IS the append
@@ -814,7 +829,7 @@ class IcebergLike:
             sid = s["snapshot_id"]
             if sid >= cutoff or sid in tagged:
                 continue
-            if (s.get("op") in ("delete", "merge")
+            if (s.get("op") in ("delete", "merge", "pos_delete")
                     and os.path.exists(os.path.join(
                         self.delete_dir, s["delete_file"]))):
                 continue  # live tombstones: must stay discoverable
@@ -899,7 +914,7 @@ class IcebergLike:
             stripped.append(k)
         dropped_snaps = []
         for s in later:
-            if s.get("op") in ("delete", "merge"):
+            if s.get("op") in ("delete", "merge", "pos_delete"):
                 p = os.path.join(self.delete_dir, s["delete_file"])
                 if os.path.isdir(p):
                     shutil.rmtree(p, ignore_errors=True)
@@ -966,9 +981,26 @@ class IcebergLike:
         keys = sorted(committed if part_keys is None else
                       [k for k in part_keys if k in committed])
         pending_dels = bool(self._delete_snapshots())
+        # partitions referenced by a pending POSITION delete can never
+        # be compacted: rewriting renames the files the tombstones
+        # address, silently resurrecting the deleted rows. Those
+        # partitions are skipped (materialize_deletes first — the
+        # Iceberg rewrite ordering). The delete files are
+        # dimension-sized, so listing their partitions is one tiny
+        # driver-side read each.
+        pos_parts: set[int] = set()
+        for s in self._pos_delete_snapshots():
+            p = os.path.join(self.delete_dir, s["delete_file"])
+            pos_parts |= {int(r[0]) for r in
+                          spark.read.parquet(p)
+                          .select(PART_COL).distinct().collect()}
         todo: dict[int, list[str]] = {}
         skipped_mixed_seq: list[int] = []
+        skipped_pos_delete: list[int] = []
         for k in keys:
+            if k in pos_parts:
+                skipped_pos_delete.append(k)
+                continue
             dst = os.path.join(self.data_dir, f"{PART_COL}={k}")
             files = sorted(f for f in os.listdir(dst)
                            if f.endswith(".parquet"))
@@ -991,6 +1023,7 @@ class IcebergLike:
         if not todo:
             return {"run_id": run_id, "compacted_keys": [],
                     "skipped_mixed_seq": skipped_mixed_seq,
+                    "skipped_pos_delete": skipped_pos_delete,
                     "files_before": 0, "files_after": 0}
 
         staging = os.path.join(self.staging_dir, run_id)
@@ -1056,6 +1089,7 @@ class IcebergLike:
             "committed_keys": sorted(self.committed_keys()),
             "compacted_keys": compacted,
             "skipped_mixed_seq": skipped_mixed_seq,
+            "skipped_pos_delete": skipped_pos_delete,
             "files_before": files_before, "files_after": files_after,
             **({"schema_json": schema.json()} if schema is not None
                else {}),
@@ -1107,17 +1141,21 @@ class IcebergLike:
             snapshot_id = self._resolve_tag(tag)
         dels = (self._delete_snapshots(upto=snapshot_id)
                 if apply_deletes else [])
-        if snapshot_id is None and not dels:
+        pdels = (self._pos_delete_snapshots(upto=snapshot_id)
+                 if apply_deletes else [])
+        if snapshot_id is None and not dels and not pdels:
             # fast path: a plain latest-read with nothing to scope
             # stays a bare scan (no annotation join in the plan)
             return self._plain_scan(spark)
-        ann = self._read_annotated(spark, snapshot_id)
+        ann = self._read_annotated(spark, snapshot_id,
+                                   with_pos=bool(pdels))
         if "_dseq" not in ann.columns:
             return ann  # empty-snapshot frame (no data to scan)
         for eq_cols, d in self._delete_dims(spark, dels):
             ann = ann.join(F.broadcast(d),
                            self._del_cond(eq_cols), "left_anti")
-        return ann.drop("_dseq")
+        ann = self._apply_pos_deletes(spark, ann, pdels)
+        return self._unannotate(ann)
 
     def _plain_scan(self, spark: SparkSession) -> DataFrame:
         """Bare latest-state scan (schema-pinned glob), no sequence
@@ -1139,7 +1177,8 @@ class IcebergLike:
             os.path.join(self.data_dir, f"{PART_COL}=*"))
 
     def _read_annotated(self, spark: SparkSession,
-                        snapshot_id: int | None) -> DataFrame:
+                        snapshot_id: int | None,
+                        with_pos: bool = False) -> DataFrame:
         """The scan every read path shares: schema-pinned glob scan,
         ``_dseq`` per-file sequence annotation (attached HERE because
         ``input_file_name()`` rejects multi-source plans), and — for
@@ -1170,7 +1209,7 @@ class IcebergLike:
         if snapshot_id is not None:
             df = df.filter(F.col(PART_COL).isin(
                 [int(k) for k in snap["committed_keys"]]))
-        df = self._annotate_seq(spark, df)
+        df = self._annotate_seq(spark, df, keep_pos=with_pos)
         if snapshot_id is not None:
             df = df.filter(F.col("_dseq") <= snapshot_id)
         return df
@@ -1207,19 +1246,25 @@ class IcebergLike:
             f"{PART_COL} int, _fname string, _dseq long").filter(
             F.col("_fname").isNotNull())
 
-    def _annotate_seq(self, spark: SparkSession,
-                      df: DataFrame) -> DataFrame:
+    def _annotate_seq(self, spark: SparkSession, df: DataFrame,
+                      keep_pos: bool = False) -> DataFrame:
         """Attach each row's file sequence number as ``_dseq``. MUST
-        run directly on the scan frame: ``input_file_name()`` rejects
-        plans that already contain more than one source."""
-        return (df.withColumn(
-                    "_fname",
-                    F.element_at(F.split(F.input_file_name(), "/"), -1))
-                .join(F.broadcast(self._file_seq_df(spark)),
-                      [PART_COL, "_fname"], "left")
-                .withColumn("_dseq", F.coalesce(F.col("_dseq"),
-                                                F.lit(0).cast("long")))
-                .drop("_fname"))
+        run directly on the scan frame: ``input_file_name()`` and the
+        ``_metadata`` pseudo-column reject plans that already contain
+        more than one source. ``keep_pos`` additionally keeps
+        ``_fname`` and attaches ``_pos`` (the row's physical ordinal
+        in its file, from parquet's ``_metadata.row_index`` — the
+        coordinate system position deletes address)."""
+        cols = {"_fname": F.element_at(
+            F.split(F.input_file_name(), "/"), -1)}
+        if keep_pos:
+            cols["_pos"] = F.col("_metadata.row_index")
+        out = (df.withColumns(cols)
+               .join(F.broadcast(self._file_seq_df(spark)),
+                     [PART_COL, "_fname"], "left")
+               .withColumn("_dseq", F.coalesce(F.col("_dseq"),
+                                               F.lit(0).cast("long"))))
+        return out if keep_pos else out.drop("_fname")
 
     def _delete_dims(self, spark: SparkSession,
                      dels: list[dict]) -> list[tuple[tuple[str, ...],
@@ -1261,16 +1306,132 @@ class IcebergLike:
             cond = cond & (F.col(c) == F.col(f"_del_{c}"))
         return cond
 
+    # -- position deletes (merge-on-read, the other v2 flavor) ----------------
+
+    def _pos_delete_snapshots(self, upto: int | None = None) -> list[dict]:
+        return [s for s in self.snapshots()
+                if s.get("op") == "pos_delete"
+                and os.path.exists(os.path.join(
+                    self.delete_dir, s["delete_file"]))
+                and (upto is None or s["snapshot_id"] <= upto)]
+
+    def _pos_dim(self, spark: SparkSession,
+                 pdels: list[dict]) -> DataFrame:
+        """Union the position-delete files into one dimension frame
+        (each is a takedown-scale row list, broadcastable next to the
+        data) carrying its snapshot id as ``_pdelseq``."""
+        frames = [
+            spark.read.parquet(os.path.join(self.delete_dir,
+                                            s["delete_file"]))
+            .select(F.col(PART_COL).alias("_pd_part"),
+                    F.col("_fname").alias("_pd_fname"),
+                    F.col("_pos").alias("_pd_pos"),
+                    F.lit(int(s["snapshot_id"])).cast("long")
+                    .alias("_pdelseq"))
+            for s in pdels]
+        d = frames[0]
+        for f in frames[1:]:
+            d = d.unionByName(f)
+        return d
+
+    @staticmethod
+    def _pos_cond():
+        # AT-OR-BEFORE (>=) — the Iceberg position-delete sequence
+        # rule: a position delete names concrete files that existed
+        # when it was written (same-sequence included: an engine may
+        # delete from files it just committed), and can never name a
+        # later file, so >= is both the spec rule and a no-op guard
+        # against recycled file names.
+        return ((F.col(PART_COL) == F.col("_pd_part"))
+                & (F.col("_fname") == F.col("_pd_fname"))
+                & (F.col("_pos") == F.col("_pd_pos"))
+                & (F.col("_pdelseq") >= F.col("_dseq")))
+
+    def _apply_pos_deletes(self, spark: SparkSession, ann: DataFrame,
+                           pdels: list[dict]) -> DataFrame:
+        """Anti-join an annotated scan (must carry ``_fname`` and
+        ``_pos``) against the pending position deletes."""
+        if not pdels:
+            return ann
+        return ann.join(F.broadcast(self._pos_dim(spark, pdels)),
+                        self._pos_cond(), "left_anti")
+
+    @staticmethod
+    def _unannotate(df: DataFrame) -> DataFrame:
+        return df.drop("_dseq", "_fname", "_pos")
+
+    def delete_where(self, spark: SparkSession, cond,
+                     run_id: str | None = None) -> dict:
+        """Commit a POSITION delete (Iceberg v2 position-delete-file
+        analog): scan the current live rows, record (partition, file,
+        row ordinal) for every row matching ``cond`` (a Column or SQL
+        string over the table's columns), and publish a
+        ``pos_delete`` snapshot — no data partition is touched
+        (merge-on-read). This is the predicate-takedown path when no
+        natural key exists ("purge every row whose text matches this
+        PII pattern"): the delete file stores coordinates, not
+        values, so the purged content itself never persists in the
+        tombstones (unlike an equality delete, whose file IS the key
+        values). Ordinals come from the scan's
+        ``_metadata.row_index`` — physical, split-safe, and stable
+        because data files are immutable (``compact`` refuses
+        partitions with pending position deletes).
+
+        Rows already dead under pending deletes are not re-recorded;
+        rows appended later are untouched (they cannot be named by
+        position in files that already existed). Reads re-apply the
+        file as a broadcast anti-join on (partition, file, pos)."""
+        run_id = run_id or f"posdelete-{int(time.time() * 1000)}"
+        snap_id = self._next_snapshot_id()
+        ann = self._read_annotated(spark, None, with_pos=True)
+        if "_dseq" not in ann.columns:
+            return {"run_id": run_id, "n_delete_rows": 0,
+                    "noop": "empty table"}
+        for eq_cols, d in self._delete_dims(
+                spark, self._delete_snapshots()):
+            ann = ann.join(F.broadcast(d), self._del_cond(eq_cols),
+                           "left_anti")
+        ann = self._apply_pos_deletes(spark, ann,
+                                      self._pos_delete_snapshots())
+        cond_col = F.expr(cond) if isinstance(cond, str) else cond
+        hits = ann.filter(cond_col).select(PART_COL, "_fname", "_pos")
+        # run-unique name, written once, never renamed (delete_rows's
+        # concurrency rule: a published snapshot may reference it)
+        name = (f"posdelete-{snap_id:05d}-"
+                f"{uuid.uuid4().hex[:8]}.parquet")
+        path = os.path.join(self.delete_dir, name)
+        hits.coalesce(1).write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()
+        snapshot = {
+            "snapshot_id": snap_id, "op": "pos_delete",
+            "run_id": run_id,
+            "committed_keys": sorted(self.committed_keys()),
+            "delete_file": name, "n_delete_rows": int(n),
+            "predicate": str(cond),
+        }
+
+        def _rebase(snap: dict, new_id: int) -> dict:
+            # lost the id race: positions name files that existed at
+            # scan time, so serializing after the winner is exact —
+            # the winner's new files are untouched by construction
+            return {**snap, "snapshot_id": new_id,
+                    "committed_keys": sorted(self.committed_keys()),
+                    "rebased_from": snap["snapshot_id"]}
+
+        return self._publish_snapshot(snapshot, rebase=_rebase)
+
     def _apply_deletes(self, spark: SparkSession, df: DataFrame,
                        snapshot_id: int | None) -> DataFrame:
         dels = self._delete_snapshots(upto=snapshot_id)
-        if not dels:
+        pdels = self._pos_delete_snapshots(upto=snapshot_id)
+        if not dels and not pdels:
             return df
-        df = self._annotate_seq(spark, df)
+        df = self._annotate_seq(spark, df, keep_pos=bool(pdels))
         for eq_cols, d in self._delete_dims(spark, dels):
             df = df.join(F.broadcast(d), self._del_cond(eq_cols),
                          "left_anti")
-        return df.drop("_dseq")
+        df = self._apply_pos_deletes(spark, df, pdels)
+        return self._unannotate(df)
 
     def delete_rows(self, keys_df: DataFrame, eq_cols: list[str],
                     run_id: str | None = None) -> dict:
@@ -1344,9 +1505,10 @@ class IcebergLike:
         the materialize snapshot are exact.
         """
         dels = self._delete_snapshots()
+        pdels = self._pos_delete_snapshots()
         run_id = run_id or f"materialize-{int(time.time() * 1000)}"
         snap_id = self._next_snapshot_id()
-        if not dels:
+        if not dels and not pdels:
             return {"run_id": run_id, "rewritten_keys": [],
                     "folded_deletes": []}
         raw = self.read(spark, apply_deletes=False)
@@ -1386,8 +1548,8 @@ class IcebergLike:
                     os.path.join(self.manifest_dir,
                                  f"part-{k:05d}.json"), m)
             shutil.rmtree(staging, ignore_errors=True)
-        folded = [s["snapshot_id"] for s in dels]
-        for s in dels:
+        folded = [s["snapshot_id"] for s in dels + pdels]
+        for s in dels + pdels:
             shutil.rmtree(os.path.join(self.delete_dir,
                                        s["delete_file"]),
                           ignore_errors=True)
@@ -1449,14 +1611,16 @@ class IcebergLike:
         if not files:
             return (self.read(spark, snapshot_id=b)
                     .filter(F.lit(False)))
-        df = (self._read_annotated(spark, b)
+        pdels = self._pos_delete_snapshots(upto=b)
+        df = (self._read_annotated(spark, b, with_pos=bool(pdels))
               .filter(F.col(PART_COL).isin(list(files)))
               .filter(F.col("_dseq") > a))
         for eq_cols, d in self._delete_dims(
                 spark, self._delete_snapshots(upto=b)):
             df = df.join(F.broadcast(d), self._del_cond(eq_cols),
                          "left_anti")
-        return df.drop("_dseq")
+        df = self._apply_pos_deletes(spark, df, pdels)
+        return self._unannotate(df)
 
     def read_changes(self, spark: SparkSession, from_snapshot_id: int,
                      to_snapshot_id: int | None = None) -> DataFrame:
@@ -1481,27 +1645,36 @@ class IcebergLike:
                    .withColumn("_change_type", F.lit("insert")))
         window_dels = [s for s in self._delete_snapshots(upto=b)
                        if s["snapshot_id"] > a]
+        window_pos = [s for s in self._pos_delete_snapshots(upto=b)
+                      if s["snapshot_id"] > a]
         # annotate ONCE at scan level (input_file_name rejects
         # multi-source plans), then derive visible-at-a (anti-join
         # deletes <= a) and the tombstoned set (semi-join window
         # deletes) from the same annotated frame
-        ann = self._read_annotated(spark, a)
+        ann = self._read_annotated(spark, a, with_pos=bool(
+            window_pos or self._pos_delete_snapshots(upto=a)))
         for eq_cols, d in self._delete_dims(
                 spark, self._delete_snapshots(upto=a)):
             ann = ann.join(F.broadcast(d), self._del_cond(eq_cols),
                            "left_anti")
-        deleted = ann.filter(F.lit(False))
-        if window_dels:
-            hits = [ann.join(F.broadcast(d), self._del_cond(eq_cols),
-                             "left_semi")
-                    for eq_cols, d in self._delete_dims(spark,
-                                                        window_dels)]
+        ann = self._apply_pos_deletes(
+            spark, ann, self._pos_delete_snapshots(upto=a))
+        hits = [ann.join(F.broadcast(d), self._del_cond(eq_cols),
+                         "left_semi")
+                for eq_cols, d in self._delete_dims(spark,
+                                                    window_dels)]
+        if window_pos:
+            hits.append(ann.join(
+                F.broadcast(self._pos_dim(spark, window_pos)),
+                self._pos_cond(), "left_semi"))
+        if hits:
             deleted = hits[0]
             for h in hits[1:]:
                 deleted = deleted.unionByName(h)
-            deleted = deleted.distinct()
-        deleted = (deleted.drop("_dseq")
-                   .withColumn("_change_type", F.lit("delete")))
+            deleted = self._unannotate(deleted).distinct()
+        else:
+            deleted = self._unannotate(ann).filter(F.lit(False))
+        deleted = deleted.withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deleted.select(inserts.columns))
 
     # -- stats-pruned scan -----------------------------------------------------
@@ -1590,13 +1763,16 @@ class IcebergLike:
             # time travel is FILE-granular: drop later-sequenced
             # appends inside kept partition dirs, then apply only the
             # deletes committed at-or-before the snapshot
-            df = self._annotate_seq(spark, df).filter(
+            pdels = self._pos_delete_snapshots(upto=snapshot_id)
+            df = self._annotate_seq(
+                spark, df, keep_pos=bool(pdels)).filter(
                 F.col("_dseq") <= snapshot_id)
             for eq_cols, d in self._delete_dims(
                     spark, self._delete_snapshots(upto=snapshot_id)):
                 df = df.join(F.broadcast(d), self._del_cond(eq_cols),
                              "left_anti")
-            df = df.drop("_dseq")
+            df = self._unannotate(
+                self._apply_pos_deletes(spark, df, pdels))
         else:
             df = self._apply_deletes(spark, df, None)
         for c, (lo_, hi_) in preds.items():
