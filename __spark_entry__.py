@@ -83,10 +83,12 @@ _PRIORITY = [
     "group_sample_bottomk", "ann_pq_topk", "streaming_cdc_upsert",
     "ann_ivfpq_topk", "dq_validate_constraints",
     "table_changelog_scan", "table_sketch_rollup",
-    # -- new in round 5 (4): atomic MERGE commit, schema evolution,
-    #    theta-sketch set operations, position deletes
+    # -- new in round 5 (5): atomic MERGE commit, schema evolution,
+    #    theta-sketch set operations, position deletes, hidden
+    #    partitioning (partition-spec transforms)
     "table_merge_upsert", "table_schema_evolution",
     "sketch_theta_setops", "table_position_delete",
+    "table_hidden_partitioning",
     # -- streaming/stateful family (6)
     "streaming_extract_availablenow", "streaming_ttl_cache",
     "streaming_review_wait", "streaming_dedup_incremental",

@@ -5927,3 +5927,83 @@ def table_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         rows, "source string, bucket long, rho long")
+
+
+# ---- hidden partitioning (tables.write(partition_spec=...) x
+# partition_spec.key_pruner) ------------------------------------------
+
+
+@query("table_hidden_partitioning", oracle="""
+    SELECT 'range' AS probe, CAST(ts AS DATE) AS day, event_type,
+           COUNT(*)::BIGINT AS n
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-14 23:59:59'
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'point', CAST(ts AS DATE), event_type, COUNT(*)::BIGINT
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-14 23:59:59'
+      AND user_id = 7
+    GROUP BY 2, 3
+""")
+def table_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning (engine/partition_spec.py + tables.py
+    write(partition_spec)/read_where — the Iceberg partition-
+    transform analog): the table declares ``(days(ts), bucket(4,
+    user_id))``, the writer derives each row's partition from the
+    transforms (pure JVM projection, zero shuffle), and readers
+    filtering on the RAW columns get planning-time partition pruning
+    from key arithmetic alone — the write collects NO column stats,
+    so every eliminated partition is the spec's doing. Probe 'range'
+    is the time-slice read (5 of ~30 days kept); probe 'point' adds
+    ``user_id = 7``, whose xxhash64 bucket digit prunes 3 of every 4
+    surviving day-partitions on top. Asserted in-query: spec pruning
+    fired for both probes, stats pruning contributed nothing, the
+    point probe pruned strictly more, and a second write with a
+    DIFFERENT spec is refused (one spec per table — evolution =
+    new table + backfill, see tables._bind_spec)."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from .tables import IcebergLike
+    lo = datetime(2024, 1, 10, 0, 0, 0)
+    hi = datetime(2024, 1, 14, 23, 59, 59)
+    base = tempfile.mkdtemp(prefix="table_spec_q_")
+    try:
+        t = IcebergLike(base)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        t.write(ev, partition_spec=[("days", "ts"),
+                                    ("bucket", "user_id", 4)])
+        try:
+            t.write(ev, partition_spec=[("days", "ts"),
+                                        ("bucket", "user_id", 8)],
+                    append=True)
+            raise RuntimeError("divergent spec was accepted")
+        except ValueError:
+            pass
+        out1, rep1 = t.read_where(spark, "ts", lo=lo, hi=hi)
+        out2, rep2 = t.read_where(
+            spark, preds={"ts": (lo, hi), "user_id": (7, 7)})
+        for rep in (rep1, rep2):
+            if not rep["pruned_by_spec"] or rep["pruned_by_stats"]:
+                raise RuntimeError(f"spec pruning missing: {rep}")
+        if len(rep2["partitions_kept"]) * 3 > len(
+                rep1["partitions_kept"]):
+            raise RuntimeError(
+                f"bucket digit pruned too little: range kept"
+                f" {len(rep1['partitions_kept'])}, point kept"
+                f" {len(rep2['partitions_kept'])}")
+        agg = lambda d: (d.groupBy(F.to_date("ts").alias("day"),
+                                   "event_type")
+                         .agg(F.count("*").alias("n")))
+        rows = [("range", r.day, r.event_type, r.n)
+                for r in agg(out1).collect()]
+        rows += [("point", r.day, r.event_type, r.n)
+                 for r in agg(out2).collect()]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "probe string, day date, event_type string, n long")

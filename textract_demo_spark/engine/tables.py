@@ -224,6 +224,7 @@ class IcebergLike:
         self.manifest_dir = os.path.join(root, "_manifests")
         self.staging_dir = os.path.join(root, "_staging")
         self.delete_dir = os.path.join(root, "_deletes")
+        self.spec_path = os.path.join(root, "spec.json")
         for d in (self.data_dir, self.manifest_dir, self.staging_dir,
                   self.delete_dir):
             os.makedirs(d, exist_ok=True)
@@ -318,12 +319,43 @@ class IcebergLike:
             os.remove(tmp)
             return snap
 
+    def partition_spec(self):
+        """The table's hidden-partitioning spec (list of
+        PartitionField) or None for ad-hoc PART_COL layouts."""
+        if not os.path.exists(self.spec_path):
+            return None
+        from .partition_spec import spec_from_json
+        with open(self.spec_path) as f:
+            return spec_from_json(json.load(f))
+
+    def _bind_spec(self, df: DataFrame, spec) -> DataFrame:
+        """Resolve + persist the hidden-partitioning spec and key the
+        DataFrame with it. First spec-keyed write pins the spec;
+        later writes must pass an identical spec (partition-spec
+        EVOLUTION is intentionally unsupported here — Iceberg handles
+        it by tracking a spec_id per data file; this layer derives
+        key arithmetic from one table-wide spec, so a silent spec
+        change would make old keys prune wrongly. Evolving = new
+        table + backfill)."""
+        from .partition_spec import spec_part_key, spec_to_json
+        df, resolved = spec_part_key(df, spec)
+        new_json = spec_to_json(resolved)
+        prior = self.partition_spec()
+        if prior is None:
+            self._write_json_atomic(self.spec_path, new_json)
+        elif spec_to_json(prior) != new_json:
+            raise ValueError(
+                f"partition spec mismatch: table has"
+                f" {spec_to_json(prior)}, write passed {new_json}")
+        return df
+
     def write(self, df: DataFrame, metrics_fn=None, run_id: str | None = None,
               input_fingerprint: str = "", fail_after: int | None = None,
               rebalance: bool = True,
               stat_cols: list[str] | None = None,
               append: bool = False,
-              snapshot_extra: dict | None = None) -> dict:
+              snapshot_extra: dict | None = None,
+              partition_spec=None) -> dict:
         """Commit all not-yet-committed partitions of ``df`` (must
         carry PART_COL).
 
@@ -352,6 +384,13 @@ class IcebergLike:
         ``read_where`` scan pruning — computed in the SAME staged
         read as the row metrics, so stats cost no extra pass.
 
+        ``partition_spec`` keys the DataFrame via hidden-partitioning
+        transforms (partition_spec.py: days/hours/months/truncate +
+        xxhash64 buckets) and pins the spec in the table's spec.json;
+        ``read_where`` then prunes partitions for predicates on the
+        spec's SOURCE columns by key arithmetic alone — planning-time
+        skipping with no column stats collected.
+
         ``append=True`` adds rows to partitions that ALREADY exist
         (the Iceberg append-files-to-partition mode; the default
         keeps the resume contract where an existing partition means
@@ -366,6 +405,8 @@ class IcebergLike:
         ``recover_orphans()`` (manifested appends are durable; the
         crashed run re-stages idempotently).
         """
+        if partition_spec is not None:
+            df = self._bind_spec(df, partition_spec)
         committed = self.committed_keys()
         run_id = run_id or f"run-{int(time.time() * 1000)}"
         if append:
@@ -1730,8 +1771,21 @@ class IcebergLike:
         if snap is not None:
             scan_keys = [k for k in scan_keys
                          if k in {int(x) for x in snap["committed_keys"]}]
-        kept, pruned = [], []
+        # hidden-partitioning pruning: if the table has a partition
+        # spec, predicates on the spec's SOURCE columns eliminate
+        # partitions by key arithmetic alone (partition_spec.py) —
+        # no col_stats needed, exactly Iceberg's transform pruning.
+        # Stats pruning still runs on the survivors.
+        keyfn = None
+        spec = self.partition_spec()
+        if spec is not None:
+            from .partition_spec import key_pruner
+            keyfn = key_pruner(spec, preds, spark)
+        kept, pruned, spec_pruned = [], [], []
         for k in scan_keys:
+            if keyfn is not None and not keyfn(k):
+                spec_pruned.append(k)
+                continue
             stats = (self.manifest(k) or {}).get("col_stats", {})
             drop = False
             for c, (lo_, hi_) in preds.items():
@@ -1745,7 +1799,10 @@ class IcebergLike:
             (pruned if drop else kept).append(k)
         report = {"preds": {c: list(r) for c, r in preds.items()},
                   "col": col, "lo": lo, "hi": hi,
-                  "partitions_kept": kept, "partitions_pruned": pruned}
+                  "partitions_kept": kept,
+                  "partitions_pruned": sorted(pruned + spec_pruned),
+                  "pruned_by_spec": spec_pruned,
+                  "pruned_by_stats": pruned}
         schema_src = snap if snap is not None else (
             self.snapshots()[-1] if self.snapshots() else None)
         schema = self._stored_schema(schema_src)
