@@ -738,6 +738,55 @@ def main() -> None:
         formatted(ivfpq_topk(emb, qv, k=5, n_centroids=4, n_probe=2,
                              iters=0, refine=20))))
 
+    from textract_demo_spark.datapipe.sketch import kmv_set_ops, kmv_sketch
+    kmv = kmv_sketch(docs, "text", ("source",), k=16)
+    sections.append((
+        "Theta/KMV sketch set operations (distinct exchange +"
+        " broadcast algebra)",
+        "The sketch build is ONE distinct exchange (map-side partial"
+        " collapses duplicate hashes) and the bottom-k rank runs as"
+        " WindowGroupLimit — map partitions forward at most k rows"
+        " per group into the rank exchange. The pairwise set algebra"
+        " (theta = min of k-th minimums, union/intersection survivor"
+        " counts) runs entirely on k-row-per-group frames: every join"
+        " is a BroadcastHashJoin, the corpus is never touched again.",
+        formatted(kmv_set_ops(kmv, k=16, group_col="source"))))
+
+    from textract_demo_spark.engine.partition_spec import spec_part_key
+    hp_keyed, _hp_spec = spec_part_key(
+        dfs["transcripts"], [("days", "ts"), ("bucket", "conv_id", 4)])
+    sections.append((
+        "Hidden-partitioning key assignment (Iceberg partition-spec"
+        " transforms)",
+        "The table's declared spec (days(ts), bucket(4, conv_id))"
+        " derives the mixed-radix int partition key as a pure narrow"
+        " JVM projection — datediff/xxhash64/pmod fold, zero"
+        " exchange, zero join. Readers filtering on the RAW source"
+        " columns prune partitions from key arithmetic alone (range"
+        " predicates bind the ordered digit, equality predicates bind"
+        " bucket digits via one 1-row hash probe) with no column"
+        " stats collected.",
+        formatted(hp_keyed)))
+
+    pdir = tempfile.mkdtemp(prefix="plans_posdel_")
+    ptbl = IcebergLike(pdir)
+    ptbl.write(with_part_key(
+        spark.range(0, 50).select(
+            F.concat(F.lit("c"), F.col("id").cast("string"))
+            .alias("conv_id"), F.col("id").alias("doc_id")), 4))
+    ptbl.delete_where(spark, F.col("doc_id") % 7 == 0)
+    sections.append((
+        "Position-delete read (merge-on-read by (file, row ordinal))",
+        "The second Iceberg-v2 delete flavor: the delete file stores"
+        " (partition, file, row ordinal) coordinates — never the"
+        " purged values — and reads re-apply it as a broadcast ANTI"
+        " join against the scan's _metadata.row_index. Tombstones are"
+        " dimension-sized next to the data, so the corpus never"
+        " re-shuffles for its deletes; later-appended files are"
+        " untouchable by construction (they cannot be named by"
+        " position in pre-existing files).",
+        formatted(ptbl.read(spark))))
+
     staged = with_part_key(out, 8).hint("rebalance", F.col(PART_COL))
     sections.append((
         "Commit staging write input (REBALANCE on the table partition"

@@ -102,6 +102,14 @@ BENCH_QUERIES = [
 ]
 
 
+def _md5_burn(_i: int) -> None:
+    # one slot of the all-cores host probe (module-level so it pickles)
+    import hashlib
+    acc = 0
+    for i in range(400_000):
+        acc ^= hashlib.md5(str(i).encode()).digest()[0]
+
+
 def _load_prev() -> tuple[str | None, dict]:
     """Newest BENCH_r*.json at the repo root (the driver's record of
     the previous round), if any."""
@@ -167,6 +175,18 @@ def main() -> None:
         acc ^= hashlib.md5(str(i).encode()).digest()[0]
     extras["host_probe_sec"] = round(time.time() - t0, 3)
     extras["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    # (c) an all-cores probe: the same md5 loop on every vCPU at
+    # once.  The single-core probe misses host phases where only
+    # PARALLEL throughput degrades (vCPU oversubscription /
+    # memory-bandwidth contention on the shared VM) — exactly the
+    # phases that hit the 32-thread Spark stages hardest.  Compare
+    # par/serial ratios across rounds before reading any ratio on a
+    # wide query.
+    import multiprocessing as _mp
+    t0 = time.time()
+    with _mp.Pool(int(cpus)) as _pool:
+        _pool.map(_md5_burn, range(int(cpus)))
+    extras["host_probe_par_sec"] = round(time.time() - t0, 3)
 
     # -- headline: extraction throughput (turns/sec) --------------------
     # materialize the input once (not timed) so the timed section is
