@@ -83,12 +83,13 @@ _PRIORITY = [
     "group_sample_bottomk", "ann_pq_topk", "streaming_cdc_upsert",
     "ann_ivfpq_topk", "dq_validate_constraints",
     "table_changelog_scan", "table_sketch_rollup",
-    # -- new in round 5 (5): atomic MERGE commit, schema evolution,
+    # -- new in round 5 (6): atomic MERGE commit, schema evolution,
     #    theta-sketch set operations, position deletes, hidden
-    #    partitioning (partition-spec transforms)
+    #    partitioning (partition-spec transforms), file-level
+    #    skipping from footer stats
     "table_merge_upsert", "table_schema_evolution",
     "sketch_theta_setops", "table_position_delete",
-    "table_hidden_partitioning",
+    "table_hidden_partitioning", "table_file_skipping",
     # -- streaming/stateful family (6)
     "streaming_extract_availablenow", "streaming_ttl_cache",
     "streaming_review_wait", "streaming_dedup_incremental",
@@ -99,7 +100,11 @@ _PRIORITY = [
     "extract_pdf_success", "dedup_simhash_pairs",
     "dedup_clusters", "dedup_substring_spans", "dedup_substring_stats",
     "dedup_substring_rewrite", "gopher_quality_rules",
-    # -- heavy/new-machinery r04-only greens (17)
+    # -- heavy/new-machinery r04-only greens (17; the last two
+    #    entries sit at positions 51-52, just past the 50-query
+    #    window — both r04-green, and their machinery is re-proven
+    #    in-window by semantic_dedup_incremental's IVF path and the
+    #    packing plan gates)
     "extract_pdf_multipage", "warc_ingest_extract",
     "skew_salted_extract", "quality_gate_learned",
     "multimodal_real_decode", "multimodal_png_decode",

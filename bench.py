@@ -94,8 +94,10 @@ BENCH_QUERIES = [
     # tagged-snapshot rollback, atomic MERGE, schema evolution
     "table_zorder_scan", "table_rollback_scan",
     "table_merge_upsert", "table_schema_evolution",
-    # theta/KMV set operations + hidden partitioning (round-5)
+    # theta/KMV set operations + hidden partitioning + file-level
+    # footer-stats skipping (round-5)
     "sketch_theta_setops", "table_hidden_partitioning",
+    "table_file_skipping",
     # skew_salted_extract is deliberately NOT here: at sf0.1 it
     # extracts a 10^6-turn hot conversation (a stress run, not a
     # suite row — BENCH/run_skew_probe.py records its histograms)

@@ -68,6 +68,11 @@ def main() -> None:
                          " drain new files (availableNow) into a"
                          " checkpointed exactly-once sink under --out;"
                          " re-running resumes from the sink checkpoint")
+    ap.add_argument("--stat-cols", default=None,
+                    help="comma-separated columns whose per-partition"
+                         " AND per-file min/max go into the manifests"
+                         " (read_where partition pruning + file-level"
+                         " skipping); --zorder-cols implies its own")
     ap.add_argument("--zorder-cols", default=None,
                     help="comma-separated NUMERIC result columns:"
                          " cluster table partitions along a Z-curve"
@@ -135,6 +140,9 @@ def main() -> None:
     results = with_block_stats(
         run_pipeline(transcripts, reviews=None, salt=args.salt))
     stat_cols = None
+    if args.stat_cols:
+        stat_cols = [c.strip() for c in args.stat_cols.split(",")
+                     if c.strip()]
     if args.zorder_cols:
         stat_cols = [c.strip() for c in args.zorder_cols.split(",")
                      if c.strip()]

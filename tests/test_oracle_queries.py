@@ -76,11 +76,18 @@ def test_all_queries_have_entries():
 
 def test_driver_window_covers_priority_queries():
     """The driver oracles the FIRST 50 registered queries; the
-    explicit priority order must fill that window exactly and keep
-    queries() / oracle_sql() in the same order (r03 lost 17 rows to
-    registry order — this pins the fix)."""
+    explicit priority order must lead the registry and fill that
+    window, and queries() / oracle_sql() must stay in the same order
+    (r03 lost 17 rows to registry order — this pins the fix).
+    _PRIORITY may exceed 50 when every new-in-round query can't fit;
+    anything past position 50 must already hold a green row in a
+    prior round's CORRECTNESS file (see the comment in
+    __spark_entry__._PRIORITY)."""
     names = list(QUERIES)
     assert names[:len(entrymod._PRIORITY)] == entrymod._PRIORITY
-    assert len(entrymod._PRIORITY) == 50
+    assert len(entrymod._PRIORITY) >= 50
+    overflow = entrymod._PRIORITY[50:]
+    assert set(overflow) <= {"semantic_dedup", "pack_sequences"}, (
+        "only r04-green queries may sit past the driver window")
     oracle_names = list(ORACLES)
     assert oracle_names == [n for n in names if n in ORACLES]

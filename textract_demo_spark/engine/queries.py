@@ -5187,6 +5187,49 @@ def table_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, n_chars long")
 
 
+@query("table_file_skipping", oracle="""
+    SELECT doc_id::BIGINT AS doc_id, length(text)::BIGINT AS n_chars
+    FROM documents WHERE doc_id >= 300 AND doc_id < 500
+""")
+def table_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level skipping (engine/tables.py _footer_stats +
+    read_where): commits record per-FILE min/max read from the
+    parquet footers — the Iceberg data-file stats analog — and
+    ``read_where`` prunes individual files WITHIN kept partitions.
+    The case partition stats cannot handle: a base wave (doc_id
+    0-199) and an appended wave (300-499) share partitions, so the
+    partition-level range widens to cover both and partition pruning
+    keeps everything; the per-file bounds are immutable and stay
+    tight, so a scan of the append range skips every base file. The
+    query asserts exactly that split in the prune report (zero
+    partitions pruned, base files pruned) and returns rows equal to
+    a plain range filter."""
+    import shutil
+    import tempfile
+
+    from .tables import PART_COL, IcebergLike
+    base = tempfile.mkdtemp(prefix="table_fskip_q_")
+    try:
+        t = IcebergLike(base)
+
+        def keyed(lo, hi):
+            return _docs_kv(spark, sf_dir, lo, hi).withColumn(
+                PART_COL, (F.col("doc_id") % 2).cast("int"))
+
+        t.write(keyed(0, 200), stat_cols=["doc_id"])
+        t.write(keyed(300, 500), stat_cols=["doc_id"], append=True)
+        out, rep = t.read_where(spark, "doc_id", lo=300, hi=499)
+        if rep["partitions_pruned"]:
+            raise RuntimeError(
+                f"partition stats should keep everything here: {rep}")
+        if not rep["files_pruned"]:
+            raise RuntimeError(f"file skipping pruned nothing: {rep}")
+        rows = out.select("doc_id", "n_chars").collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
 @query("table_zorder_scan", oracle="""
     SELECT doc_id::BIGINT AS doc_id, length(text)::BIGINT AS n_chars
     FROM documents WHERE length(text) >= 200 AND length(text) <= 320

@@ -66,6 +66,15 @@ Iceberg-v2 parity pieces beyond the commit protocol:
   ``read_where`` prunes partitions whose range cannot match BEFORE
   Spark ever lists their files — at 10^5 partitions the planning-time
   skip is the difference between touching 10^5 directories and 10^1.
+- **File-level skipping**: the same commits also record per-FILE
+  min/max (read once from the parquet footers at promote time — the
+  Iceberg data-file stats analog), and ``read_where`` prunes
+  individual files WITHIN kept partitions. Unlike partition stats,
+  file stats are attached to immutable objects, so they never widen,
+  never go stale, and stay exact inside mixed-age partitions where
+  appends forced the partition-level range open (the case that
+  matters for an append-heavy ingest at 10^12 rows: each append wave
+  is skippable on its own bounds).
 - **Z-order clustering**: ``zorder_part_key`` assigns partitions as
   contiguous Morton-curve ranges over several columns, so the
   manifest stats above are tight in EVERY clustered dimension and
@@ -135,6 +144,64 @@ PROMOTE_THREADS = 32
 # manifested files.
 STAGING_SWEEP_MIN_AGE_SEC = 3600.0
 ORPHAN_SWEEP_MIN_AGE_SEC = 300.0
+
+
+_STAT_SAFE = (int, float, str)  # JSON-round-trippable, order-preserved
+
+
+def _footer_stats(path: str, cols: list[str]) -> dict:
+    """Per-file min/max for ``cols`` read from the parquet FOOTER —
+    the Iceberg data-file stats analog, collected once at commit time
+    (a cluster deployment would have write tasks report these; here
+    the committer reads footers, which costs O(files) metadata reads
+    and zero data). A column is omitted (=> pruning keeps the file)
+    unless every row group carries usable min/max of a JSON-safe,
+    order-preserving scalar type: int/float/str. str is safe because
+    parquet truncates string bounds conservatively (min down, max up)
+    and UTF-8 byte order equals code-point order, which is Python's
+    ``<``. Timestamps/bytes/bools are skipped — partition-level
+    col_stats still cover them."""
+    try:
+        import pyarrow.parquet as pq
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for c in cols:
+        i = idx.get(c)
+        if i is None:
+            continue
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            cmd = md.row_group(rg).column(i)
+            st = cmd.statistics
+            if st is None or not st.has_min_max:
+                if st is not None and st.num_values == 0:
+                    continue  # all-null group constrains nothing
+                mins = None  # a group with values but no bounds:
+                break        # no valid whole-file range
+            mn, mx = st.min, st.max
+            if type(mn) not in _STAT_SAFE or type(mx) not in _STAT_SAFE:
+                mins = None
+                break
+            mins.append(mn)
+            maxs.append(mx)
+        if mins:  # None (unusable) and [] (all groups null) both skip
+            out[c] = {"min": min(mins), "max": max(maxs)}
+    return out
+
+
+def _file_stats_for(dirpath: str, names: list[str],
+                    cols: list[str]) -> dict:
+    """``{file name: footer stats}`` for the named files, dropping
+    files that yielded nothing (absent entry == keep on read)."""
+    out = {}
+    for f in names:
+        st = _footer_stats(os.path.join(dirpath, f), cols)
+        if st:
+            out[f] = st
+    return out
 
 
 def with_part_key(df: DataFrame, n_buckets: int,
@@ -492,7 +559,8 @@ class IcebergLike:
                 return self._append_into(k, src, dst, prior, run_id,
                                          snap_id,
                                          metrics_by_key.get(k, {}),
-                                         stats_by_key.get(k))
+                                         stats_by_key.get(k),
+                                         stat_cols)
             if os.path.exists(dst):
                 shutil.rmtree(dst)  # stale partial from a dead run
             os.rename(src, dst)  # atomic promote
@@ -510,6 +578,10 @@ class IcebergLike:
                 **({"col_stats": stats_by_key[k]}
                    if k in stats_by_key else {}),
             }
+            if stat_cols:
+                fs = _file_stats_for(dst, files, stat_cols)
+                if fs:
+                    m["file_stats"] = fs
             self._write_json_atomic(
                 os.path.join(self.manifest_dir, f"part-{k:05d}.json"), m)
             return k
@@ -589,7 +661,8 @@ class IcebergLike:
 
     def _append_into(self, k: int, src: str, dst: str, prior: dict,
                      run_id: str, snap_id: int, metrics: dict,
-                     stats: dict | None) -> int:
+                     stats: dict | None,
+                     stat_cols: list[str] | None = None) -> int:
         """Append staged files into an EXISTING partition dir under
         collision-free ``s{snap}-`` names, then merge the manifest:
         files + per-file sequence numbers, summed row metric, min/max-
@@ -640,6 +713,20 @@ class IcebergLike:
             m["col_stats"] = merged
         else:
             m.pop("col_stats", None)
+        # Per-FILE stats need no merge law at all: each appended file
+        # gets its own immutable footer bounds. An append without
+        # stat_cols still records stats for the columns earlier
+        # commits tracked, so a stats-carrying base stays file-
+        # prunable after upsert/CDC appends (whose stat_cols defaults
+        # to None) — the file-level fix for exactly the widening that
+        # forces the partition-level entry above to drop columns.
+        prior_fs = dict(m.get("file_stats") or {})
+        fcols = list(stat_cols or []) or sorted(
+            {c for v in prior_fs.values() for c in v})
+        if fcols:
+            prior_fs.update(_file_stats_for(dst, new_names, fcols))
+        if prior_fs:
+            m["file_stats"] = prior_fs
         m.setdefault("appends", []).append(
             {"run_id": run_id, "snapshot_id": snap_id,
              "files": new_names,
@@ -650,6 +737,24 @@ class IcebergLike:
         self._write_json_atomic(
             os.path.join(self.manifest_dir, f"part-{k:05d}.json"), m)
         return k
+
+    @staticmethod
+    def _refresh_file_stats(m: dict, dirpath: str,
+                            files: list[str]) -> None:
+        """After a physical REWRITE (compact / materialize_deletes)
+        the old per-file bounds name files that no longer exist —
+        recompute from the new files' footers over the columns the
+        manifest tracked (file_stats' union, falling back to
+        col_stats' keys), or drop the entry when nothing is
+        recoverable (absent == pruning keeps everything)."""
+        cols = sorted({c for v in (m.get("file_stats") or {}).values()
+                       for c in v}
+                      or (m.get("col_stats") or {}).keys())
+        m.pop("file_stats", None)
+        if cols:
+            fs = _file_stats_for(dirpath, files, cols)
+            if fs:
+                m["file_stats"] = fs
 
     def _recover_appends(
             self,
@@ -734,6 +839,12 @@ class IcebergLike:
             m["file_seq"] = {f: s_ for f, s_ in
                              (m.get("file_seq") or {}).items()
                              if f not in drop}
+            if m.get("file_stats"):
+                m["file_stats"] = {f: s_ for f, s_ in
+                                   m["file_stats"].items()
+                                   if f not in drop}
+                if not m["file_stats"]:
+                    m.pop("file_stats")
             m["appends"] = [a for a in appends if a not in dead]
             rows = (m.get("metrics") or {}).get("rows")
             dead_rows = [a.get("rows") for a in dead]
@@ -937,6 +1048,14 @@ class IcebergLike:
             m["files"] = [f for f in m.get("files", []) if f not in late]
             m["file_seq"] = {f: s_ for f, s_ in fseq.items()
                              if f not in late}
+            if m.get("file_stats"):
+                # surviving files are untouched, so their immutable
+                # footer bounds stay valid — just drop stripped entries
+                m["file_stats"] = {f: s_ for f, s_ in
+                                   m["file_stats"].items()
+                                   if f not in late}
+                if not m["file_stats"]:
+                    m.pop("file_stats")
             m["appends"] = [a for a in m.get("appends", [])
                             if a.get("snapshot_id", 0) <= snapshot_id]
             stat_cols = sorted((m.get("col_stats") or {}).keys())
@@ -1115,6 +1234,7 @@ class IcebergLike:
             m.update({"files": new_files, "compacted_by": run_id,
                       "file_seq": {f: seq for f in new_files},
                       "files_before_compaction": len(old_files)})
+            self._refresh_file_stats(m, dst, new_files)
             self._write_json_atomic(
                 os.path.join(self.manifest_dir, f"part-{k:05d}.json"), m)
             compacted.append(k)
@@ -1585,6 +1705,7 @@ class IcebergLike:
                     "data_snapshot_id": snap_id,
                     "deletes_materialized_by": run_id,
                 })
+                self._refresh_file_stats(m, dst, files)
                 self._write_json_atomic(
                     os.path.join(self.manifest_dir,
                                  f"part-{k:05d}.json"), m)
@@ -1728,10 +1849,16 @@ class IcebergLike:
         """Scan with manifest-stats partition pruning: keep only
         partitions whose recorded [min, max] overlaps the requested
         range (missing stats keep the partition — pruning is an
-        optimization, never a filter), then apply the residual
-        predicate(s). Returns (df, prune_report); the report records
-        how many partitions the manifests eliminated BEFORE any file
-        listing — the Iceberg planning-time data-skipping analog.
+        optimization, never a filter), then prune individual FILES
+        within kept partitions by their immutable footer bounds
+        (``file_stats``), then apply the residual predicate(s).
+        Returns (df, prune_report); the report records how many
+        partitions the manifests eliminated BEFORE any file listing
+        (``partitions_pruned``, split into ``pruned_by_spec`` /
+        ``pruned_by_stats``) and the per-file skip counts
+        (``files_kept`` / ``files_pruned``, counted only where file
+        stats exist) — the Iceberg planning-time data-skipping
+        analog.
 
         ``preds`` = ``{col: (lo, hi)}`` prunes on a CONJUNCTION of
         ranges — a partition is skipped when ANY predicate's range
@@ -1797,25 +1924,58 @@ class IcebergLike:
                     drop = True
                     break
             (pruned if drop else kept).append(k)
+        # file-level skipping WITHIN kept partitions: per-file footer
+        # bounds recorded at commit time are immutable (files never
+        # change in place), so unlike the partition entry they stay
+        # exact in mixed-age partitions — a range scan over an
+        # append-heavy table skips every non-overlapping append wave
+        # file-by-file even though the partition range widened to
+        # cover them all. Files without a recorded entry are kept
+        # (pruning is an optimization, never a filter).
+        sources, files_kept, files_pruned = [], 0, 0
+        for k in kept:
+            m = self.manifest(k) or {}
+            fstats = m.get("file_stats") or {}
+            names = m.get("files") or []
+            if not fstats or not names:
+                sources.append(os.path.join(self.data_dir,
+                                            f"{PART_COL}={k}"))
+                continue
+            for f in names:
+                drop = False
+                for c, (lo_, hi_) in preds.items():
+                    st = (fstats.get(f) or {}).get(c)
+                    if st is None or st["min"] is None:
+                        continue
+                    if ((lo_ is not None and st["max"] < lo_)
+                            or (hi_ is not None and st["min"] > hi_)):
+                        drop = True
+                        break
+                if drop:
+                    files_pruned += 1
+                else:
+                    files_kept += 1
+                    sources.append(os.path.join(
+                        self.data_dir, f"{PART_COL}={k}", f))
         report = {"preds": {c: list(r) for c, r in preds.items()},
                   "col": col, "lo": lo, "hi": hi,
                   "partitions_kept": kept,
                   "partitions_pruned": sorted(pruned + spec_pruned),
                   "pruned_by_spec": spec_pruned,
-                  "pruned_by_stats": pruned}
+                  "pruned_by_stats": pruned,
+                  "files_kept": files_kept,
+                  "files_pruned": files_pruned}
         schema_src = snap if snap is not None else (
             self.snapshots()[-1] if self.snapshots() else None)
         schema = self._stored_schema(schema_src)
-        if not kept:
+        if not kept or not sources:
             if schema is None:
                 raise ValueError("nothing to scan and no stored schema")
             return spark.createDataFrame([], schema=schema), report
         reader = spark.read.option("basePath", self.data_dir)
         if schema is not None:
             reader = reader.schema(schema)
-        df = reader.parquet(*[os.path.join(self.data_dir,
-                                           f"{PART_COL}={k}")
-                              for k in kept])
+        df = reader.parquet(*sources)
         if snapshot_id is not None:
             # time travel is FILE-granular: drop later-sequenced
             # appends inside kept partition dirs, then apply only the
@@ -1896,12 +2056,15 @@ def _meta_snapshots(self, spark: SparkSession) -> DataFrame:
 
 def _meta_files(self, spark: SparkSession) -> DataFrame:
     """Iceberg ``t.files`` analog: one row per live data file with
-    its partition, sequence number and size — the operational view
-    behind compaction targeting and skew checks."""
+    its partition, sequence number, size and per-file column bounds
+    (``file_stats_json`` — the footer stats ``read_where`` skips on)
+    — the operational view behind compaction targeting and skew
+    checks."""
     rows = []
     for k in sorted(self.committed_keys()):
         m = self.manifest(k) or {}
         fseq = m.get("file_seq") or {}
+        fstats = m.get("file_stats") or {}
         base = int(m.get("data_snapshot_id", 0))
         for f in m.get("files", []):
             p = os.path.join(self.data_dir, f"{PART_COL}={k}", f)
@@ -1909,11 +2072,14 @@ def _meta_files(self, spark: SparkSession) -> DataFrame:
                 size = os.path.getsize(p)
             except OSError:
                 size = None
-            rows.append((k, f, int(fseq.get(f, base)), size))
+            rows.append((k, f, int(fseq.get(f, base)), size,
+                         json.dumps(fstats[f], sort_keys=True)
+                         if f in fstats else None))
     return spark.createDataFrame(
-        rows or [(None, None, None, None)],
+        rows or [(None, None, None, None, None)],
         f"{PART_COL} int, file string, data_snapshot_id long,"
-        " size_bytes long").filter(F.col("file").isNotNull())
+        " size_bytes long, file_stats_json string").filter(
+        F.col("file").isNotNull())
 
 
 def _meta_partitions(self, spark: SparkSession) -> DataFrame:
