@@ -75,7 +75,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # filter / line_dedup_rewrite by warc_ingest_extract + the substring
 # family; multimodal_media_meta by the two decode queries).
 _PRIORITY = [
-    # -- never driver-verified in r01-r04 (16)
+    # -- never driver-verified in r01-r04 (17)
+    "multimodal_frame_features",
     "dsir_topk", "transcript_tool_bigrams", "transcript_conv_stats",
     "table_equality_delete", "table_incremental_read",
     "table_stats_pruned_scan", "table_zorder_scan",
@@ -83,13 +84,14 @@ _PRIORITY = [
     "group_sample_bottomk", "ann_pq_topk", "streaming_cdc_upsert",
     "ann_ivfpq_topk", "dq_validate_constraints",
     "table_changelog_scan", "table_sketch_rollup",
-    # -- new in round 5 (6): atomic MERGE commit, schema evolution,
+    # -- new in round 5 (7): atomic MERGE commit, schema evolution,
     #    theta-sketch set operations, position deletes, hidden
     #    partitioning (partition-spec transforms), file-level
-    #    skipping from footer stats
+    #    skipping from footer stats, bloom-filter point skipping
     "table_merge_upsert", "table_schema_evolution",
     "sketch_theta_setops", "table_position_delete",
     "table_hidden_partitioning", "table_file_skipping",
+    "table_bloom_skipping",
     # -- streaming/stateful family (6)
     "streaming_extract_availablenow", "streaming_ttl_cache",
     "streaming_review_wait", "streaming_dedup_incremental",
@@ -100,11 +102,11 @@ _PRIORITY = [
     "extract_pdf_success", "dedup_simhash_pairs",
     "dedup_clusters", "dedup_substring_spans", "dedup_substring_stats",
     "dedup_substring_rewrite", "gopher_quality_rules",
-    # -- heavy/new-machinery r04-only greens (17; the last two
-    #    entries sit at positions 51-52, just past the 50-query
-    #    window — both r04-green, and their machinery is re-proven
-    #    in-window by semantic_dedup_incremental's IVF path and the
-    #    packing plan gates)
+    # -- heavy/new-machinery r04-only greens (17; the last four
+    #    entries sit at positions 51-54, just past the 50-query
+    #    window — all r04-green, and their machinery is re-proven
+    #    in-window by semantic_dedup_incremental's IVF path, the
+    #    packing plan gates, and lm_bigram_surprisal's tokenizer)
     "extract_pdf_multipage", "warc_ingest_extract",
     "skew_salted_extract", "quality_gate_learned",
     "multimodal_real_decode", "multimodal_png_decode",

@@ -97,7 +97,7 @@ BENCH_QUERIES = [
     # theta/KMV set operations + hidden partitioning + file-level
     # footer-stats skipping (round-5)
     "sketch_theta_setops", "table_hidden_partitioning",
-    "table_file_skipping",
+    "table_file_skipping", "table_bloom_skipping",
     # skew_salted_extract is deliberately NOT here: at sf0.1 it
     # extracts a 10^6-turn hot conversation (a stress run, not a
     # suite row — BENCH/run_skew_probe.py records its histograms)

@@ -73,6 +73,11 @@ def main() -> None:
                          " AND per-file min/max go into the manifests"
                          " (read_where partition pruning + file-level"
                          " skipping); --zorder-cols implies its own")
+    ap.add_argument("--bloom-cols", default=None,
+                    help="comma-separated int/str columns that get a"
+                         " per-file bloom over their distinct values"
+                         " (read_where point-lookup file skipping —"
+                         " e.g. conv_id for find-one-conversation)")
     ap.add_argument("--zorder-cols", default=None,
                     help="comma-separated NUMERIC result columns:"
                          " cluster table partitions along a Z-curve"
@@ -150,10 +155,15 @@ def main() -> None:
     else:
         results = with_part_key(results, args.buckets)
     table = IcebergLike(args.out)
+    bloom_cols = None
+    if args.bloom_cols:
+        bloom_cols = [c.strip() for c in args.bloom_cols.split(",")
+                      if c.strip()]
     snapshot = table.write(results, metrics_fn=partition_metrics,
                            input_fingerprint=fingerprint,
                            fail_after=args.fail_after,
-                           stat_cols=stat_cols)
+                           stat_cols=stat_cols,
+                           bloom_cols=bloom_cols)
     compaction: dict | None = None
     if args.compact:
         c = table.compact(spark, min_files=args.compact_min_files,

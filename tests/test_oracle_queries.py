@@ -87,7 +87,8 @@ def test_driver_window_covers_priority_queries():
     assert names[:len(entrymod._PRIORITY)] == entrymod._PRIORITY
     assert len(entrymod._PRIORITY) >= 50
     overflow = entrymod._PRIORITY[50:]
-    assert set(overflow) <= {"semantic_dedup", "pack_sequences"}, (
+    assert set(overflow) <= {"bpe_tokenize", "ann_ivf_topk",
+                             "semantic_dedup", "pack_sequences"}, (
         "only r04-green queries may sit past the driver window")
     oracle_names = list(ORACLES)
     assert oracle_names == [n for n in names if n in ORACLES]

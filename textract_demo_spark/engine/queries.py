@@ -5230,6 +5230,57 @@ def table_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, n_chars long")
 
 
+@query("table_bloom_skipping", oracle="""
+    SELECT doc_id::BIGINT AS doc_id, length(text)::BIGINT AS n_chars
+    FROM documents WHERE doc_id IN (21, 118, 237, 342, 480)
+""")
+def table_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping (engine/tables.py _file_bloom +
+    read_where): ``write(bloom_cols=)`` records a per-file bloom over
+    each column's distinct values — the Iceberg puffin-blob analog —
+    and point predicates (lo == hi) drop files whose bloom definitely
+    excludes the probe. The case range stats CANNOT touch: an even-id
+    wave and an odd-id wave interleave over the same doc_id range in
+    the same partitions, so every file's [min, max] straddles every
+    probe and footer-bounds skipping keeps everything; the bloom
+    still drops the opposite-parity wave's files. The append wave
+    passes NO bloom_cols — its files get blooms by column
+    inheritance, proven by the even-id probes pruning odd-wave files.
+    The query asserts, per probe, that every pruned file was pruned
+    by the bloom and at least one was, and returns rows equal to a
+    plain IN-list filter."""
+    import shutil
+    import tempfile
+
+    from .tables import PART_COL, IcebergLike
+    base = tempfile.mkdtemp(prefix="table_bloom_q_")
+    probes = [21, 118, 237, 342, 480]
+    try:
+        t = IcebergLike(base)
+
+        def keyed(parity):
+            return (_docs_kv(spark, sf_dir, 0, 500)
+                    .filter(F.col("doc_id") % 2 == parity)
+                    .withColumn(PART_COL,
+                                (F.col("doc_id") % 3).cast("int")))
+
+        t.write(keyed(0), stat_cols=["doc_id"], bloom_cols=["doc_id"])
+        t.write(keyed(1), append=True)
+        rows = []
+        for p in probes:
+            out, rep = t.read_where(spark, "doc_id", lo=p, hi=p)
+            if not rep["files_pruned_bloom"]:
+                raise RuntimeError(
+                    f"bloom pruned nothing for doc_id={p}: {rep}")
+            if rep["files_pruned"] != rep["files_pruned_bloom"]:
+                raise RuntimeError(
+                    f"range stats should straddle every probe: {rep}")
+            rows += out.select("doc_id", "n_chars").collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
 @query("table_zorder_scan", oracle="""
     SELECT doc_id::BIGINT AS doc_id, length(text)::BIGINT AS n_chars
     FROM documents WHERE length(text) >= 200 AND length(text) <= 320

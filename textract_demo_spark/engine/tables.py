@@ -75,6 +75,14 @@ Iceberg-v2 parity pieces beyond the commit protocol:
   appends forced the partition-level range open (the case that
   matters for an append-heavy ingest at 10^12 rows: each append wave
   is skippable on its own bounds).
+- **Bloom file skipping**: ``write(bloom_cols=)`` records a per-file
+  bloom filter over each column's distinct values (the Iceberg
+  puffin-blob analog, inlined in the manifest at <=1 KiB per
+  file-column) and ``read_where`` point predicates drop files whose
+  bloom definitely excludes the value — the interleaved-key lookup
+  where every file's [min, max] straddles the probe and range stats
+  keep everything. At 10^12 rows this is the "find one conversation
+  by id" path: O(files) driver-side bit probes instead of a scan.
 - **Z-order clustering**: ``zorder_part_key`` assigns partitions as
   contiguous Morton-curve ranges over several columns, so the
   manifest stats above are tight in EVERY clustered dimension and
@@ -103,6 +111,7 @@ Iceberg-v2 parity pieces beyond the commit protocol:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -202,6 +211,106 @@ def _file_stats_for(dirpath: str, names: list[str],
         if st:
             out[f] = st
     return out
+
+
+BLOOM_MAX_BITS = 1 << 13  # 1 KiB/file-column inline cap (see below)
+
+
+def _bloom_params(ndv: int) -> tuple[int, int]:
+    """Bits/hashes for ``ndv`` distinct keys: ~10 bits per key
+    (fpp ~1%) rounded up to a power of two, capped at BLOOM_MAX_BITS
+    so the bitmap inlines in the manifest JSON — a cluster deployment
+    would store these as Iceberg puffin blobs; past the cap the fpp
+    degrades gracefully (pruning keeps more files, never drops a
+    match). k=6 is near-optimal across the whole 64..8192 range."""
+    m = 64
+    while m < 10 * ndv and m < BLOOM_MAX_BITS:
+        m *= 2
+    return m, 6
+
+
+def _bloom_positions(value, m: int, k: int) -> list[int]:
+    """Double-hashing bit positions for ``value``. Values hash by
+    their canonical string form (int 5 and str "5" collide — safe:
+    collisions only ADD bits / keep files, the false-positive
+    direction). blake2b is keyed by nothing and build+probe are both
+    driver-side Python, so no cross-engine hash contract is needed
+    (unlike datapipe/bloom.py's xxhash64/md5 family)."""
+    d = hashlib.blake2b(str(value).encode("utf-8"),
+                        digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _file_bloom(path: str, cols: list[str]) -> dict:
+    """Per-file bloom filters over the DISTINCT values of ``cols`` —
+    the Iceberg puffin-blob analog for point-lookup file skipping,
+    built once at commit time from a column-only read (footer stats
+    answer range predicates; blooms answer ``col = v`` inside files
+    whose [min, max] straddles v, the interleaved-key case range
+    stats cannot touch). A column is recorded only when every value
+    is int or str (bool/float/bytes/timestamp excluded: no canonical
+    cross-type string form); absent entry == keep on read."""
+    try:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        pf = pq.ParquetFile(path)
+        have = [c for c in cols if c in pf.schema_arrow.names]
+        if not have:
+            return {}
+        tbl = pf.read(columns=have)
+    except Exception:
+        return {}
+    out = {}
+    for c in have:
+        try:
+            vals = [v for v in pc.unique(tbl.column(c)).to_pylist()
+                    if v is not None]
+        except Exception:
+            continue
+        if not vals or any(type(v) not in (int, str) for v in vals):
+            continue
+        m_bits, kh = _bloom_params(len(vals))
+        bits = bytearray(m_bits // 8)
+        for v in vals:
+            for pos in _bloom_positions(v, m_bits, kh):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        out[c] = {"m": m_bits, "k": kh, "hex": bytes(bits).hex()}
+    return out
+
+
+def _file_blooms_for(dirpath: str, names: list[str],
+                     cols: list[str]) -> dict:
+    """``{file name: blooms}`` for the named files, dropping files
+    that yielded nothing (absent entry == keep on read)."""
+    out = {}
+    for f in names:
+        b = _file_bloom(os.path.join(dirpath, f), cols)
+        if b:
+            out[f] = b
+    return out
+
+
+def _bloom_probe_value(value):
+    """Normalize a point-predicate value for probing, or None when
+    the bloom cannot answer it. Integral floats fold to int (probe
+    5.0 must hit files holding int 5 — parquet int columns surface
+    Python ints at build time); non-integral floats, bools and other
+    types skip the probe (file kept, residual filter decides)."""
+    if isinstance(value, bool) or type(value) not in (int, str, float):
+        return None
+    if isinstance(value, float):
+        if not value.is_integer():
+            return None
+        return int(value)
+    return value
+
+
+def _bloom_maybe_contains(entry: dict, value) -> bool:
+    bits = bytes.fromhex(entry["hex"])
+    return all((bits[p >> 3] >> (p & 7)) & 1
+               for p in _bloom_positions(value, entry["m"], entry["k"]))
 
 
 def with_part_key(df: DataFrame, n_buckets: int,
@@ -420,6 +529,7 @@ class IcebergLike:
               input_fingerprint: str = "", fail_after: int | None = None,
               rebalance: bool = True,
               stat_cols: list[str] | None = None,
+              bloom_cols: list[str] | None = None,
               append: bool = False,
               snapshot_extra: dict | None = None,
               partition_spec=None) -> dict:
@@ -450,6 +560,14 @@ class IcebergLike:
         into the manifests (the Iceberg data-file stats analog) for
         ``read_where`` scan pruning — computed in the SAME staged
         read as the row metrics, so stats cost no extra pass.
+
+        ``bloom_cols`` names int/str columns that additionally get a
+        per-FILE bloom filter over their distinct values (the Iceberg
+        puffin-blob analog, inlined in the manifest capped at 1 KiB
+        per file-column): ``read_where`` point predicates (lo == hi)
+        then skip files whose bloom definitely excludes the value —
+        the interleaved-key case where every file's [min, max]
+        straddles the probe and range stats keep everything.
 
         ``partition_spec`` keys the DataFrame via hidden-partitioning
         transforms (partition_spec.py: days/hours/months/truncate +
@@ -560,7 +678,7 @@ class IcebergLike:
                                          snap_id,
                                          metrics_by_key.get(k, {}),
                                          stats_by_key.get(k),
-                                         stat_cols)
+                                         stat_cols, bloom_cols)
             if os.path.exists(dst):
                 shutil.rmtree(dst)  # stale partial from a dead run
             os.rename(src, dst)  # atomic promote
@@ -582,6 +700,10 @@ class IcebergLike:
                 fs = _file_stats_for(dst, files, stat_cols)
                 if fs:
                     m["file_stats"] = fs
+            if bloom_cols:
+                fb = _file_blooms_for(dst, files, bloom_cols)
+                if fb:
+                    m["file_blooms"] = fb
             self._write_json_atomic(
                 os.path.join(self.manifest_dir, f"part-{k:05d}.json"), m)
             return k
@@ -662,7 +784,8 @@ class IcebergLike:
     def _append_into(self, k: int, src: str, dst: str, prior: dict,
                      run_id: str, snap_id: int, metrics: dict,
                      stats: dict | None,
-                     stat_cols: list[str] | None = None) -> int:
+                     stat_cols: list[str] | None = None,
+                     bloom_cols: list[str] | None = None) -> int:
         """Append staged files into an EXISTING partition dir under
         collision-free ``s{snap}-`` names, then merge the manifest:
         files + per-file sequence numbers, summed row metric, min/max-
@@ -727,6 +850,15 @@ class IcebergLike:
             prior_fs.update(_file_stats_for(dst, new_names, fcols))
         if prior_fs:
             m["file_stats"] = prior_fs
+        # Blooms inherit the same way (immutable per-file artifacts,
+        # tracked columns carried forward when the append names none)
+        prior_fb = dict(m.get("file_blooms") or {})
+        bcols = list(bloom_cols or []) or sorted(
+            {c for v in prior_fb.values() for c in v})
+        if bcols:
+            prior_fb.update(_file_blooms_for(dst, new_names, bcols))
+        if prior_fb:
+            m["file_blooms"] = prior_fb
         m.setdefault("appends", []).append(
             {"run_id": run_id, "snapshot_id": snap_id,
              "files": new_names,
@@ -746,7 +878,10 @@ class IcebergLike:
         recompute from the new files' footers over the columns the
         manifest tracked (file_stats' union, falling back to
         col_stats' keys), or drop the entry when nothing is
-        recoverable (absent == pruning keeps everything)."""
+        recoverable (absent == pruning keeps everything). Per-file
+        blooms are rebuilt the same way over THEIR tracked columns
+        (no col_stats fallback: blooms exist only where a write asked
+        for them)."""
         cols = sorted({c for v in (m.get("file_stats") or {}).values()
                        for c in v}
                       or (m.get("col_stats") or {}).keys())
@@ -755,6 +890,13 @@ class IcebergLike:
             fs = _file_stats_for(dirpath, files, cols)
             if fs:
                 m["file_stats"] = fs
+        bcols = sorted({c for v in (m.get("file_blooms") or {}).values()
+                        for c in v})
+        m.pop("file_blooms", None)
+        if bcols:
+            fb = _file_blooms_for(dirpath, files, bcols)
+            if fb:
+                m["file_blooms"] = fb
 
     def _recover_appends(
             self,
@@ -839,12 +981,12 @@ class IcebergLike:
             m["file_seq"] = {f: s_ for f, s_ in
                              (m.get("file_seq") or {}).items()
                              if f not in drop}
-            if m.get("file_stats"):
-                m["file_stats"] = {f: s_ for f, s_ in
-                                   m["file_stats"].items()
-                                   if f not in drop}
-                if not m["file_stats"]:
-                    m.pop("file_stats")
+            for fk in ("file_stats", "file_blooms"):
+                if m.get(fk):
+                    m[fk] = {f: s_ for f, s_ in m[fk].items()
+                             if f not in drop}
+                    if not m[fk]:
+                        m.pop(fk)
             m["appends"] = [a for a in appends if a not in dead]
             rows = (m.get("metrics") or {}).get("rows")
             dead_rows = [a.get("rows") for a in dead]
@@ -1048,14 +1190,15 @@ class IcebergLike:
             m["files"] = [f for f in m.get("files", []) if f not in late]
             m["file_seq"] = {f: s_ for f, s_ in fseq.items()
                              if f not in late}
-            if m.get("file_stats"):
-                # surviving files are untouched, so their immutable
-                # footer bounds stay valid — just drop stripped entries
-                m["file_stats"] = {f: s_ for f, s_ in
-                                   m["file_stats"].items()
-                                   if f not in late}
-                if not m["file_stats"]:
-                    m.pop("file_stats")
+            for fk in ("file_stats", "file_blooms"):
+                if m.get(fk):
+                    # surviving files are untouched, so their
+                    # immutable footer bounds / blooms stay valid —
+                    # just drop stripped entries
+                    m[fk] = {f: s_ for f, s_ in m[fk].items()
+                             if f not in late}
+                    if not m[fk]:
+                        m.pop(fk)
             m["appends"] = [a for a in m.get("appends", [])
                             if a.get("snapshot_id", 0) <= snapshot_id]
             stat_cols = sorted((m.get("col_stats") or {}).keys())
@@ -1851,7 +1994,10 @@ class IcebergLike:
         range (missing stats keep the partition — pruning is an
         optimization, never a filter), then prune individual FILES
         within kept partitions by their immutable footer bounds
-        (``file_stats``), then apply the residual predicate(s).
+        (``file_stats``) and — for point predicates — per-file bloom
+        filters (``file_blooms``, recorded by ``write(bloom_cols=)``;
+        ``files_pruned_bloom`` counts the files only the bloom could
+        drop), then apply the residual predicate(s).
         Returns (df, prune_report); the report records how many
         partitions the manifests eliminated BEFORE any file listing
         (``partitions_pruned``, split into ``pruned_by_spec`` /
@@ -1932,12 +2078,24 @@ class IcebergLike:
         # file-by-file even though the partition range widened to
         # cover them all. Files without a recorded entry are kept
         # (pruning is an optimization, never a filter).
+        # point predicates (lo == hi) additionally probe per-file
+        # BLOOMS — the case range bounds cannot touch: every file's
+        # [min, max] straddles the probe value when keys interleave
+        # across write waves, yet only a few files actually hold it.
+        points = {}
+        for c, (lo_, hi_) in preds.items():
+            if lo_ is not None and hi_ is not None and lo_ == hi_:
+                pv = _bloom_probe_value(lo_)
+                if pv is not None:
+                    points[c] = pv
         sources, files_kept, files_pruned = [], 0, 0
+        files_pruned_bloom = 0
         for k in kept:
             m = self.manifest(k) or {}
             fstats = m.get("file_stats") or {}
+            fblooms = m.get("file_blooms") or {}
             names = m.get("files") or []
-            if not fstats or not names:
+            if not names or (not fstats and not fblooms):
                 sources.append(os.path.join(self.data_dir,
                                             f"{PART_COL}={k}"))
                 continue
@@ -1951,6 +2109,14 @@ class IcebergLike:
                             or (hi_ is not None and st["min"] > hi_)):
                         drop = True
                         break
+                if not drop and points and f in fblooms:
+                    for c, pv in points.items():
+                        ent = fblooms[f].get(c)
+                        if ent is not None and \
+                                not _bloom_maybe_contains(ent, pv):
+                            drop = True
+                            files_pruned_bloom += 1
+                            break
                 if drop:
                     files_pruned += 1
                 else:
@@ -1964,7 +2130,8 @@ class IcebergLike:
                   "pruned_by_spec": spec_pruned,
                   "pruned_by_stats": pruned,
                   "files_kept": files_kept,
-                  "files_pruned": files_pruned}
+                  "files_pruned": files_pruned,
+                  "files_pruned_bloom": files_pruned_bloom}
         schema_src = snap if snap is not None else (
             self.snapshots()[-1] if self.snapshots() else None)
         schema = self._stored_schema(schema_src)
@@ -2056,15 +2223,17 @@ def _meta_snapshots(self, spark: SparkSession) -> DataFrame:
 
 def _meta_files(self, spark: SparkSession) -> DataFrame:
     """Iceberg ``t.files`` analog: one row per live data file with
-    its partition, sequence number, size and per-file column bounds
+    its partition, sequence number, size, per-file column bounds
     (``file_stats_json`` — the footer stats ``read_where`` skips on)
-    — the operational view behind compaction targeting and skew
+    and which columns carry a point-lookup bloom (``bloom_cols``) —
+    the operational view behind compaction targeting and skew
     checks."""
     rows = []
     for k in sorted(self.committed_keys()):
         m = self.manifest(k) or {}
         fseq = m.get("file_seq") or {}
         fstats = m.get("file_stats") or {}
+        fblooms = m.get("file_blooms") or {}
         base = int(m.get("data_snapshot_id", 0))
         for f in m.get("files", []):
             p = os.path.join(self.data_dir, f"{PART_COL}={k}", f)
@@ -2074,11 +2243,14 @@ def _meta_files(self, spark: SparkSession) -> DataFrame:
                 size = None
             rows.append((k, f, int(fseq.get(f, base)), size,
                          json.dumps(fstats[f], sort_keys=True)
-                         if f in fstats else None))
+                         if f in fstats else None,
+                         ",".join(sorted(fblooms[f]))
+                         if f in fblooms else None))
     return spark.createDataFrame(
-        rows or [(None, None, None, None, None)],
+        rows or [(None, None, None, None, None, None)],
         f"{PART_COL} int, file string, data_snapshot_id long,"
-        " size_bytes long, file_stats_json string").filter(
+        " size_bytes long, file_stats_json string,"
+        " bloom_cols string").filter(
         F.col("file").isNotNull())
 
 
