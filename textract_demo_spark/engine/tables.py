@@ -404,6 +404,7 @@ class IcebergLike:
         for d in (self.data_dir, self.manifest_dir, self.staging_dir,
                   self.delete_dir):
             os.makedirs(d, exist_ok=True)
+        self._branch_writer: str | None = None
         self._recover_compaction()
         self._recover_appends()
 
@@ -592,6 +593,20 @@ class IcebergLike:
         """
         if partition_spec is not None:
             df = self._bind_spec(df, partition_spec)
+        # diverged-main guard: while a branch is ahead of the pinned
+        # main, a plain commit would land files sequenced INTO the
+        # branch's lineage (the linear store has one sequence) —
+        # refuse instead of silently merging histories.
+        if self._branch_writer is None:
+            pin = self._main_pin()
+            if pin is not None:
+                snaps = self.snapshots()
+                latest = snaps[-1]["snapshot_id"] if snaps else None
+                if latest is not None and latest > pin:
+                    raise ValueError(
+                        f"main is pinned at {pin} behind branch"
+                        f" commits (latest {latest}); fast_forward"
+                        " or drop the branch before writing main")
         committed = self.committed_keys()
         run_id = run_id or f"run-{int(time.time() * 1000)}"
         if append:
@@ -1105,6 +1120,166 @@ class IcebergLike:
             raise ValueError(f"no tag {tag!r}; have {sorted(t)}")
         return t[tag]
 
+    # -- branches (mutable named refs) -----------------------------------------
+
+    # A branch is a MUTABLE ref -> snapshot id (Iceberg branch
+    # analog); a tag is the immutable flavor. The storage layer keeps
+    # ONE linear snapshot sequence, and snapshot reads scope by
+    # per-file sequence number, so pinning "main" at a snapshot and
+    # committing further appends under a branch gives real isolation
+    # with zero new read machinery: main readers filter out the
+    # branch's later-sequenced files exactly like any time-travel
+    # read. The supported shape is the write-audit-publish / staging
+    # pattern — ONE divergent branch ahead of main at a time (the
+    # linear store cannot represent two divergent heads); creating a
+    # second concurrent branch or plain-writing while diverged raises
+    # instead of corrupting either lineage.
+
+    def create_branch(self, name: str,
+                      snapshot_id: int | None = None) -> dict:
+        """Create branch ``name`` at ``snapshot_id`` (default: the
+        current main state). ``write_to_branch`` then advances it
+        without moving main; ``fast_forward`` publishes it."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", name):
+            raise ValueError(f"bad branch name: {name!r}")
+        if name == "main":
+            raise ValueError("'main' is the implicit trunk ref")
+        if self.branches():
+            raise ValueError(
+                f"a branch already exists ({sorted(self.branches())});"
+                " the linear store supports one divergent branch —"
+                " fast_forward or drop it first")
+        snaps = self.snapshots()
+        if snapshot_id is None:
+            snapshot_id = self._main_head()
+            if snapshot_id is None:
+                raise ValueError("no snapshots to branch from")
+        elif not any(s["snapshot_id"] == snapshot_id for s in snaps):
+            raise ValueError(f"no snapshot {snapshot_id} to branch")
+        obj = {"name": name, "snapshot_id": snapshot_id,
+               "created_at": time.time()}
+        self._write_json_atomic(
+            os.path.join(self.manifest_dir, f"branch-{name}.json"), obj)
+        return obj
+
+    def branches(self) -> dict[str, int]:
+        out = {}
+        for f in sorted(os.listdir(self.manifest_dir)):
+            if f.startswith("branch-") and f.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, f)) as fh:
+                    o = json.load(fh)
+                if o["name"] != "main":
+                    out[o["name"]] = o["snapshot_id"]
+        return out
+
+    def _main_pin(self) -> int | None:
+        p = os.path.join(self.manifest_dir, "branch-main.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)["snapshot_id"]
+
+    def _main_head(self) -> int | None:
+        """Current MAIN state: the pin while diverged, else the
+        newest snapshot (back-compat: no-branch tables never pin)."""
+        pin = self._main_pin()
+        if pin is not None:
+            return pin
+        snaps = self.snapshots()
+        return snaps[-1]["snapshot_id"] if snaps else None
+
+    def _resolve_branch(self, name: str) -> int:
+        if name == "main":
+            head = self._main_head()
+            if head is None:
+                raise ValueError("empty table has no main state")
+            return head
+        b = self.branches()
+        if name not in b:
+            raise ValueError(f"no branch {name!r}; have {sorted(b)}")
+        return b[name]
+
+    def write_to_branch(self, name: str, df: DataFrame,
+                        **write_kwargs) -> dict:
+        """Append-commit ``df`` under branch ``name``: main readers
+        keep seeing the pre-branch state (pinned on first divergence),
+        branch readers (``read(branch=name)``) see the appends. Only
+        the tip branch is writable (linear store)."""
+        head = self._resolve_branch(name)
+        snaps = self.snapshots()
+        latest = snaps[-1]["snapshot_id"] if snaps else None
+        if head != latest:
+            raise ValueError(
+                f"branch {name!r} head {head} is not the newest"
+                f" snapshot {latest}; only the tip branch is writable")
+        if self._main_pin() is None:
+            # first divergent commit: freeze main where it is
+            self._write_json_atomic(
+                os.path.join(self.manifest_dir, "branch-main.json"),
+                {"name": "main", "snapshot_id": head,
+                 "created_at": time.time()})
+        if write_kwargs.pop("append", True) is not True:
+            raise ValueError("branch commits are append-mode")
+        self._branch_writer = name
+        try:
+            snap = self.write(
+                df, append=True,
+                snapshot_extra={
+                    **(write_kwargs.pop("snapshot_extra", None) or {}),
+                    "branch": name},
+                **write_kwargs)
+        finally:
+            self._branch_writer = None
+        self._write_json_atomic(
+            os.path.join(self.manifest_dir, f"branch-{name}.json"),
+            {"name": name, "snapshot_id": snap["snapshot_id"],
+             "created_at": time.time()})
+        return snap
+
+    def fast_forward(self, name: str, drop: bool = True) -> dict:
+        """Publish branch ``name``: move main to the branch head (the
+        Iceberg ``fast_forward('main', branch)`` analog — the publish
+        half of write-audit-publish). With ``drop`` the branch ref is
+        removed; the pin is removed too when main lands back on the
+        newest snapshot, restoring the zero-join plain-read path."""
+        head = self._resolve_branch(name)
+        main = self._main_head()
+        if main is not None and main > head:
+            raise ValueError(
+                f"main at {main} is ahead of branch {name!r} at"
+                f" {head}: not a fast-forward")
+        snaps = self.snapshots()
+        latest = snaps[-1]["snapshot_id"] if snaps else None
+        main_path = os.path.join(self.manifest_dir, "branch-main.json")
+        if head == latest and os.path.exists(main_path):
+            os.remove(main_path)  # main floats with latest again
+        elif head != latest:
+            self._write_json_atomic(
+                main_path, {"name": "main", "snapshot_id": head,
+                            "created_at": time.time()})
+        if drop and name != "main":
+            self.drop_branch(name)
+        return {"main": head, "from_branch": name}
+
+    def drop_branch(self, name: str,
+                    spark: SparkSession | None = None) -> None:
+        """Remove branch ``name``'s ref. With ``spark``, ABANDON the
+        branch physically: roll back to main's pin so the branch's
+        unpublished commits (and the pin) are gone — the reject half
+        of write-audit-publish. Without it, only the ref is dropped
+        (the pin stays, so main reads stay correct; the orphaned
+        commits remain time-travelable until expiry/rollback)."""
+        p = os.path.join(self.manifest_dir, f"branch-{name}.json")
+        if os.path.exists(p):
+            os.remove(p)
+        if spark is not None:
+            pin = self._main_pin()
+            if pin is not None:
+                self.rollback(spark, pin)
+                mp = os.path.join(self.manifest_dir, "branch-main.json")
+                if os.path.exists(mp):
+                    os.remove(mp)
+
     def expire_snapshots(self, keep_last: int = 10) -> dict:
         """Drop snapshot metadata older than the newest ``keep_last``
         (the Iceberg ``expire_snapshots`` analog: time-travel history
@@ -1118,6 +1293,11 @@ class IcebergLike:
             return {"expired": []}
         cutoff = sorted(s["snapshot_id"] for s in snaps)[-keep_last]
         tagged = set(self.tags().values())
+        # branch heads and a pinned main are live refs — expiring
+        # their snapshots would orphan the ref they resolve through
+        tagged |= set(self.branches().values())
+        if self._main_pin() is not None:
+            tagged.add(self._main_pin())
         expired = []
         for s in snaps:
             sid = s["snapshot_id"]
@@ -1231,6 +1411,10 @@ class IcebergLike:
                         if sid > snapshot_id]
         for name in dropped_tags:  # would dangle: their state is gone
             self.drop_tag(name)
+        for name, sid in list(self.branches().items()):
+            if sid > snapshot_id:  # branch head rolled away: ref dies
+                os.remove(os.path.join(self.manifest_dir,
+                                       f"branch-{name}.json"))
         # pin the schema as of the target (rolls back schema
         # evolution too); delete-op targets carry none, so walk back
         schema_json = next(
@@ -1412,7 +1596,8 @@ class IcebergLike:
     def read(self, spark: SparkSession,
              snapshot_id: int | None = None,
              apply_deletes: bool = True,
-             tag: str | None = None) -> DataFrame:
+             tag: str | None = None,
+             branch: str | None = None) -> DataFrame:
         """Read the table; with ``snapshot_id`` (or a ``tag`` naming
         one), time-travel to the partition set committed as of that
         snapshot (Iceberg ``VERSION AS OF`` analog). Committed partitions are immutable
@@ -1439,10 +1624,18 @@ class IcebergLike:
         number, not just the partition set — append mode adds
         later-sequenced files into already-committed partition dirs,
         and a snapshot read must not see them."""
+        if sum(x is not None for x in (snapshot_id, tag, branch)) > 1:
+            raise ValueError("pass at most one of snapshot_id/tag/"
+                             "branch")
         if tag is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id or tag, not both")
             snapshot_id = self._resolve_tag(tag)
+        elif branch is not None:
+            snapshot_id = self._resolve_branch(branch)
+        elif snapshot_id is None:
+            # plain read = MAIN state: while a branch is ahead, main
+            # is pinned and the read time-travels to the pin (per-file
+            # sequence scoping hides the branch's appends)
+            snapshot_id = self._main_pin()
         dels = (self._delete_snapshots(upto=snapshot_id)
                 if apply_deletes else [])
         pdels = (self._pos_delete_snapshots(upto=snapshot_id)
@@ -2273,19 +2466,25 @@ def _meta_partitions(self, spark: SparkSession) -> DataFrame:
 
 
 def _meta_tags(self, spark: SparkSession) -> DataFrame:
-    """Iceberg ``t.refs`` analog (tags only — no branches here):
-    named snapshots as a DataFrame."""
+    """Iceberg ``t.refs`` analog: named refs as a DataFrame —
+    ``type`` distinguishes immutable tags from mutable branches
+    (including a pinned main while a branch is diverged)."""
     rows = []
     for f in sorted(os.listdir(self.manifest_dir)):
         if f.startswith("tag-") and f.endswith(".json"):
-            with open(os.path.join(self.manifest_dir, f)) as fh:
-                o = json.load(fh)
-            rows.append((str(o["name"]), int(o["snapshot_id"]),
-                         float(o.get("created_at", 0.0))))
+            kind = "tag"
+        elif f.startswith("branch-") and f.endswith(".json"):
+            kind = "branch"
+        else:
+            continue
+        with open(os.path.join(self.manifest_dir, f)) as fh:
+            o = json.load(fh)
+        rows.append((str(o["name"]), kind, int(o["snapshot_id"]),
+                     float(o.get("created_at", 0.0))))
     return spark.createDataFrame(
-        rows or [(None, None, None)],
-        "name string, snapshot_id long, created_at double").filter(
-        F.col("name").isNotNull())
+        rows or [(None, None, None, None)],
+        "name string, type string, snapshot_id long,"
+        " created_at double").filter(F.col("name").isNotNull())
 
 
 # Iceberg metadata-table analogs (``SELECT * FROM t.files`` etc.):
