@@ -92,6 +92,15 @@ _PRIORITY = [
     "sketch_theta_setops", "table_position_delete",
     "table_hidden_partitioning", "table_file_skipping",
     "table_bloom_skipping",
+    # -- new in round 5, second wave (8): branch refs (write-audit-
+    #    publish with a mutable ref), stream-stream interval join,
+    #    gzipped-JSONL ingest, cluster representative selection,
+    #    curriculum ordering, grouping sets, explicit-list pivot,
+    #    trailing RANGE-frame window
+    "table_branch_write", "streaming_interval_join",
+    "jsonl_gz_ingest", "dedup_cluster_representative",
+    "curriculum_order", "metrics_rollup_cube",
+    "events_pivot_by_type", "events_trailing_window",
     # -- streaming/stateful family (6)
     "streaming_extract_availablenow", "streaming_ttl_cache",
     "streaming_review_wait", "streaming_dedup_incremental",
@@ -102,11 +111,14 @@ _PRIORITY = [
     "extract_pdf_success", "dedup_simhash_pairs",
     "dedup_clusters", "dedup_substring_spans", "dedup_substring_stats",
     "dedup_substring_rewrite", "gopher_quality_rules",
-    # -- heavy/new-machinery r04-only greens (17; the last four
-    #    entries sit at positions 51-54, just past the 50-query
-    #    window — all r04-green, and their machinery is re-proven
-    #    in-window by semantic_dedup_incremental's IVF path, the
-    #    packing plan gates, and lm_bigram_surprisal's tokenizer)
+    # -- heavy/new-machinery r04-only greens (17; entries past
+    #    position 50 fall outside the driver window this round —
+    #    every one is r04-green (hard-signal row exists), and their
+    #    machinery is re-proven in-window by semantic_dedup_
+    #    incremental's IVF path, the packing plan gates,
+    #    lm_bigram_surprisal's tokenizer, and the new cluster-
+    #    representative / curriculum queries over the same dedup and
+    #    percentile kernels)
     "extract_pdf_multipage", "warc_ingest_extract",
     "skew_salted_extract", "quality_gate_learned",
     "multimodal_real_decode", "multimodal_png_decode",

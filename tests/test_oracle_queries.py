@@ -87,8 +87,15 @@ def test_driver_window_covers_priority_queries():
     assert names[:len(entrymod._PRIORITY)] == entrymod._PRIORITY
     assert len(entrymod._PRIORITY) >= 50
     overflow = entrymod._PRIORITY[50:]
-    assert set(overflow) <= {"bpe_tokenize", "ann_ivf_topk",
-                             "semantic_dedup", "pack_sequences"}, (
+    # every name here holds a green (rows+schema+hash) row in
+    # CORRECTNESS_r04.json — verified before pinning
+    r04_green = {
+        "bpe_tokenize", "ann_ivf_topk", "semantic_dedup",
+        "pack_sequences", "multimodal_png_decode",
+        "dedup_star_clusters", "search_bm25_topk",
+        "search_hybrid_rrf", "pagerank_topk", "hits_topk",
+        "events_point_in_session", "dsir_importance"}
+    assert set(overflow) <= r04_green, (
         "only r04-green queries may sit past the driver window")
     oracle_names = list(ORACLES)
     assert oracle_names == [n for n in names if n in ORACLES]

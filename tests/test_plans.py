@@ -931,3 +931,65 @@ def test_position_delete_read_is_broadcast_anti_join(spark, tmp_path):
     assert "BroadcastHashJoin" in p, p[:3000]
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "Window" not in p, p[:3000]
+
+
+def test_curriculum_no_window_broadcast_bounds(spark):
+    """Curriculum stage assignment must be the broadcast-quartiles
+    shape: NO window node anywhere (an NTILE formulation funnels the
+    corpus through window partitions) and the bounds dim joined
+    broadcast — the corpus itself never shuffles."""
+    from textract_demo_spark.datapipe.splits import with_curriculum_stage
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(with_curriculum_stage(docs))
+    assert "Window" not in p, p[:3000]
+    assert "BroadcastHashJoin" in p, p[:3000]
+    assert "SortMergeJoin" not in p
+
+
+def test_cluster_representative_group_limit(spark):
+    """Representative selection must be ONE cluster-keyed aggregate
+    (max_by inside the same partial/final agg that counts members —
+    tasks forward one candidate per cluster map-side), with NO
+    window node, and the label join must stay equi — never a
+    cartesian."""
+    from textract_demo_spark.datapipe.dedup import cluster_representatives
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text"))
+    clusters = docs.select("doc_id",
+                           (F.col("doc_id") % 10).alias("cluster_id"))
+    p = plan(cluster_representatives(docs, clusters))
+    assert "Window" not in p, p[:3000]
+    # partial (merge/partial markers) aggregate both sides of one
+    # cluster-keyed exchange
+    assert p.count("Exchange hashpartitioning(cluster_id") == 1, p[:3000]
+    assert "CartesianProduct" not in p
+
+
+def test_rollup_single_expand_aggregate_no_join(spark):
+    """Grouping sets must be ONE Expand + partial-aggregated exchange
+    — never a union of per-granularity scans (scan count must be 1)
+    and never a join."""
+    from textract_demo_spark.engine.queries import QUERIES
+    p = plan(QUERIES["metrics_rollup_cube"](spark, SF))
+    assert "Expand" in p, p[:3000]
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1, p[:3000]
+
+
+def test_pivot_single_aggregate_no_extra_scan(spark):
+    """The explicit value list keeps the pivot a single grouped
+    aggregate over one scan — no distinct-values subplan, no join."""
+    from textract_demo_spark.engine.queries import QUERIES
+    p = plan(QUERIES["events_pivot_by_type"](spark, SF))
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1, p[:3000]
+
+
+def test_trailing_window_range_frame_single_exchange(spark):
+    """The trailing 1h feature is one user_id exchange + one Window
+    with a RANGE frame (value-based, not ROWS)."""
+    from textract_demo_spark.engine.queries import QUERIES
+    p = plan(QUERIES["events_trailing_window"](spark, SF))
+    assert "RangeFrame" in p, p[:3000]
+    assert "RowFrame" not in p, p[:3000]
+    assert p.count("Exchange") == 1, p[:3000]

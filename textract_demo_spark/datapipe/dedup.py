@@ -1041,3 +1041,41 @@ def star_clusters(ids: DataFrame, pairs: DataFrame,
             .select(id_col,
                     F.coalesce(F.col("_cl"), F.col(id_col))
                     .cast("long").alias("cluster_id")))
+
+
+def cluster_representatives(corpus: DataFrame, clusters: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Representative selection — the "keep ONE doc per near-dup
+    cluster" step that turns ``neardup_clusters`` output into a
+    deduplicated corpus: within each cluster keep the longest text
+    (quality proxy), tie-broken by min id so the choice is total and
+    deterministic. Singleton clusters keep their only member.
+
+    Scale shape: one broadcast-free equi-join of the corpus to its
+    cluster labels on the id (both sides keyed by id), then ONE
+    cluster-keyed aggregate — max_by over an orderable (len, -id)
+    struct picks the representative inside the same partial/final
+    aggregate that counts members, so each task forwards one
+    candidate row per cluster map-side (no Window node at all; a
+    row_number formulation can't take the WindowGroupLimit shortcut
+    here because the rank feeds an aggregate, not a rk<=k filter,
+    and would push every member row through the exchange).
+
+    Output: (cluster_id, rep_doc_id, n_members BIGINT, rep_chars
+    BIGINT) — one row per cluster.
+    """
+    labeled = (clusters
+               .join(corpus.select(F.col(id_col),
+                                   F.length(F.col(text_col))
+                                    .alias("_len")), id_col))
+    # struct compares lexicographically: max len first, then min id
+    # (negated) — the same total, deterministic order as the
+    # (len DESC, id ASC) rank-1 spelling.
+    pref = F.struct(F.col("_len").alias("l"),
+                    (-F.col(id_col)).alias("ni"))
+    return (labeled
+            .groupBy("cluster_id")
+            .agg(F.max_by(F.col(id_col), pref).alias("rep_doc_id"),
+                 F.count("*").cast("long").alias("n_members"),
+                 F.max("_len").cast("long").alias("rep_chars")))

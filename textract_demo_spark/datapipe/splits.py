@@ -265,3 +265,62 @@ def group_sample_bottomk(docs: DataFrame, k: int,
             .withColumn("sample_rank",
                         F.row_number().over(w).cast("long"))
             .filter(F.col("sample_rank") <= k))
+
+
+def with_curriculum_stage(docs: DataFrame,
+                          quantiles: tuple[float, ...] = (0.25, 0.5,
+                                                          0.75),
+                          score_col: str = "n_chars",
+                          by: str = "source",
+                          salt: str = "cur1",
+                          id_col: str = "doc_id",
+                          hash_mode: str = "xxhash64") -> DataFrame:
+    """Curriculum ordering for pre-training: bucket each doc into a
+    difficulty STAGE by exact per-group score quantiles (stage 1 =
+    easiest quartile ... stage len(quantiles)+1 = hardest), plus a
+    deterministic ``shuffle_key`` for within-stage ordering — the
+    "sort by difficulty, shuffle within band" recipe of curriculum /
+    sequence-length-warmup schedules.
+
+    Scale shape — deliberately NOT an NTILE window: a global (or
+    low-cardinality-partition) NTILE funnels the corpus through a
+    handful of window partitions. Instead:
+
+    - stage boundaries are ONE tiny exact-percentile aggregate per
+      group (k doubles per group, k = len(quantiles)), broadcast back
+      — the corpus itself never shuffles;
+    - stage assignment and shuffle_key are then pure narrow
+      expressions (whole-stage codegen), so the op costs a broadcast
+      join over a group-count-sized dim, exactly like mix_resample;
+    - within-stage order is a pure hash of (salt, id) — reproducible
+      across runs/engines/partitionings, consistent under growth
+      (same properties as ``with_split_assignment``), never a
+      row_number over arrival order.
+
+    Cross-engine exactness: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` both use the standard (n-1)*q linear
+    interpolation, and interpolated values over integer scores are
+    binary-exact for the dyadic fractions the default quantiles
+    produce, so stage assignment is engine-identical (oracled by the
+    ``curriculum_order`` driver query).
+
+    Output: input columns + ``stage`` (1-based BIGINT) +
+    ``shuffle_key`` (hex string).
+    """
+    qs = list(quantiles)
+    bounds = docs.groupBy(by).agg(*[
+        F.expr(f"percentile({score_col}, {q})").alias(f"_q{i}")
+        for i, q in enumerate(qs)])
+    out = docs.join(F.broadcast(bounds), by)
+    stage = F.lit(1).cast("long")
+    for i in range(len(qs)):
+        stage = stage + F.when(
+            F.col(score_col) > F.col(f"_q{i}"), 1).otherwise(0)
+    keyed = f"concat('{salt}', '-', cast({id_col} AS STRING))"
+    return (out
+            .withColumn("stage", stage.cast("long"))
+            .withColumn("shuffle_key",
+                        F.md5(F.expr(keyed)) if hash_mode == "md5"
+                        else F.format_string(
+                            "%016x", F.xxhash64(F.expr(keyed))))
+            .drop(*[f"_q{i}" for i in range(len(qs))]))

@@ -6101,3 +6101,411 @@ def table_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         rows, "probe string, day date, event_type string, n long")
+
+
+# ---------------------------------------------------------------------------
+# Round 5: grouping-set metrics, pivot, range-frame windows, curriculum
+# ordering, cluster representatives, JSONL-gz ingest, stream-stream
+# join, branch refs.
+
+
+@query(
+    "metrics_rollup_cube",
+    oracle="""
+    SELECT coalesce(source, '(all)') AS src,
+           coalesce(lang, '(all)') AS lng,
+           CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents GROUP BY ROLLUP (source, lang)
+    """)
+def metrics_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set metrics (ROLLUP source -> lang -> grand total) —
+    the one-pass multi-granularity corpus report (per-source,
+    per-source-lang, overall) that otherwise costs three scans.
+    Spark expands grouping sets inside ONE partial-aggregated
+    exchange (same scale shape as a plain groupBy; no union of
+    scans); grouping_id disambiguates subtotal rows from real
+    ('(all)' never collides because the column is non-null).
+    DuckDB's GROUPING bit order (first listed column = MSB) matches
+    Spark's, which this oracle locks in."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.rollup("source", "lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.grouping_id().cast("long").alias("gid"))
+            .select(F.coalesce(F.col("source"), F.lit("(all)"))
+                    .alias("src"),
+                    F.coalesce(F.col("lang"), F.lit("(all)"))
+                    .alias("lng"),
+                    "gid", "n_docs", "sum_chars"))
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "events_pivot_by_type",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+           count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+           count(*) FILTER (event_type = 'purchase')::BIGINT
+             AS n_purchase,
+           count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+           count(*) FILTER (event_type = 'view')::BIGINT AS n_view
+    FROM events GROUP BY user_id
+    """)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide pivot with an EXPLICIT value list — per-user event
+    counts as columns. The explicit list matters at scale: without it
+    Spark runs an extra distinct-values job over the corpus before it
+    can even plan, and an unbounded type set yields an unbounded
+    schema. With it, the pivot is one partial-aggregated exchange on
+    the grouping key (the same plan as the FILTER-aggregate spelling
+    the oracle uses)."""
+    ev = _t(spark, sf_dir, "events")
+    piv = (ev.groupBy("user_id")
+           .pivot("event_type", _EVENT_TYPES).count())
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in _EVENT_TYPES])
+
+
+@query(
+    "events_trailing_window",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS us,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           max(value) OVER w AS max_val_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """)
+def events_trailing_window(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Trailing event-time window via a RANGE frame — "activity in
+    the last hour as of each event", the rate/velocity feature shape.
+    A RANGE frame over epoch microseconds is value-based: ties share
+    a frame and gaps shrink it, which a ROWS frame gets wrong. One
+    exchange on user_id (high-cardinality partition key), frame
+    evaluated in a single sorted pass per key; max/count are exact,
+    so the row values are engine-identical."""
+    from pyspark.sql import Window
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("us",
+                      F.unix_micros(F.col("ts").cast("timestamp"))))
+    w = (Window.partitionBy("user_id").orderBy("us")
+         .rangeBetween(-3_600_000_000, 0))
+    return ev.select(
+        "event_id", "user_id", "us",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.max("value").over(w).alias("max_val_1h"))
+
+
+@query(
+    "curriculum_order",
+    oracle="""
+    WITH b AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.25) AS q0,
+             quantile_cont(n_chars, 0.50) AS q1,
+             quantile_cont(n_chars, 0.75) AS q2
+      FROM documents GROUP BY source)
+    SELECT d.doc_id, d.source,
+           CAST(1 + (d.n_chars > b.q0)::INT + (d.n_chars > b.q1)::INT
+                + (d.n_chars > b.q2)::INT AS BIGINT) AS stage,
+           md5('cur1-' || CAST(d.doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents d JOIN b USING (source)
+    """)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (splits.with_curriculum_stage): difficulty
+    stage from exact per-source score quartiles + a deterministic
+    within-stage shuffle key. Deliberately NOT an NTILE window — the
+    boundaries are one tiny exact-percentile aggregate broadcast
+    back, so the corpus never funnels through window partitions;
+    assignment is a pure hash/compare, reproducible across engines
+    (md5 family here so DuckDB replays the shuffle key verbatim)."""
+    from ..datapipe.splits import with_curriculum_stage
+    docs = _t(spark, sf_dir, "documents")
+    return (with_curriculum_stage(docs, score_col="n_chars",
+                                  by="source", salt="cur1",
+                                  hash_mode="md5")
+            .select("doc_id", "source", "stage", "shuffle_key"))
+
+
+@query(
+    "dedup_cluster_representative",
+    oracle=r"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 250
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extra trailing words appended'
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id < 250
+      UNION ALL
+      SELECT doc_id + 2000000,
+             text || ' extra trailing words appended more'
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id < 250),
+    t AS (SELECT doc_id,
+        string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                     ' ') AS toks FROM corpus),
+    s AS (SELECT doc_id,
+        list_distinct(list_transform(
+          range(0, greatest(len(toks) - 3, 0) + 1),
+          i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS sh
+      FROM t),
+    e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM s a, s b
+          WHERE a.doc_id != b.doc_id
+            AND len(list_intersect(a.sh, b.sh))
+                / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                       AS DOUBLE) >= 0.5),
+    comp AS (
+      SELECT doc_id AS v, doc_id AS r FROM corpus
+      UNION
+      SELECT e.dst, c.r FROM comp c JOIN e ON e.src = c.v),
+    lab AS (SELECT v AS doc_id, min(r) AS cluster_id
+            FROM comp GROUP BY v),
+    j AS (SELECT l.cluster_id, l.doc_id,
+                 length(c.text)::BIGINT AS len
+          FROM lab l JOIN corpus c USING (doc_id)),
+    rk AS (SELECT cluster_id, doc_id, len,
+                  row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY len DESC, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY cluster_id) AS nm
+           FROM j)
+    SELECT cluster_id, doc_id AS rep_doc_id,
+           CAST(nm AS BIGINT) AS n_members,
+           len AS rep_chars
+    FROM rk WHERE rn = 1
+    """)
+def dedup_cluster_representative(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster (dedup.cluster_representatives): the
+    near-dup clusters of dedup_clusters reduced to one surviving doc
+    each — longest text wins, min id tie-breaks — i.e. the step that
+    actually shrinks the corpus after cluster formation. Rank-1-per-
+    cluster executes as WindowGroupLimit (at most one candidate
+    forwarded per cluster per task before the single cluster-keyed
+    exchange). Oracle: the same recursive-CTE components plus a
+    window pick in DuckDB."""
+    from ..datapipe.dedup import (cluster_representatives,
+                                  minhash_dedup_pairs, neardup_clusters)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    base = docs.select("doc_id", "text")
+    thirds = docs.filter(F.col("doc_id") % 3 == 0)
+    near1 = thirds.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"),
+                 F.lit(" extra trailing words appended")).alias("text"))
+    near2 = thirds.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"),
+                 F.lit(" extra trailing words appended more"))
+         .alias("text"))
+    corpus = base.unionByName(near1).unionByName(near2)
+    pairs = minhash_dedup_pairs(corpus, threshold=0.5,
+                                num_hashes=32, bands=16)
+    clusters = neardup_clusters(corpus.select("doc_id"), pairs)
+    return cluster_representatives(corpus, clusters)
+
+
+_JSONL_SHARDS = 4
+
+
+def _jsonl_stage_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"jsonl_stage_{tag}")
+
+
+def _stage_jsonl_fixtures(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic gzipped-JSONL shards from the documents table
+    (doc_id % shards, doc_id order within a shard) with ONE malformed
+    line injected per shard — the real-corpus condition the ingest's
+    PERMISSIVE-mode hygiene exists for. Idempotent per sf_dir."""
+    import gzip
+    import json as _json
+    import os
+    import shutil
+
+    out_dir = _jsonl_stage_dir(sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    rows = sorted(
+        (r["doc_id"], r["lang"], r["source"], r["text"]) for r in
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "text").collect())
+    shards: list[list[str]] = [["{this is not json"]
+                               for _ in range(_JSONL_SHARDS)]
+    for doc_id, lang, source, text in rows:
+        shards[doc_id % _JSONL_SHARDS].append(_json.dumps(
+            {"doc_id": doc_id, "lang": lang, "source": source,
+             "text": text}, sort_keys=True, ensure_ascii=False))
+    for i, lines in enumerate(shards):
+        path = os.path.join(out_dir, f"shard-{i}.jsonl.gz")
+        with gzip.GzipFile(path, "wb", mtime=0) as fh:
+            fh.write(("\n".join(lines) + "\n").encode("utf-8"))
+    return out_dir
+
+
+@query(
+    "jsonl_gz_ingest",
+    oracle="""
+    SELECT doc_id, lang, source, text AS main_text,
+           length(text)::BIGINT AS span_end
+    FROM documents
+    """)
+def jsonl_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped-JSONL ingestion end to end (sources/jsonl.py): the
+    documents table staged as 4 .jsonl.gz shards each led by a
+    malformed line, read back with an explicit schema in PERMISSIVE
+    mode (corrupt lines dropped via the required-column null check —
+    never a full-corpus inferSchema pass), and the payloads run the
+    REAL extraction pipeline. The oracle predicts every field from
+    the documents table alone, so the gzip round-trip, the JSON
+    parse, the corrupt-line hygiene (row count would be off by 4
+    otherwise) and the extractor are all on the hook at once."""
+    from ..sources.jsonl import read_jsonl
+    stage = _stage_jsonl_fixtures(spark, sf_dir)
+    docs = read_jsonl(
+        spark, f"{stage}/*.jsonl.gz",
+        "doc_id BIGINT, lang STRING, source STRING, text STRING",
+        required_col="doc_id")
+    meta = docs.select("doc_id", "lang", "source")
+    out = _run_extraction(_docs_as_turns(docs, F.col("text")))
+    return (out.join(F.broadcast(meta), "doc_id")
+            .select("doc_id", "lang", "source", "main_text",
+                    F.expr("spans[0].end").alias("span_end")))
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, e.event_id AS err_id,
+           epoch_us(c.ts) AS click_us, epoch_us(e.ts) AS err_us
+    FROM events c JOIN events e ON c.user_id = e.user_id
+    WHERE c.event_type = 'click' AND e.event_type = 'error'
+      AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+    """)
+def streaming_interval_join(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (streaming/stream.py
+    start_interval_join): clicks and errors arrive as two independent
+    file streams (two chronological waves each, maxFilesPerTrigger=1
+    => cross-micro-batch matches go through the join state store),
+    paired per user within 30 minutes. Both sides are watermarked and
+    the join condition bounds event time on both sides — the
+    combination that lets Spark evict join state instead of buffering
+    both streams forever. The oracle is the equivalent BATCH interval
+    join: streaming and batch must agree pair-for-pair."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.stream import start_interval_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("l_id"), "user_id",
+                      F.col("ts").alias("l_ts")))
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("r_id"), "user_id",
+                      F.col("ts").alias("r_ts")))
+    mid = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    base = tempfile.mkdtemp(prefix="stream_ivj_q_")
+    try:
+        dirs = {}
+        for side, df, ts in (("l", clicks, "l_ts"),
+                             ("r", errors, "r_ts")):
+            in_dir = os.path.join(base, f"in_{side}")
+            os.makedirs(in_dir)
+            waves = [df.filter(F.col(ts) < mid),
+                     df.filter(F.col(ts) >= mid)]
+            for name, wave in zip(("a", "b"), waves):
+                stage = os.path.join(base, f"stage_{side}_{name}")
+                wave.coalesce(1).write.mode("overwrite").parquet(stage)
+                for i, f in enumerate(sorted(os.listdir(stage))):
+                    if f.endswith(".parquet"):
+                        shutil.move(
+                            os.path.join(stage, f),
+                            os.path.join(in_dir,
+                                         f"{name}-{i}.parquet"))
+            dirs[side] = in_dir
+        l_stream = (spark.readStream
+                    .schema("l_id BIGINT, user_id BIGINT,"
+                            " l_ts TIMESTAMP")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(dirs["l"]))
+        r_stream = (spark.readStream
+                    .schema("r_id BIGINT, user_id BIGINT,"
+                            " r_ts TIMESTAMP")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(dirs["r"]))
+        q = start_interval_join(
+            l_stream, r_stream, os.path.join(base, "out"),
+            os.path.join(base, "ckpt"), within_sec=1800)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("interval-join drain did not finish"
+                               " in 600 s")
+        rows = (spark.read.parquet(os.path.join(base, "out"))
+                .select("user_id", F.col("l_id").alias("click_id"),
+                        F.col("r_id").alias("err_id"),
+                        F.col("l_us").alias("click_us"),
+                        F.col("r_us").alias("err_us"))
+                .collect())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id BIGINT, click_id BIGINT, err_id BIGINT,"
+              " click_us BIGINT, err_us BIGINT")
+
+
+@query(
+    "table_branch_write",
+    oracle="""
+    SELECT doc_id, length(text)::BIGINT AS n_chars,
+           CASE WHEN doc_id < 300 THEN 'base' ELSE 'audit' END AS wave
+    FROM documents WHERE doc_id < 400
+    """)
+def table_branch_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch refs end to end (engine/tables.py branch section): base
+    commit to main, an audit wave appended UNDER A BRANCH (main
+    readers keep the pre-branch state — asserted in-query), then
+    fast_forward publishes the branch to main — the write-audit-
+    publish pattern with a mutable ref instead of tag juggling.
+    Isolation rides per-file sequence scoping, so the branch read and
+    the pinned main read are both exact. The returned frame is the
+    post-publish main state; the oracle predicts it from the
+    documents table."""
+    import shutil
+    import tempfile
+
+    from .tables import IcebergLike
+    base = tempfile.mkdtemp(prefix="table_branch_q_")
+    try:
+        t = IcebergLike(base)
+        t.write(_offset_parts(_docs_kv(spark, sf_dir, 0, 300), 0))
+        t.create_branch("audit")
+        t.write_to_branch(
+            "audit", _offset_parts(_docs_kv(spark, sf_dir, 300, 400), 4))
+        main_n = t.read(spark).count()
+        br_n = t.read(spark, branch="audit").count()
+        if main_n != 300 or br_n != 400:
+            raise RuntimeError(
+                f"branch isolation broken: main={main_n} branch={br_n}")
+        t.fast_forward("audit")
+        if t.branches() or t._main_pin() is not None:
+            raise RuntimeError("fast_forward left refs behind")
+        rows = (t.read(spark)
+                .select("doc_id", "n_chars",
+                        F.when(F.col("doc_id") < 300, "base")
+                         .otherwise("audit").alias("wave"))
+                .collect())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, n_chars long, wave string")

@@ -265,3 +265,53 @@ def start_cdc_upsert(updates_stream: DataFrame, table, key_cols,
 
     return start_foreach_batch(updates_stream, checkpoint_dir, _apply,
                                available_now)
+
+
+def start_interval_join(left_stream: DataFrame, right_stream: DataFrame,
+                        out_dir: str, checkpoint_dir: str,
+                        key: str = "user_id", within_sec: int = 1800,
+                        watermark_delay: str = "0 seconds",
+                        available_now: bool = True):
+    """Watermarked STREAM-STREAM interval join: pair each left event
+    with every right event of the same key whose timestamp falls in
+    ``[l_ts, l_ts + within_sec]`` — the click->error correlation /
+    request->response pairing pattern, where BOTH sides arrive as
+    unbounded streams and neither can be staged as a static table.
+
+    Both inputs carry a watermark and the join condition bounds event
+    time on both sides, which is what lets Spark EVICT state: a left
+    row is dropped from the store once the global watermark (min of
+    both inputs) passes ``l_ts + within_sec`` — without the time
+    bound, stream-stream state grows forever. Inner join in append
+    mode emits a pair in the micro-batch where the second side
+    arrives; with chronologically-split input waves (each wave's min
+    ts >= the previous wave's max) a ``0 seconds`` delay loses
+    nothing: by the time eviction can touch a left row, every right
+    row that could match it has already been seen (the same argument
+    as ``start_session_rollup``'s wave safety). State is bounded by
+    ``within_sec`` x arrival rate per key.
+
+    Expects columns (``l_id``, ``key``, ``l_ts``) / (``r_id``,
+    ``key``, ``r_ts``). Output: (key, l_id, r_id, l_us, r_us).
+    """
+    from pyspark.sql import functions as F
+    l = left_stream.withWatermark("l_ts", watermark_delay)
+    r = right_stream.withWatermark("r_ts", watermark_delay)
+    joined = (l.join(
+        r,
+        (l[key] == r[key])
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts")
+           + F.expr(f"INTERVAL {int(within_sec)} SECONDS")),
+        "inner")
+        .select(l[key].alias(key), "l_id", "r_id",
+                F.unix_micros("l_ts").alias("l_us"),
+                F.unix_micros("r_ts").alias("r_us")))
+    writer = (joined.writeStream
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
