@@ -101,6 +101,9 @@ _PRIORITY = [
     "jsonl_gz_ingest", "dedup_cluster_representative",
     "curriculum_order", "metrics_rollup_cube",
     "events_pivot_by_type", "events_trailing_window",
+    # -- new in round 5, third wave (2): dense global row numbering
+    #    without a global window, metadata-only manifest aggregates
+    "global_row_ids", "table_stats_agg",
     # -- streaming/stateful family (6)
     "streaming_extract_availablenow", "streaming_ttl_cache",
     "streaming_review_wait", "streaming_dedup_incremental",

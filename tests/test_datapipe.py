@@ -1283,3 +1283,17 @@ def test_dq_single_pass_plan(spark):
     ])._jdf.queryExecution().executedPlan().toString())
     assert p.count("Scan parquet") == 1, p[:3000]
     assert "Join" not in p
+
+
+def test_with_global_ids_dense_and_order(spark):
+    from textract_demo_spark.datapipe.splits import with_global_ids
+    import pyspark.sql.functions as F
+    docs = (spark.range(0, 500)
+            .select((F.col("id") * 7919 % 100003).alias("k")))
+    out = with_global_ids(docs, order_col="k", buckets=7)
+    rows = sorted((r["k"], r["global_id"]) for r in out.collect())
+    assert [g for _, g in rows] == list(range(500))  # dense, in order
+    # single bucket degenerates gracefully
+    one = with_global_ids(docs, order_col="k", buckets=1)
+    rows1 = sorted((r["k"], r["global_id"]) for r in one.collect())
+    assert rows1 == rows

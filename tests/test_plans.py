@@ -993,3 +993,16 @@ def test_trailing_window_range_frame_single_exchange(spark):
     assert "RangeFrame" in p, p[:3000]
     assert "RowFrame" not in p, p[:3000]
     assert p.count("Exchange") == 1, p[:3000]
+
+
+def test_global_ids_no_single_partition_window(spark):
+    """Global row numbering must be the rank-locally/offset-globally
+    shape: NO single-partition exchange anywhere (the naive global
+    row_number funnels the corpus through one task), the window
+    partitioned by the bucket column, offsets joined broadcast."""
+    from textract_demo_spark.datapipe.splits import with_global_ids
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    p = plan(with_global_ids(docs, buckets=8))
+    assert "Exchange SinglePartition" not in p, p[:3000]
+    assert "BroadcastHashJoin" in p, p[:3000]
+    assert "Window [row_number" in p and "_gb" in p, p[:3000]

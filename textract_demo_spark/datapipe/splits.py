@@ -324,3 +324,70 @@ def with_curriculum_stage(docs: DataFrame,
                         else F.format_string(
                             "%016x", F.xxhash64(F.expr(keyed))))
             .drop(*[f"_q{i}" for i in range(len(qs))]))
+
+
+def with_global_ids(df: DataFrame, order_col: str = "doc_id",
+                    buckets: int = 32,
+                    id_col: str = "global_id") -> DataFrame:
+    """Dense global sequence ``0..n-1`` in the total order of
+    ``order_col`` (must be unique) — the "number every document"
+    step behind shard-offset manifests, sample-index files and
+    id-compaction, and the textbook case where the naive spelling
+    (``row_number() OVER (ORDER BY k)``) funnels the ENTIRE corpus
+    through one window partition.
+
+    Scale shape — rank locally, offset globally:
+
+    1. bucket boundaries = exact percentiles of ``order_col`` (ONE
+       tiny aggregate producing ``buckets-1`` doubles); assignment is
+       then a narrow sum-of-compares, so equal plans on any
+       partitioning produce identical buckets (no RangePartitioner
+       sampling nondeterminism);
+    2. per-bucket counts = one ``buckets``-row aggregate collected to
+       the driver (driver-small by construction) and prefix-summed
+       into offsets — broadcast back as a dim join;
+    3. within-bucket rank = ``row_number`` partitioned BY BUCKET, so
+       the sort parallelizes across buckets; ``id = offset + rank-1``.
+
+    The ids are EXACTLY the global rank regardless of where the
+    boundaries fall (counts are measured from the actual assignment,
+    and every row in bucket b orders after all of b-1), so boundary
+    skew costs balance, never correctness. ``buckets`` is the
+    parallelism/memory knob: size it so n/buckets rows sort in one
+    task (e.g. 4096 buckets at 10^12 rows -> 244M rows/task; raise it
+    with the corpus).
+
+    Output: input columns + ``id_col`` (BIGINT, 0-based).
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    from pyspark.sql import Window
+    qs = [i / buckets for i in range(1, buckets)]
+    if qs:
+        row = df.agg(*[
+            F.expr(f"percentile({order_col}, {q})").alias(f"_q{i}")
+            for i, q in enumerate(qs)]).collect()[0]
+        bounds = [row[f"_q{i}"] for i in range(len(qs))]
+        bexpr = F.lit(0).cast("long")
+        for b in bounds:
+            bexpr = bexpr + F.when(F.col(order_col) > F.lit(b),
+                                   1).otherwise(0)
+    else:
+        bexpr = F.lit(0).cast("long")
+    bucketed = df.withColumn("_gb", bexpr.cast("long"))
+    counts = {r["_gb"]: r["cnt"] for r in
+              bucketed.groupBy("_gb")
+              .agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += counts[b]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_gb long, _goff long")
+    w = Window.partitionBy("_gb").orderBy(F.col(order_col).asc())
+    return (bucketed
+            .join(F.broadcast(off_df), "_gb")
+            .withColumn(id_col,
+                        (F.col("_goff") + F.row_number().over(w)
+                         - F.lit(1)).cast("long"))
+            .drop("_gb", "_goff"))

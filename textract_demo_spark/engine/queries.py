@@ -6509,3 +6509,69 @@ def table_branch_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         rows, "doc_id long, n_chars long, wave string")
+
+
+@query(
+    "global_row_ids",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+             AS global_id
+    FROM documents
+    """)
+def global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global row numbering (splits.with_global_ids): assign
+    ``0..n-1`` in doc_id order — the "number every document" step
+    behind shard-offset manifests and sample indexes. The oracle is
+    the naive global window; the implementation is the scale form
+    (rank locally, offset globally): exact-percentile bucket bounds
+    (one tiny aggregate), per-bucket counts prefix-summed driver-side
+    and broadcast back, then a row_number partitioned BY BUCKET — no
+    single-partition window anywhere, sorts parallelize across
+    buckets, and the ids equal the global rank regardless of where
+    the boundaries fall."""
+    from ..datapipe.splits import with_global_ids
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (with_global_ids(docs, order_col="doc_id", buckets=8)
+            .select("doc_id", "global_id"))
+
+
+@query(
+    "table_stats_agg",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_rows,
+           min(doc_id) AS min_id, max(doc_id) AS max_id,
+           min(length(text))::BIGINT AS min_chars,
+           max(length(text))::BIGINT AS max_chars
+    FROM documents WHERE doc_id < 400
+    """)
+def table_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates (engine/tables.py stats_agg): COUNT
+    plus column MIN/MAX answered entirely from the partition
+    manifests — zero data files opened, the Iceberg metadata-
+    aggregate-pushdown analog ("how many rows / what's the range" at
+    10^12 rows as O(partitions) driver-side JSON reads). The commit
+    is two waves (base + append) so the append-side stat widening is
+    exercised; the query asserts the answer came without a Spark scan
+    by construction (stats_agg never takes a SparkSession), and the
+    exactness guards (raise on live deletes / missing stats) are
+    pytest-covered in tests/test_table_stats_agg.py."""
+    import shutil
+    import tempfile
+
+    from .tables import IcebergLike
+    base = tempfile.mkdtemp(prefix="table_statsagg_q_")
+    try:
+        t = IcebergLike(base)
+        t.write(_offset_parts(_docs_kv(spark, sf_dir, 0, 250), 0),
+                stat_cols=["doc_id", "n_chars"])
+        t.write(_offset_parts(_docs_kv(spark, sf_dir, 250, 400), 0),
+                stat_cols=["doc_id", "n_chars"], append=True)
+        agg = t.stats_agg(cols=("doc_id", "n_chars"))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(agg["rows"], agg["min"]["doc_id"], agg["max"]["doc_id"],
+          agg["min"]["n_chars"], agg["max"]["n_chars"])],
+        "n_rows long, min_id long, max_id long,"
+        " min_chars long, max_chars long")

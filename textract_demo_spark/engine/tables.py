@@ -1280,6 +1280,64 @@ class IcebergLike:
                 if os.path.exists(mp):
                     os.remove(mp)
 
+    def stats_agg(self, cols: tuple[str, ...] = ()) -> dict:
+        """Metadata-only aggregates — ``COUNT(*)`` plus per-column
+        MIN/MAX answered ENTIRELY from the partition manifests, zero
+        data files opened (the Iceberg metadata-aggregate-pushdown
+        analog: at 10^12 rows "how many rows / what's the ts range"
+        should cost O(partitions) driver-side JSON reads, not a scan).
+
+        Exactness is proven, not assumed — raises when the metadata
+        cannot answer exactly:
+
+        - any live delete (equality or position) snapshot exists:
+          manifest row counts predate merge-on-read tombstones
+          (``materialize_deletes`` folds them in and restores
+          answerability);
+        - a diverged branch pins main: the newest manifests include
+          branch-only files, so counts would leak unpublished rows;
+        - a partition lacks a ``rows`` metric, or a requested column
+          lacks min/max stats in some partition (appends without
+          stat_cols widen-to-unknown rather than lie — same
+          conservative rule as ``read_where`` pruning).
+
+        Returns ``{"rows": n, "min": {col: v}, "max": {col: v}}``.
+        """
+        if self._delete_snapshots() or self._pos_delete_snapshots():
+            raise ValueError(
+                "live delete files make manifest counts stale —"
+                " materialize_deletes() first")
+        if self._main_pin() is not None:
+            raise ValueError(
+                "main is pinned behind a branch: metadata includes"
+                " unpublished branch rows — fast_forward or drop the"
+                " branch first")
+        total = 0
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        for k in sorted(self.committed_keys()):
+            m = self.manifest(k) or {}
+            rows = (m.get("metrics") or {}).get("rows")
+            if not isinstance(rows, int):
+                raise ValueError(
+                    f"partition {k} has no exact row metric")
+            total += rows
+            if rows == 0:
+                continue
+            cs = m.get("col_stats") or {}
+            for c in cols:
+                st = cs.get(c)
+                if (st is None or st.get("min") is None
+                        or st.get("max") is None):
+                    raise ValueError(
+                        f"partition {k} lacks min/max stats for"
+                        f" {c!r} — cannot answer exactly")
+                if c not in mins or st["min"] < mins[c]:
+                    mins[c] = st["min"]
+                if c not in maxs or st["max"] > maxs[c]:
+                    maxs[c] = st["max"]
+        return {"rows": total, "min": mins, "max": maxs}
+
     def expire_snapshots(self, keep_last: int = 10) -> dict:
         """Drop snapshot metadata older than the newest ``keep_last``
         (the Iceberg ``expire_snapshots`` analog: time-travel history
@@ -2041,6 +2099,23 @@ class IcebergLike:
                     "data_snapshot_id": snap_id,
                     "deletes_materialized_by": run_id,
                 })
+                # rows shrank: recompute the exact row metric and the
+                # tracked column bounds from the survivors (same
+                # per-touched-partition agg as rollback) — a stale
+                # count/min/max here would silently corrupt
+                # metadata-only answers (stats_agg) after the purge
+                stat_cols = sorted((m.get("col_stats") or {}).keys())
+                aggs = [F.count(F.lit(1)).alias("_rows")]
+                for c in stat_cols:
+                    aggs += [F.min(c).alias(f"_mn_{c}"),
+                             F.max(c).alias(f"_mx_{c}")]
+                r = spark.read.parquet(dst).agg(*aggs).collect()[0]
+                m["metrics"] = {**(m.get("metrics") or {}),
+                                "rows": r["_rows"]}
+                if stat_cols:
+                    m["col_stats"] = {c: {"min": r[f"_mn_{c}"],
+                                          "max": r[f"_mx_{c}"]}
+                                      for c in stat_cols}
                 self._refresh_file_stats(m, dst, files)
                 self._write_json_atomic(
                     os.path.join(self.manifest_dir,
