@@ -787,6 +787,89 @@ def main() -> None:
         " position in pre-existing files).",
         formatted(ptbl.read(spark))))
 
+    from textract_demo_spark.datapipe.dedup import cluster_representatives
+    docs2 = docs.select("doc_id", "text")
+    clu = docs2.select("doc_id",
+                       (F.col("doc_id") % 10).alias("cluster_id"))
+    sections.append((
+        "Cluster representative selection (keep-one-per-cluster)",
+        "The corpus-shrinking step after near-dup cluster formation:"
+        " max_by over an orderable (len, -id) struct folds the"
+        " longest-text-wins/min-id-tiebreak pick into the SAME"
+        " partial/final aggregate that counts members — no Window"
+        " node, one cluster-keyed exchange, and map-side partials"
+        " forward one candidate row per cluster per task. A"
+        " row_number spelling cannot take the WindowGroupLimit"
+        " shortcut here (the rank feeds an aggregate, not a rk<=k"
+        " filter) and would push every member row through the"
+        " exchange.",
+        formatted(cluster_representatives(docs2, clu))))
+
+    from textract_demo_spark.datapipe.splits import with_curriculum_stage
+    sections.append((
+        "Curriculum staging (broadcast exact quartiles, no NTILE)",
+        "Difficulty-stage assignment for curriculum schedules: the"
+        " per-group stage boundaries are ONE tiny exact-percentile"
+        " aggregate (k doubles per group) joined back broadcast, so"
+        " the corpus itself never shuffles — an NTILE window would"
+        " funnel it through a handful of window partitions. Stage"
+        " compare and the within-stage shuffle key (salted hash of"
+        " the id) are pure narrow whole-stage-codegen expressions,"
+        " reproducible across runs, engines, and partitionings.",
+        formatted(with_curriculum_stage(docs))))
+
+    sections.append((
+        "Grouping-set metrics (ROLLUP via Expand)",
+        "The multi-granularity corpus report — per (source, lang),"
+        " per source, grand total — as ONE scan + Expand + partial-"
+        "aggregated exchange: Expand replicates each row once per"
+        " grouping set BEFORE the partial aggregate collapses them"
+        " map-side, so N granularities never become N scans or a"
+        " union; grouping_id() disambiguates subtotal rows from real"
+        " NULL groups.",
+        formatted(QUERIES["metrics_rollup_cube"](spark, SF))))
+
+    sections.append((
+        "Trailing event-time RANGE-frame window",
+        "'Activity in the last hour as of each event': a value-based"
+        " RANGE frame over epoch micros (ties share a frame, gaps"
+        " shrink it — a ROWS frame gets both wrong) evaluated in one"
+        " sorted pass per key after a single exchange on the"
+        " high-cardinality user key.",
+        formatted(QUERIES["events_trailing_window"](spark, SF))))
+
+    from textract_demo_spark.datapipe.skew import salted_skew_join
+    ev_f = spark.read.parquet(f"{SF}/events.parquet")
+    sections.append((
+        "Salt-replication skew join (hot key x non-broadcastable dim)",
+        "One hot join key lands on ONE reducer and the stage runs at"
+        " straggler speed; AQE can split oversized sort-merge"
+        " partitions but not a single hot KEY GROUP. The explicit"
+        " fix: the fact side salts deterministically from a unique"
+        " column (never rand() — replay-safe), the dim side"
+        " replicates salt-fold via explode(sequence), and the join"
+        " keys on (key, _salt) — visible in the plan as BOTH"
+        " exchanges hashpartitioning on the pair, spreading the hot"
+        " key over salt reducers at a bounded salt x |dim| cost.",
+        formatted(salted_skew_join(
+            ev_f.select("event_id", "user_id"),
+            ev_f.groupBy("user_id").agg(F.count("*").alias("n_ev")),
+            on="user_id", unique_col="event_id", salt=8))))
+
+    from textract_demo_spark.datapipe.splits import with_global_ids
+    sections.append((
+        "Dense global row numbering (rank locally, offset globally)",
+        "The 'number every document' step, and the textbook case"
+        " where the naive row_number() OVER (ORDER BY k) funnels the"
+        " corpus through ONE window partition. Here: exact-percentile"
+        " bucket bounds (one tiny aggregate, deterministic — no"
+        " RangePartitioner sampling), per-bucket counts prefix-summed"
+        " driver-side and joined back broadcast, then row_number"
+        " partitioned BY BUCKET — no Exchange SinglePartition"
+        " anywhere, sorts parallelize across buckets, and the ids"
+        " equal the global rank wherever the boundaries fall.",
+        formatted(with_global_ids(docs.select("doc_id"), buckets=8))))
+
     staged = with_part_key(out, 8).hint("rebalance", F.col(PART_COL))
     sections.append((
         "Commit staging write input (REBALANCE on the table partition"

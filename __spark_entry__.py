@@ -101,9 +101,10 @@ _PRIORITY = [
     "jsonl_gz_ingest", "dedup_cluster_representative",
     "curriculum_order", "metrics_rollup_cube",
     "events_pivot_by_type", "events_trailing_window",
-    # -- new in round 5, third wave (2): dense global row numbering
-    #    without a global window, metadata-only manifest aggregates
-    "global_row_ids", "table_stats_agg",
+    # -- new in round 5, third wave (3): dense global row numbering
+    #    without a global window, metadata-only manifest aggregates,
+    #    salt-replication skew join
+    "global_row_ids", "table_stats_agg", "skew_salted_join",
     # -- streaming/stateful family (6)
     "streaming_extract_availablenow", "streaming_ttl_cache",
     "streaming_review_wait", "streaming_dedup_incremental",

@@ -98,6 +98,16 @@ BENCH_QUERIES = [
     # footer-stats skipping (round-5)
     "sketch_theta_setops", "table_hidden_partitioning",
     "table_file_skipping", "table_bloom_skipping",
+    # round-5 second wave: branch refs, stream-stream interval join,
+    # JSONL ingest, cluster reps, curriculum, grouping sets, pivot,
+    # trailing RANGE window
+    "table_branch_write", "streaming_interval_join",
+    "jsonl_gz_ingest", "dedup_cluster_representative",
+    "curriculum_order", "metrics_rollup_cube",
+    "events_pivot_by_type", "events_trailing_window",
+    # round-5 third wave: global numbering, metadata-only
+    # aggregates, salt-replication skew join
+    "global_row_ids", "table_stats_agg", "skew_salted_join",
     # skew_salted_extract is deliberately NOT here: at sf0.1 it
     # extracts a 10^6-turn hot conversation (a stress run, not a
     # suite row — BENCH/run_skew_probe.py records its histograms)

@@ -95,7 +95,8 @@ def test_driver_window_covers_priority_queries():
         "dedup_star_clusters", "search_bm25_topk",
         "search_hybrid_rrf", "pagerank_topk", "hits_topk",
         "events_point_in_session", "dsir_importance",
-        "quality_gate_learned", "multimodal_real_decode"}
+        "quality_gate_learned", "multimodal_real_decode",
+        "skew_salted_extract"}
     assert set(overflow) <= r04_green, (
         "only r04-green queries may sit past the driver window")
     oracle_names = list(ORACLES)

@@ -1006,3 +1006,22 @@ def test_global_ids_no_single_partition_window(spark):
     assert "Exchange SinglePartition" not in p, p[:3000]
     assert "BroadcastHashJoin" in p, p[:3000]
     assert "Window [row_number" in p and "_gb" in p, p[:3000]
+
+
+def test_salted_join_spreads_key_and_salt(spark):
+    """The salted join must exchange BOTH sides on (key, _salt) —
+    that pair appearing in the hashpartitioning is exactly what
+    spreads a hot key over salt reducers — and must not silently
+    collapse to a broadcast (no shuffle to defuse) or a cartesian."""
+    from textract_demo_spark.datapipe.skew import salted_skew_join
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    fact = ev.select("event_id", "user_id")
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("n_ev"))
+    p = plan(salted_skew_join(fact, dim, on="user_id",
+                              unique_col="event_id", salt=8))
+    import re
+    keys = re.findall(r"Exchange hashpartitioning\(user_id#\d+L?,"
+                      r" _salt#\d+", p)
+    assert keys, p[:3000]
+    assert "BroadcastHashJoin" not in p.split("Exchange")[0], p[:1500]
+    assert "CartesianProduct" not in p

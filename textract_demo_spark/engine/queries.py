@@ -6575,3 +6575,31 @@ def table_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
           agg["min"]["n_chars"], agg["max"]["n_chars"])],
         "n_rows long, min_id long, max_id long,"
         " min_chars long, max_chars long")
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.n_ev
+    FROM events e
+    JOIN (SELECT user_id, count(*)::BIGINT AS n_ev
+          FROM events GROUP BY user_id) c USING (user_id)
+    """)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replication join (datapipe/skew.py salted_skew_join): a
+    fact stream joined to a per-key dimension with the join key
+    salted ``(key, _salt)`` so one hot key spreads over ``salt``
+    reducers — the explicit fix when AQE can't split a single hot
+    key group and the dim is too big to broadcast. The salt derives
+    from a unique fact column (deterministic, replay-safe — never
+    rand()); the dim replicates salt-fold via explode(sequence), so
+    every fact row meets its dim row exactly once. Result is
+    salt-invariant; the oracle is the plain unsalted join."""
+    from ..datapipe.skew import salted_skew_join
+    ev = _t(spark, sf_dir, "events")
+    fact = ev.select("event_id", "user_id")
+    dim = (ev.groupBy("user_id")
+           .agg(F.count("*").cast("long").alias("n_ev")))
+    return (salted_skew_join(fact, dim, on="user_id",
+                             unique_col="event_id", salt=8)
+            .select("event_id", "user_id", "n_ev"))
