@@ -101,10 +101,12 @@ _PRIORITY = [
     "jsonl_gz_ingest", "dedup_cluster_representative",
     "curriculum_order", "metrics_rollup_cube",
     "events_pivot_by_type", "events_trailing_window",
-    # -- new in round 5, third wave (3): dense global row numbering
+    # -- new in round 5, third wave (5): dense global row numbering
     #    without a global window, metadata-only manifest aggregates,
-    #    salt-replication skew join
+    #    salt-replication skew join, VARIANT JSON-path extraction,
+    #    bounded-state in-stream dedup
     "global_row_ids", "table_stats_agg", "skew_salted_join",
+    "events_json_props", "streaming_dedup_watermark",
     # -- streaming/stateful family (6)
     "streaming_extract_availablenow", "streaming_ttl_cache",
     "streaming_review_wait", "streaming_dedup_incremental",

@@ -106,8 +106,10 @@ BENCH_QUERIES = [
     "curriculum_order", "metrics_rollup_cube",
     "events_pivot_by_type", "events_trailing_window",
     # round-5 third wave: global numbering, metadata-only
-    # aggregates, salt-replication skew join
+    # aggregates, salt-replication skew join, VARIANT JSON paths,
+    # bounded-state in-stream dedup
     "global_row_ids", "table_stats_agg", "skew_salted_join",
+    "events_json_props", "streaming_dedup_watermark",
     # skew_salted_extract is deliberately NOT here: at sf0.1 it
     # extracts a 10^6-turn hot conversation (a stress run, not a
     # suite row — BENCH/run_skew_probe.py records its histograms)

@@ -96,7 +96,8 @@ def test_driver_window_covers_priority_queries():
         "search_hybrid_rrf", "pagerank_topk", "hits_topk",
         "events_point_in_session", "dsir_importance",
         "quality_gate_learned", "multimodal_real_decode",
-        "skew_salted_extract"}
+        "skew_salted_extract", "extract_pdf_multipage",
+        "warc_ingest_extract"}
     assert set(overflow) <= r04_green, (
         "only r04-green queries may sit past the driver window")
     oracle_names = list(ORACLES)

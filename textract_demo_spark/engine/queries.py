@@ -6603,3 +6603,94 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (salted_skew_join(fact, dim, on="user_id",
                              unique_col="event_id", salt=8)
             .select("event_id", "user_id", "n_ev"))
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT
+             AS sum_k,
+           max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction via the VARIANT type
+    (Spark 4): ``parse_json`` shreds the JSON props column once into
+    a binary variant and ``variant_get`` pulls typed paths out —
+    JVM-side, no Python, no schema declared up front (schema-on-read
+    for the long tail of event properties, where a full
+    ``from_json`` struct schema would need every key enumerated and
+    an ``inferSchema`` pass is off the table at 10^12 rows). The
+    aggregate is one partial-aggregated exchange on event_type; the
+    oracle replays the same paths with DuckDB's JSON extraction."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 F.max("k").alias("max_k")))
+
+
+@query(
+    "streaming_dedup_watermark",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+    FROM events
+    """)
+def streaming_dedup_watermark(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Native in-stream exact dedup (streaming/stream.py
+    start_dedup_within_watermark): the events table arrives as two
+    micro-batches — the full wave, then the SAME wave again (the
+    at-least-once redelivery pattern: replayed offsets, retried file
+    drops). ``dropDuplicatesWithinWatermark`` keeps each event_id's
+    first arrival and drops the replay via keyed state that the
+    watermark evicts after the delay horizon — bounded state, unlike
+    a plain stream dropDuplicates. The delay spans the whole fixture
+    window so every replayed row is provably dropped by STATE
+    matching, not by late-data discard. Oracle: the batch table
+    itself (exactly one copy per event)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.stream import start_dedup_within_watermark
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id",
+                  F.col("ts").cast("timestamp").alias("ts"),
+                  "event_type"))
+    base = tempfile.mkdtemp(prefix="stream_dedupwm_q_")
+    try:
+        in_dir = os.path.join(base, "in")
+        os.makedirs(in_dir)
+        for name in ("a", "b"):  # b replays a verbatim
+            stage = os.path.join(base, f"stage_{name}")
+            ev.coalesce(1).write.mode("overwrite").parquet(stage)
+            for i, f in enumerate(sorted(os.listdir(stage))):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(stage, f),
+                                os.path.join(in_dir,
+                                             f"{name}-{i}.parquet"))
+        stream = (spark.readStream
+                  .schema("event_id BIGINT, user_id BIGINT,"
+                          " ts TIMESTAMP, event_type STRING")
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        q = start_dedup_within_watermark(
+            stream, os.path.join(base, "out"),
+            os.path.join(base, "ckpt"), keys=("event_id",),
+            delay="365 days")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("dedup stream drain did not finish"
+                               " in 600 s")
+        rows = (spark.read.parquet(os.path.join(base, "out"))
+                .select("event_id", "user_id",
+                        F.unix_micros("ts").alias("us"), "event_type")
+                .collect())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, us BIGINT,"
+              " event_type STRING")

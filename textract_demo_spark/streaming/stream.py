@@ -315,3 +315,39 @@ def start_interval_join(left_stream: DataFrame, right_stream: DataFrame,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_dedup_within_watermark(stream: DataFrame, out_dir: str,
+                                 checkpoint_dir: str,
+                                 keys=("event_id",),
+                                 ts_col: str = "ts",
+                                 delay: str = "30 days",
+                                 available_now: bool = True):
+    """Native in-stream exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per key
+    and drops later copies, evicting each key's state once the
+    watermark passes its event time + ``delay`` — the Spark-native
+    answer to at-least-once upstream delivery (replayed Kafka
+    offsets, retried file drops), where plain ``dropDuplicates`` on a
+    stream would grow state forever.
+
+    Contract: duplicates are only guaranteed caught while they arrive
+    within ``delay`` of the original's event time — size ``delay`` to
+    the upstream redelivery horizon, and state to (keys arriving per
+    ``delay`` window) x key width. Append mode emits each first
+    arrival in its own micro-batch (no aggregation, no emit latency).
+    Complements the foreachBatch frozen-index dedup
+    (``start_incremental_dedup``): that one dedups against a
+    PERSISTED corpus across runs; this one dedups WITHIN the stream's
+    redelivery window with zero external state.
+    """
+    deduped = (stream.withWatermark(ts_col, delay)
+               .dropDuplicatesWithinWatermark(list(keys)))
+    writer = (deduped.writeStream
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
