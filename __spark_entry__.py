@@ -107,6 +107,7 @@ _PRIORITY = [
     #    bounded-state in-stream dedup
     "global_row_ids", "table_stats_agg", "skew_salted_join",
     "events_json_props", "streaming_dedup_watermark",
+    "events_unpivot_metrics",
     # -- streaming/stateful family (6)
     "streaming_extract_availablenow", "streaming_ttl_cache",
     "streaming_review_wait", "streaming_dedup_incremental",

@@ -87,18 +87,24 @@ def test_driver_window_covers_priority_queries():
     assert names[:len(entrymod._PRIORITY)] == entrymod._PRIORITY
     assert len(entrymod._PRIORITY) >= 50
     overflow = entrymod._PRIORITY[50:]
-    # every name here holds a green (rows+schema+hash) row in
-    # CORRECTNESS_r04.json — verified before pinning
-    r04_green = {
-        "bpe_tokenize", "ann_ivf_topk", "semantic_dedup",
-        "pack_sequences", "multimodal_png_decode",
-        "dedup_star_clusters", "search_bm25_topk",
-        "search_hybrid_rrf", "pagerank_topk", "hits_topk",
-        "events_point_in_session", "dsir_importance",
-        "quality_gate_learned", "multimodal_real_decode",
-        "skew_salted_extract", "extract_pdf_multipage",
-        "warc_ingest_extract"}
-    assert set(overflow) <= r04_green, (
-        "only r04-green queries may sit past the driver window")
+    # every overflow name must hold a green (rows+schema+hash) row in
+    # a prior round's CORRECTNESS file — computed, not hand-pinned
+    import json
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prior_green: set[str] = set()
+    for fn in sorted(os.listdir(root)):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            with open(os.path.join(root, fn)) as fh:
+                rec = json.load(fh)
+            prior_green |= {
+                k for k, v in rec.items()
+                if isinstance(v, dict) and v.get("rows_match")
+                and v.get("schema_match") and v.get("hash_match")
+                and not v.get("err")}
+    not_proven = set(overflow) - prior_green
+    assert not not_proven, (
+        f"queries past the driver window without a prior green"
+        f" CORRECTNESS row: {sorted(not_proven)}")
     oracle_names = list(ORACLES)
     assert oracle_names == [n for n in names if n in ORACLES]

@@ -978,11 +978,14 @@ def test_rollup_single_expand_aggregate_no_join(spark):
 
 def test_pivot_single_aggregate_no_extra_scan(spark):
     """The explicit value list keeps the pivot a single grouped
-    aggregate over one scan — no distinct-values subplan, no join."""
+    aggregate over one scan — no distinct-values subplan, no join,
+    and exactly ONE exchange (the .pivot()/pivotfirst spelling would
+    add a (group, pivot)-keyed pre-aggregate exchange)."""
     from textract_demo_spark.engine.queries import QUERIES
     p = plan(QUERIES["events_pivot_by_type"](spark, SF))
     assert "Join" not in p
     assert p.count("Scan parquet") == 1, p[:3000]
+    assert p.count("Exchange") == 1, p[:3000]
 
 
 def test_trailing_window_range_frame_single_exchange(spark):
@@ -1025,3 +1028,23 @@ def test_salted_join_spreads_key_and_salt(spark):
     assert keys, p[:3000]
     assert "BroadcastHashJoin" not in p.split("Exchange")[0], p[:1500]
     assert "CartesianProduct" not in p
+
+
+def test_unpivot_is_expand_no_extra_exchange(spark):
+    """UNPIVOT must plan as Expand over the wide frame — one scan,
+    and no exchange beyond the pivot's single grouping exchange
+    (never a union of per-column scans)."""
+    from textract_demo_spark.engine.queries import QUERIES
+    p = plan(QUERIES["events_unpivot_metrics"](spark, SF))
+    assert "Expand" in p, p[:3000]
+    assert p.count("Scan parquet") == 1, p[:3000]
+    assert p.count("Exchange") == 1, p[:3000]
+
+
+def test_json_props_single_exchange_no_python(spark):
+    """VARIANT extraction is JVM-side: no Python eval node, one
+    partial-aggregated exchange on the grouping key."""
+    from textract_demo_spark.engine.queries import QUERIES
+    p = plan(QUERIES["events_json_props"](spark, SF))
+    assert "Python" not in p and "Arrow" not in p, p[:3000]
+    assert p.count("Exchange") == 1, p[:3000]

@@ -805,7 +805,7 @@ def test_read_where_conjunctive_multi_dim_pruning(spark, tmp_path):
     both = len(rep["partitions_pruned"])
     assert both >= max(single_x, single_y)
     assert both > min(single_x, single_y)  # the second dim helped
-    with pytest.raises(ValueError, match="at most one"):
+    with pytest.raises(ValueError, match="not both"):
         t.read_where(spark, "x", 0, 1, preds={"y": (0, 1)})
 
 
@@ -882,7 +882,7 @@ def test_read_where_composes_with_time_travel(spark, tmp_path):
     # equivalent to plain time travel + filter
     assert _ids(v1) == _ids(t.read(spark, tag="v1").filter(
         F.col("doc_id").between(100, 199)))
-    with pytest.raises(ValueError, match="at most one"):
+    with pytest.raises(ValueError, match="not both"):
         t.read_where(spark, "doc_id", 0, 1, snapshot_id=0, tag="v1")
 
 

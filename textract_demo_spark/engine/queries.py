@@ -6161,16 +6161,17 @@ def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts as columns. The explicit list matters at scale: without it
     Spark runs an extra distinct-values job over the corpus before it
     can even plan, and an unbounded type set yields an unbounded
-    schema. With it, the pivot is one partial-aggregated exchange on
-    the grouping key (the same plan as the FILTER-aggregate spelling
-    the oracle uses)."""
+    schema. Spelled as the conditional aggregate rather than
+    ``.pivot()``: Spark's pivotfirst plans TWO exchanges (a
+    (group, pivot)-keyed pre-aggregate, then the per-group
+    pivotfirst), while the conditional-aggregate form of the same
+    explicit-list pivot is ONE partial-aggregated exchange on the
+    grouping key straight off the scan — plan-gated."""
     ev = _t(spark, sf_dir, "events")
-    piv = (ev.groupBy("user_id")
-           .pivot("event_type", _EVENT_TYPES).count())
-    return piv.select(
-        "user_id",
-        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
-          for t in _EVENT_TYPES])
+    return (ev.groupBy("user_id")
+            .agg(*[F.count(F.when(F.col("event_type") == t, 1))
+                   .cast("long").alias(f"n_{t}")
+                   for t in _EVENT_TYPES]))
 
 
 @query(
@@ -6694,3 +6695,37 @@ def streaming_dedup_watermark(spark: SparkSession,
     return spark.createDataFrame(
         rows, "event_id BIGINT, user_id BIGINT, us BIGINT,"
               " event_type STRING")
+
+
+@query(
+    "events_unpivot_metrics",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t AS (SELECT unnest(['click','error','purchase','signup','view'])
+            AS event_type),
+    c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+          FROM events GROUP BY user_id, event_type)
+    SELECT u.user_id, t.event_type, coalesce(c.n, 0)::BIGINT AS n
+    FROM u CROSS JOIN t
+    LEFT JOIN c ON c.user_id = u.user_id
+              AND c.event_type = t.event_type
+    """)
+def events_unpivot_metrics(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT — the inverse of events_pivot_by_type,
+    the melt step that turns a metrics-as-columns report back into
+    tidy (key, metric, value) rows for downstream grouping. Spark's
+    ``unpivot`` plans as an Expand over the already-aggregated wide
+    frame: a narrow per-row replication, ZERO additional exchanges
+    beyond the pivot's one — never a UNION of per-column scans. The
+    dense zero rows (a user with no purchases emits n=0, not an
+    absent row) come out of the wide frame for free; the oracle has
+    to rebuild them with a users x types cross join."""
+    piv = QUERIES["events_pivot_by_type"](spark, sf_dir)
+    long = piv.unpivot(
+        ["user_id"], [f"n_{t}" for t in _EVENT_TYPES],
+        "event_type", "n")
+    return long.select(
+        "user_id",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        F.col("n").cast("long").alias("n"))
