@@ -101,10 +101,10 @@ _PRIORITY = [
     "jsonl_gz_ingest", "dedup_cluster_representative",
     "curriculum_order", "metrics_rollup_cube",
     "events_pivot_by_type", "events_trailing_window",
-    # -- new in round 5, third wave (5): dense global row numbering
+    # -- new in round 5, third wave (6): dense global row numbering
     #    without a global window, metadata-only manifest aggregates,
     #    salt-replication skew join, VARIANT JSON-path extraction,
-    #    bounded-state in-stream dedup
+    #    bounded-state in-stream dedup, wide-to-long UNPIVOT
     "global_row_ids", "table_stats_agg", "skew_salted_join",
     "events_json_props", "streaming_dedup_watermark",
     "events_unpivot_metrics",
