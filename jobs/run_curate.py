@@ -28,7 +28,9 @@ Stages (each stage's shuffle budget is the design constraint at
                      continuous-ingestion mode where re-running
                      all-pairs LSH per batch would be O(corpus)
 2. near-dup dedup    MinHash+LSH band join + connected components;
-                     keeps each cluster's min-id representative
+                     keeps each cluster's min-id representative (or
+                     its longest-text member with --rep-longest: one
+                     max_by aggregate, no window)
 2b. substring cap    corpus-wide duplicated k-token coverage per doc
                      (duplicated_spans / Lee et al.): docs that are
                      mostly text duplicated elsewhere are dropped —
@@ -83,6 +85,13 @@ Stages (each stage's shuffle budget is the design constraint at
                      the data, violations fail the run
 7. sequence packing  one shuffle of (id, n_tok) pairs; pack ids join
                      back onto the curated rows
+7b. curriculum       optional (--curriculum): difficulty stage from
+                     exact per-source token-count quartiles
+                     (broadcast bounds, no NTILE window) + a
+                     deterministic within-stage shuffle key
+7c. global ids       optional (--global-ids): dense 0..n-1 numbering
+                     in doc_id order without a global window
+                     (percentile buckets + prefix-summed offsets)
 
 Output: parquet partitioned by split, plus one JSON stats line on
 stdout (per-stage surviving row counts + wall time) — the lineage
@@ -190,6 +199,22 @@ def main() -> None:
                          " whose register lacks function words (logs,"
                          " code, tables) should pass 0-1")
     ap.add_argument("--jaccard", type=float, default=0.7)
+    ap.add_argument("--rep-longest", action="store_true",
+                    help="keep each near-dup cluster's LONGEST-text"
+                         " member (quality proxy, min-id tiebreak)"
+                         " instead of the min-id member — one max_by"
+                         " aggregate, no window"
+                         " (dedup.cluster_representatives)")
+    ap.add_argument("--curriculum", action="store_true",
+                    help="emit curriculum stage (per-source exact"
+                         " token-count quartiles, broadcast bounds)"
+                         " + deterministic within-stage shuffle_key"
+                         " on the curated rows"
+                         " (splits.with_curriculum_stage)")
+    ap.add_argument("--global-ids", action="store_true",
+                    help="number the curated corpus 0..n-1 in doc_id"
+                         " order without a global window"
+                         " (splits.with_global_ids)")
     ap.add_argument("--temperature-mix", action="store_true",
                     help="after the quality gate, down-sample domains"
                          " toward the T=2 temperature mix"
@@ -284,9 +309,28 @@ def main() -> None:
         stats["after_snapshot_dedup"] = d.count()
         release_cached(hits)
 
-    # 2. near-dup dedup: keep each cluster's min-id representative
+    # 2. near-dup dedup: keep one representative per cluster —
+    # min-id by default (cluster_id IS the min label after
+    # propagation, so the pick is a free filter), or the
+    # longest-text member with --rep-longest (quality proxy; one
+    # max_by aggregate over the clusters, dedup.cluster_
+    # representatives)
     pairs = minhash_dedup_pairs(d, threshold=args.jaccard)
     clusters = neardup_clusters(d.select("doc_id"), pairs)
+    if args.rep_longest:
+        from textract_demo_spark.datapipe.dedup import \
+            cluster_representatives
+        reps = cluster_representatives(d.select("doc_id", "text"),
+                                       clusters)
+        # clusters has one row per doc (singletons self-labeled), so
+        # reps covers every doc and a semi-join keeps exactly one
+        # member per cluster
+        keep = reps.select(F.col("rep_doc_id").alias("doc_id"))
+        d = d.join(keep, "doc_id", "left_semi")
+    else:
+        d = (d.join(clusters, "doc_id")
+             .filter(F.col("cluster_id") == F.col("doc_id"))
+             .drop("cluster_id"))
     # localCheckpoint: materialize the dedup survivors AND truncate
     # lineage — stages 2b-7 each self-join a derived frame back onto
     # `d`, which doubles the plan tree per stage (exponential without
@@ -294,10 +338,7 @@ def main() -> None:
     # At cluster scale this boundary is a checkpoint to reliable
     # storage / an intermediate table; local mode keeps it on
     # executor-local blocks.
-    d = (d.join(clusters, "doc_id")
-         .filter(F.col("cluster_id") == F.col("doc_id"))
-         .drop("cluster_id")
-         .localCheckpoint())
+    d = d.localCheckpoint()
     stats["after_neardup_dedup"] = d.count()
     release_cached(pairs)
     release_cached(clusters)
@@ -487,6 +528,25 @@ def main() -> None:
                 "doc_id", "left"))
     stats["train_packs"] = packs.select("shard", "pack_idx") \
                                 .distinct().count()
+
+    # 7b. optional curriculum annotation: difficulty stage from exact
+    # per-source token-count quartiles (one tiny aggregate, broadcast
+    # bounds — no NTILE window) + a deterministic within-stage
+    # shuffle key; pure narrow expressions on the curated rows
+    if args.curriculum:
+        from textract_demo_spark.datapipe.splits import \
+            with_curriculum_stage
+        d = with_curriculum_stage(d, score_col="n_tokens")
+        stats["curriculum_stages"] = (d.select("stage").distinct()
+                                      .count())
+
+    # 7c. optional dense global numbering: 0..n-1 in doc_id order
+    # without a global window (percentile buckets + driver
+    # prefix-summed offsets + per-bucket rank)
+    if args.global_ids:
+        from textract_demo_spark.datapipe.splits import with_global_ids
+        d = with_global_ids(d, order_col="doc_id",
+                            buckets=args.pack_shards)
 
     # optional: write the updated snapshot index for the next run —
     # the prior snapshot (if any) unioned with this run's kept docs.

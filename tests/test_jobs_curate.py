@@ -505,3 +505,38 @@ def test_run_curate_dq_report(spark, tmp_path, capsys, monkeypatch):
     rep = spark.read.parquet(str(tmp_path / "curated" / "dq_report"))
     rows = {r.constraint: r.passed for r in rep.collect()}
     assert len(rows) == 6 and all(rows.values())
+
+
+def test_run_curate_rep_curriculum_global_ids(spark, tmp_path, capsys,
+                                              monkeypatch):
+    """Round-5 stages: --rep-longest keeps each near-dup cluster's
+    longest member, --curriculum emits stage + shuffle_key, and
+    --global-ids numbers the curated corpus densely 0..n-1."""
+    import importlib
+    import json
+    import sys
+
+    import jobs.run_curate as rc
+    importlib.reload(rc)
+    monkeypatch.setattr(sys, "argv", [
+        "run_curate.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(tmp_path / "curated"),
+        "--rep-longest", "--curriculum", "--global-ids",
+        "--pack-budget", "256", "--pack-shards", "4",
+    ])
+    rc.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    st = json.loads(line)["stats"]
+    assert st["input"] >= st["after_neardup_dedup"] >= st["curated"]
+    assert st["curriculum_stages"] >= 2
+    out = spark.read.parquet(str(tmp_path / "curated" / "data"))
+    n = out.count()
+    assert n == st["curated"]
+    # dense global ids in doc_id order
+    rows = sorted((r.doc_id, r.global_id) for r in
+                  out.select("doc_id", "global_id").collect())
+    assert [g for _, g in rows] == list(range(n))
+    # curriculum columns present with sane domains
+    assert out.filter("stage < 1 OR stage > 4").count() == 0
+    assert out.filter("length(shuffle_key) != 16").count() == 0
