@@ -1297,3 +1297,46 @@ def test_with_global_ids_dense_and_order(spark):
     one = with_global_ids(docs, order_col="k", buckets=1)
     rows1 = sorted((r["k"], r["global_id"]) for r in one.collect())
     assert rows1 == rows
+
+
+def test_salted_join_salt_invariance(spark):
+    """The salted join's RESULT must be identical for any salt —
+    salting may only change the plan. Probed over a skewed fact
+    (one hot key holds half the rows) at salts 1/3/8."""
+    import pyspark.sql.functions as F
+    from textract_demo_spark.datapipe.skew import salted_skew_join
+    fact = (spark.range(0, 2000)
+            .select(F.col("id").alias("uid"),
+                    F.when(F.col("id") % 2 == 0, 7)
+                     .otherwise(F.col("id") % 97).alias("k")))
+    dim = (fact.groupBy("k")
+           .agg(F.count("*").cast("long").alias("n")))
+    expect = sorted((r.uid, r.k, r.n) for r in
+                    fact.join(dim, "k").collect())
+    for salt in (1, 3, 8):
+        got = sorted((r.uid, r.k, r.n) for r in
+                     salted_skew_join(fact, dim, on="k",
+                                      unique_col="uid",
+                                      salt=salt).collect())
+        assert got == expect, f"salt={salt} diverged"
+
+
+def test_with_global_ids_adversarial_distributions(spark):
+    """Global numbering must equal the global rank under skewed,
+    clustered, and negative key distributions — boundary placement
+    can shift costs, never ids."""
+    import pyspark.sql.functions as F
+    from textract_demo_spark.datapipe.splits import with_global_ids
+    cases = [
+        # heavy cluster: 90% of keys in a narrow band
+        spark.range(0, 400).select(
+            F.when(F.col("id") < 360, F.col("id") + 1_000_000)
+             .otherwise(F.col("id") * 7919).alias("k")),
+        # negative + positive mix
+        spark.range(0, 300).select((F.col("id") - 150).alias("k")),
+    ]
+    for docs in cases:
+        docs = docs.distinct()
+        out = with_global_ids(docs, order_col="k", buckets=5)
+        rows = sorted((r.k, r.global_id) for r in out.collect())
+        assert [g for _, g in rows] == list(range(len(rows)))
