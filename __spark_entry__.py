@@ -107,7 +107,7 @@ _PRIORITY = [
     #    bounded-state in-stream dedup, wide-to-long UNPIVOT
     "global_row_ids", "table_stats_agg", "skew_salted_join",
     "events_json_props", "streaming_dedup_watermark",
-    "events_unpivot_metrics",
+    "events_unpivot_metrics", "split_stratified_exact",
     # -- streaming/stateful family (6)
     "streaming_extract_availablenow", "streaming_ttl_cache",
     "streaming_review_wait", "streaming_dedup_incremental",

@@ -110,7 +110,7 @@ BENCH_QUERIES = [
     # bounded-state in-stream dedup
     "global_row_ids", "table_stats_agg", "skew_salted_join",
     "events_json_props", "streaming_dedup_watermark",
-    "events_unpivot_metrics",
+    "events_unpivot_metrics", "split_stratified_exact",
     # skew_salted_extract is deliberately NOT here: at sf0.1 it
     # extracts a 10^6-turn hot conversation (a stress run, not a
     # suite row — BENCH/run_skew_probe.py records its histograms)

@@ -1340,3 +1340,43 @@ def test_with_global_ids_adversarial_distributions(spark):
         out = with_global_ids(docs, order_col="k", buckets=5)
         rows = sorted((r.k, r.global_id) for r in out.collect())
         assert [g for _, g in rows] == list(range(len(rows)))
+
+
+def test_stratified_exact_split_large_group_sketch_path(spark):
+    """A group LARGER than `accuracy` exercises the sketch-banded
+    order-statistic path (tiny groups take the whole-group band);
+    assignment must equal the full-rank reference row for row, and
+    split sizes must hit the integer-exact targets."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from textract_demo_spark.datapipe.dedup import hash64
+    from textract_demo_spark.datapipe.splits import stratified_exact_split
+    docs = (spark.range(0, 3000)
+            .select(F.col("id").alias("doc_id"),
+                    F.lit("big").alias("source"))
+            .union(spark.range(5000, 5040)
+                   .select(F.col("id").alias("doc_id"),
+                           F.lit("tiny").alias("source"))))
+    out = stratified_exact_split(docs, hash_mode="md5", accuracy=64)
+    h = F.expr(hash64("concat('sx1', '-', cast(doc_id AS STRING))",
+                      "md5"))
+    d = docs.withColumn("_h", h)
+    w = (Window.partitionBy("source")
+         .orderBy(F.col("_h").asc(), F.col("doc_id").asc()))
+    nn = d.groupBy("source").count().withColumnRenamed("count", "n")
+    ref = (d.withColumn("rk", F.row_number().over(w)).join(nn, "source")
+           .withColumn("split_ref",
+                       F.when(F.col("rk") <= F.expr("8*n div 10"),
+                              "train")
+                       .when(F.col("rk") <= F.expr("9*n div 10"),
+                             "val").otherwise("test")))
+    mism = (out.select("doc_id", "split")
+            .join(ref.select("doc_id", "split_ref"), "doc_id")
+            .filter("split != split_ref").count())
+    assert mism == 0
+    sizes = {(r.source, r.split): r["count"] for r in
+             out.groupBy("source", "split").count().collect()}
+    assert sizes[("big", "train")] == 2400
+    assert sizes[("big", "val")] == 300
+    assert sizes[("tiny", "train")] == 32
+    assert sizes[("tiny", "val")] == 4

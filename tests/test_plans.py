@@ -1048,3 +1048,18 @@ def test_json_props_single_exchange_no_python(spark):
     p = plan(QUERIES["events_json_props"](spark, SF))
     assert "Python" not in p and "Arrow" not in p, p[:3000]
     assert p.count("Exchange") == 1, p[:3000]
+
+
+def test_stratified_split_assignment_is_narrow_broadcast(spark):
+    """The exact stratified split's ASSIGNMENT plan (the returned
+    frame) must be a broadcast cut-dim join + narrow case — no
+    window, no per-group funnel, no corpus sort; the band ranking
+    happened off-plan over band rows only."""
+    from textract_demo_spark.datapipe.splits import stratified_exact_split
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "source"))
+    p = plan(stratified_exact_split(docs, accuracy=100))
+    assert "Window" not in p, p[:3000]
+    assert "BroadcastHashJoin" in p, p[:3000]
+    assert "Exchange SinglePartition" not in p
+    assert "SortMergeJoin" not in p

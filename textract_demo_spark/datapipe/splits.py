@@ -391,3 +391,162 @@ def with_global_ids(df: DataFrame, order_col: str = "doc_id",
                         (F.col("_goff") + F.row_number().over(w)
                          - F.lit(1)).cast("long"))
             .drop("_gb", "_goff"))
+
+
+def stratified_exact_split(docs: DataFrame,
+                           weights=(("train", 8), ("val", 1),
+                                    ("test", 1)),
+                           by: str = "source",
+                           id_col: str = "doc_id",
+                           salt: str = "sx1",
+                           hash_mode: str = "xxhash64",
+                           accuracy: int = 10_000) -> DataFrame:
+    """EXACT stratified split: every group's split sizes are
+    floor(cum_weight * n_g / total_weight) at each boundary (integer
+    weights, integer arithmetic — engine-replayable) — not the
+    hash-threshold split's
+    binomial wobble (``with_split_assignment`` is O(sqrt(n_g)) off per
+    group, which matters for small strata and for contractual
+    train/val sizes).
+
+    The naive exact spelling ranks every row per group
+    (``row_number() OVER (PARTITION BY g ORDER BY h)``) — one task
+    per group, the NTILE funnel. The scale shape here is
+    **order-statistic selection by band correction**:
+
+    1. one aggregate per group computes n_g AND GK-sketch quantiles
+       of the row hashes at cum_frac +/- 3/accuracy — the sketch's
+       rank error is n_g/accuracy, so the TRUE K-th smallest hash
+       provably lies between the two returned values (both are actual
+       data values);
+    2. one pass counts rows strictly below each band and extracts the
+       band rows (~6 n_g/accuracy per boundary — ``accuracy`` is the
+       band-size knob, scale it with the corpus);
+    3. only the BAND ranks (window over band rows alone), and the row
+       whose global rank equals K becomes the boundary: an exact
+       (hash, id) cut point, ties broken totally;
+    4. assignment is then a pure narrow comparison against the
+       broadcast G x (splits-1) boundary dim — the corpus never
+       sorts, never funnels.
+
+    Rows order by (hash, id), so the assignment is deterministic,
+    engine-replayable in md5 mode, and independent of partitioning.
+    Raises if the sketch guarantee is ever violated (no silent
+    misassignment). Output: input columns + ``split``.
+    """
+    names = [n for n, _ in weights]
+    wvals = [w for _, w in weights]
+    if len(names) < 2 or any(w <= 0 for w in wvals):
+        raise ValueError("weights must name >= 2 splits, all positive")
+    total_w = sum(wvals)
+    cum_w = []
+    acc = 0
+    for w in wvals[:-1]:
+        acc += w
+        cum_w.append(acc)
+    # split sizes from INTEGER arithmetic (cum_w * n // total_w):
+    # floats here would be a cross-engine determinism hazard (the
+    # oracle must reproduce every K exactly); the sketch probe
+    # fractions below are approximate by design, so floats are fine
+    # THERE
+    cums = [w / total_w for w in cum_w]
+    eps = 4.0 / accuracy
+    LOW, HIGH = -(2 ** 63), 2 ** 63 - 1
+    keyed = f"concat('{salt}', '-', cast({id_col} AS STRING))"
+    h = F.expr(hash64(keyed, hash_mode))
+    d = docs.withColumn("_h", h)
+
+    # pass 1: per-group counts + band value-bounds from ONE aggregate
+    lo_fr = [max(0.0, q - eps) for q in cums]
+    hi_fr = [min(1.0, q + eps) for q in cums]
+    stats = (d.groupBy(by)
+             .agg(F.count("*").alias("_n"),
+                  F.expr(f"approx_percentile(_h, array({','.join(map(str, lo_fr + hi_fr))}), {accuracy})")
+                  .alias("_qs"))
+             .collect())
+    m = len(cums)
+    binfo = {}  # group -> (n_g, [K_i], [lo_i], [hi_i])
+    for r in stats:
+        n_g = r["_n"]
+        ks = [cw * n_g // total_w for cw in cum_w]
+        if n_g < accuracy:
+            # tiny group: the sketch's +/-1-rank convention slop is
+            # material at this size, and "the whole group" is already
+            # a bounded band (< accuracy rows) — rank it all
+            lo = [LOW] * m
+            hi = [HIGH] * m
+        else:
+            # large group: rank slop = sketch error (n_g/accuracy)
+            # + convention (+/-1 <= n_g/accuracy here), both inside
+            # the 4/accuracy probe margin
+            lo = [r["_qs"][i] for i in range(m)]
+            hi = [r["_qs"][m + i] for i in range(m)]
+        binfo[r[by]] = (n_g, ks, lo, hi)
+
+    # pass 2+3: band rank only; below-counts ride the same aggregate.
+    # The band frame is built with per-group literal bounds (the dim
+    # is G x m, broadcast by construction).
+    spark = docs.sparkSession
+    bounds_rows = [(g, i, binfo[g][1][i], binfo[g][2][i], binfo[g][3][i])
+                   for g in binfo for i in range(m)]
+    bdim = spark.createDataFrame(
+        bounds_rows, f"{by} string, _bi int, _k long, _lo long, _hi long")
+    from pyspark.sql import Window
+    banded = (d.select(by, id_col, "_h")
+              .join(F.broadcast(bdim), by)
+              .withColumn("_below",
+                          F.when(F.col("_h") < F.col("_lo"), 1)
+                           .otherwise(0)))
+    below = (banded.groupBy(by, "_bi")
+             .agg(F.sum("_below").cast("long").alias("_nb"),
+                  F.first("_k").alias("_k")).collect())
+    nb = {(r[by], r["_bi"]): r["_nb"] for r in below}
+    band = banded.filter((F.col("_h") >= F.col("_lo"))
+                         & (F.col("_h") <= F.col("_hi")))
+    w = (Window.partitionBy(by, "_bi")
+         .orderBy(F.col("_h").asc(), F.col(id_col).asc()))
+    ranked = band.withColumn("_rk", F.row_number().over(w))
+    # boundary row: global rank == K  <=>  band rank == K - below
+    need = spark.createDataFrame(
+        [(g, i, binfo[g][1][i] - nb[(g, i)]) for g in binfo
+         for i in range(m) if 0 < binfo[g][1][i] < binfo[g][0]],
+        f"{by} string, _bi int, _need long")
+    cut_rows = (ranked.join(F.broadcast(need), [by, "_bi"])
+                .filter(F.col("_rk") == F.col("_need"))
+                .select(by, "_bi", "_h", id_col).collect())
+    cuts = {(r[by], r["_bi"]): (r["_h"], r[id_col]) for r in cut_rows}
+    for g in binfo:
+        n_g, ks = binfo[g][0], binfo[g][1]
+        for i in range(m):
+            if 0 < ks[i] < n_g and (g, i) not in cuts:
+                raise RuntimeError(
+                    f"sketch rank guarantee violated for group {g!r}"
+                    f" boundary {i} — raise accuracy")
+
+    # pass 4 (lazy): narrow assignment against the broadcast cut dim.
+    # K == 0 -> nothing at-or-below (sentinel below all); K == n_g ->
+    # everything at-or-below (sentinel above all).
+    cut_dim_rows = []
+    for g in binfo:
+        n_g, ks = binfo[g][0], binfo[g][1]
+        for i in range(m):
+            if ks[i] == 0:
+                ch, ci = LOW, LOW
+            elif ks[i] == n_g:
+                ch, ci = HIGH, HIGH
+            else:
+                ch, ci = cuts[(g, i)]
+            cut_dim_rows.append((g, i, ch, ci))
+    cdim = spark.createDataFrame(
+        cut_dim_rows, f"{by} string, _bi int, _ch long, _ci long")
+    wide = cdim.groupBy(by).pivot("_bi", list(range(m))).agg(
+        F.first("_ch").alias("ch"), F.first("_ci").alias("ci"))
+    out = d.join(F.broadcast(wide), by)
+    expr = F.lit(names[-1])
+    for i in range(m - 1, -1, -1):
+        ch, ci = F.col(f"{i}_ch"), F.col(f"{i}_ci")
+        at_or_below = (F.col("_h") < ch) | (
+            (F.col("_h") == ch) & (F.col(id_col) <= ci))
+        expr = F.when(at_or_below, names[i]).otherwise(expr)
+    drop = ["_h"] + [c for c in wide.columns if c != by]
+    return out.withColumn("split", expr).drop(*drop)

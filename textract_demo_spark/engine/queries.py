@@ -6729,3 +6729,40 @@ def events_unpivot_metrics(spark: SparkSession,
         "user_id",
         F.expr("substring(event_type, 3)").alias("event_type"),
         F.col("n").cast("long").alias("n"))
+
+
+@query(
+    "split_stratified_exact",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('sx1-' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS h
+      FROM documents),
+    r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY h, doc_id) AS rk,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM d)
+    SELECT doc_id, source,
+           CASE WHEN rk <= (8 * n) // 10 THEN 'train'
+                WHEN rk <= (9 * n) // 10 THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """)
+def split_stratified_exact(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """EXACT stratified split (splits.stratified_exact_split): every
+    source gets floor(cum_weight * n_g / total) docs per split —
+    integer arithmetic, engine-replayable — where the hash-threshold
+    split is O(sqrt(n_g)) off per group. The oracle is the naive
+    full-rank window; the implementation is order-statistic selection
+    by band correction: GK-sketch quantiles bound where the K-th
+    smallest hash can live, only the ~n_g/accuracy-row band ranks,
+    and the exact (hash, id) cut broadcasts back for a narrow
+    assignment — the corpus never funnels through per-group ranking
+    tasks."""
+    from ..datapipe.splits import stratified_exact_split
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_exact_split(docs, hash_mode="md5",
+                                  accuracy=200)
