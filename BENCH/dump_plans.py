@@ -856,6 +856,19 @@ def main() -> None:
             ev_f.groupBy("user_id").agg(F.count("*").alias("n_ev")),
             on="user_id", unique_col="event_id", salt=8))))
 
+    from textract_demo_spark.datapipe.splits import stratified_exact_split
+    sections.append((
+        "Exact stratified split assignment (broadcast cut dim)",
+        "The ASSIGNMENT plan of the order-statistic split: the exact"
+        " (hash, id) cut points — selected off-plan by GK-sketch band"
+        " ranking over ~n_g/accuracy rows per group — broadcast back"
+        " as a G x (splits-1) dim, and membership is a narrow"
+        " comparison chain. No window, no per-group funnel, no corpus"
+        " sort: the expensive part (per-group order statistics) never"
+        " touched more than the band.",
+        formatted(stratified_exact_split(
+            docs.select("doc_id", "source"), accuracy=100))))
+
     from textract_demo_spark.datapipe.splits import with_global_ids
     sections.append((
         "Dense global row numbering (rank locally, offset globally)",
